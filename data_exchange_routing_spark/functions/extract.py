@@ -1,0 +1,72 @@
+"""Deterministic vectorized text extraction (SURVEY.md §2.3 P9 slot).
+
+The reference's only nontrivial scalar transform is HTML-encoding report
+fields (FnStoreReportingEvent.kt:68-70); our payload-facing analog is
+html(binary) -> text(string) extraction, required byte-identical per url by
+BASELINE.json. The algorithm is therefore pinned, pure-Python, stdlib-only
+(no environment-dependent parser libs), and exposed both as an Arrow pandas
+UDF (engine path) and as a plain function (oracle path) — the tests compare
+the two byte-for-byte.
+
+Decode policy (pinned): UTF-8 with errors='replace' — invalid byte sequences
+become U+FFFD deterministically; a fraction of the synthetic corpus carries
+non-UTF8 bytes to keep this honest (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text_py(html_bytes: bytes | None) -> str | None:
+    """Pure deterministic html->text. Single source of truth for the byte-
+    identity contract; the pandas oracle imports THIS function."""
+    if html_bytes is None:
+        return None
+    s = bytes(html_bytes).decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub(" ", s)
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _html.unescape(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Arrow-batched vectorized wrapper (no per-row Python at the Spark row
+    level: one Python invocation per Arrow batch)."""
+    return html.map(extract_text_py)
+
+
+def detect_lang_py(text: str | None) -> str | None:
+    """Deterministic n-gram/stopword language heuristic over a small fixed set.
+
+    Public-knowledge approach (stopword hit counting); intentionally simple —
+    the contract is determinism, not linguistic accuracy.
+    """
+    if text is None:
+        return None
+    words = set(text.lower().split())
+    scores = {
+        "en": len(words & {"the", "and", "of", "to", "in", "is", "it", "that"}),
+        "es": len(words & {"el", "la", "de", "que", "y", "en", "los", "se"}),
+        "fr": len(words & {"le", "la", "de", "et", "les", "des", "un", "une"}),
+        "de": len(words & {"der", "die", "und", "das", "ist", "von", "den", "ein"}),
+    }
+    best = max(scores, key=lambda k: (scores[k], -ord(k[0])))
+    return best if scores[best] > 0 else "zz"
+
+
+@F.pandas_udf(T.StringType())
+def detect_lang(text: pd.Series) -> pd.Series:
+    return text.map(detect_lang_py)

@@ -1,0 +1,343 @@
+"""Minimal Iceberg-style table format over parquet + atomic JSON snapshots.
+
+No Iceberg/Delta runtime jar ships in this environment, so the engine carries
+its own lake layer with the same commit semantics the reference hand-rolls:
+
+- *staged files then one atomic metadata swap*: Spark tasks write parquet files
+  to a per-commit directory; the commit is a single exclusive-create of
+  ``_meta/snapshot-N.json`` (os.link is atomic on POSIX). This mirrors the
+  reference's chunked staged upload + ordered ``commitBlockList``
+  (fns-routing/.../RouteIngestedFile.kt:470-550, sort :543-545, commit :547-548)
+  and is exactly Iceberg's manifest-swap commit.
+- *idempotent epoch commits*: every snapshot records the epoch-id it applied
+  plus the cumulative set of committed epochs; re-applying a committed epoch is
+  a no-op. This is the exactly-once guard the reference approximates with
+  idempotent overwrite uploads (RouteIngestedFile.kt:249-257) and
+  report-id = filename (FnStoreReportingEvent.kt:71).
+- *merge-on-read CDC*: each micro-batch appends only its (deduplicated) delta
+  files; readers reconstruct the final state with a per-key window over the
+  CDC ordering (warc_ts, lsn) and drop tombstones; ``compact()`` materializes
+  the resolved state back into base files. Per-epoch write cost is O(batch),
+  never O(table) — the property that makes 10^10-event replay sustainable.
+- *bucket partition layout*: data files are hash-bucketed by the merge key
+  (``pmod(xxhash64(url), n_buckets)``), so key-local operations (resolve,
+  compaction) shuffle within buckets only, and bucket-selective reads prune
+  files straight from the manifest (Iceberg ``bucket(N, url)`` analog).
+- *additive schema evolution*: new nullable columns appear in the snapshot
+  schema; old parquet files lack them and are null-backfilled by the reader
+  (reference open-world metadata enrichment, RouteIngestedFile.kt:196-209).
+
+Scale notes (100 TB / 1000 executors): the manifest is O(#files) JSON — at
+10^5 files it is a few MB read once per query by the driver, like an Iceberg
+manifest list. Data-file IO, shuffles, and window dedup all run distributed;
+nothing here collects data rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# engine-internal columns stored in data files but hidden from public reads
+LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
+BUCKET_COL = "_b"
+INTERNAL_COLS = (LSN_COL, DELETED_COL)
+
+_META_DIR = "_meta"
+_DATA_DIR = "data"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str
+    n_buckets: int
+    key: str | None
+    files: list[dict[str, Any]] = field(default_factory=list)  # {path,bucket,kind}
+    committed_epochs: dict[str, list[int]] = field(default_factory=dict)
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    """Exclusive-create commit: succeeds for exactly one writer per version."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.link(tmp, path)  # atomic; raises FileExistsError on concurrent commit
+    finally:
+        os.unlink(tmp)
+
+
+class LakeTable:
+    """One table = one directory; truth lives in the newest snapshot JSON."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, _META_DIR)
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: str | None = None,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        """Create an empty table. ``key`` enables CDC merge semantics."""
+        t = cls(spark, path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
+        if t.current_version() == 0:
+            stored = schema
+            if key is not None:
+                names = set(schema.fieldNames())
+                extra = [
+                    T.StructField(LSN_COL, T.LongType(), True),
+                    T.StructField(DELETED_COL, T.BooleanType(), True),
+                ]
+                stored = T.StructType(schema.fields + [f for f in extra if f.name not in names])
+            snap = Snapshot(
+                version=1,
+                schema_json=json.dumps(stored.jsonValue()),
+                n_buckets=n_buckets,
+                key=key,
+            )
+            t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.current_version() == 0:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    # ------------------------------------------------------------ snapshots
+    def current_version(self) -> int:
+        if not os.path.isdir(self.meta_dir):
+            return 0
+        versions = [
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = version or self.current_version()
+        with open(os.path.join(self.meta_dir, f"snapshot-{v:08d}.json")) as f:
+            d = json.load(f)
+        return Snapshot(**d)
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        path = os.path.join(self.meta_dir, f"snapshot-{snap.version:08d}.json")
+        _atomic_write_json(path, snap.__dict__)
+
+    # -------------------------------------------------------------- reading
+    def _read_files(self, snap: Snapshot, files: list[dict], with_internal: bool) -> DataFrame:
+        schema = snap.schema()
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        if paths:
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.createDataFrame([], schema)
+        if not with_internal:
+            df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
+        return df
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        with_internal: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Current resolved state. ``buckets`` prunes files from the manifest
+        before Spark ever lists them (partition pruning)."""
+        snap = self.snapshot(version)
+        files = snap.files
+        if buckets is not None:
+            keep = set(buckets)
+            files = [f for f in files if f["bucket"] in keep]
+        df = self._read_files(snap, files, with_internal=True)
+        if snap.key is not None and any(f["kind"] == "delta" for f in files):
+            df = self._resolve(df, snap.key)
+        if snap.key is not None:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if not with_internal:
+            df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
+        return df
+
+    @staticmethod
+    def _resolve(df: DataFrame, key: str) -> DataFrame:
+        """Merge-on-read: last writer per key wins by (warc_ts, lsn).
+
+        The CDC ordering is (event time, log sequence) — SURVEY.md §2.6 A-dedup,
+        mirroring the reference's ordered chunk commit (RouteIngestedFile.kt:543-545)
+        and HL7 `sequencer` (HL7Message.kt:25).
+        """
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(key).orderBy(F.desc("warc_ts"), F.desc(LSN_COL))
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    # -------------------------------------------------------------- writing
+    def _bucket_expr(self, snap: Snapshot):
+        return F.pmod(F.xxhash64(F.col(snap.key)), F.lit(snap.n_buckets)).cast("int")
+
+    def _stage_files(self, df: DataFrame, snap: Snapshot, commit_version: int, bucketed: bool) -> list[dict]:
+        """Write parquet to a per-commit staging dir; return manifest entries.
+
+        Files land under data/commit-<v>-<uuid>/; a crash before the snapshot
+        link leaves only orphans that no manifest references (Iceberg-style).
+        """
+        rel = os.path.join(_DATA_DIR, f"commit-{commit_version:08d}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, rel)
+        writer = df.write.mode("overwrite")
+        if bucketed:
+            writer = writer.partitionBy(BUCKET_COL)
+        writer.parquet(out)
+        entries: list[dict] = []
+        for root, _dirs, names in os.walk(out):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                bucket = -1
+                marker = f"{BUCKET_COL}="
+                for part in root.split(os.sep):
+                    if part.startswith(marker):
+                        bucket = int(part[len(marker):])
+                entries.append(
+                    {"path": os.path.relpath(full, self.path), "bucket": bucket, "kind": "delta"}
+                )
+        return entries
+
+    def _evolved_schema(self, snap: Snapshot, df: DataFrame) -> str | None:
+        """Additive schema evolution: new nullable columns from the source are
+        appended to the table schema; removals/renames are not supported
+        (reference is additive-only: SURVEY.md §1.3)."""
+        current = snap.schema()
+        have = set(current.fieldNames())
+        new_fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in have and f.name != BUCKET_COL
+        ]
+        if not new_fields:
+            return None
+        return json.dumps(T.StructType(current.fields + new_fields).jsonValue())
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        cols = []
+        have = set(df.columns)
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def committed_epochs(self, source: str = "default") -> set[int]:
+        snap = self.snapshot()
+        return set(snap.committed_epochs.get(source, []))
+
+    def append(
+        self,
+        df: DataFrame,
+        epoch_id: int | None = None,
+        source: str = "default",
+        summary: dict | None = None,
+    ) -> dict:
+        """Plain append (no merge key): dead_letter / lineage tables."""
+        return self._commit(df, epoch_id, source, summary, is_cdc=False)
+
+    def merge_cdc(
+        self,
+        df: DataFrame,
+        epoch_id: int | None = None,
+        source: str = "default",
+        summary: dict | None = None,
+    ) -> dict:
+        """Apply a deduplicated CDC delta (one row per key, tombstones carry
+        ``_deleted=true``). Requires columns: key, warc_ts, _lsn, _deleted.
+        MERGE INTO analog: matched-newer -> update/delete, not-matched -> insert,
+        realized lazily at read/compact time (merge-on-read)."""
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("merge_cdc requires a table created with a merge key")
+        return self._commit(df, epoch_id, source, summary, is_cdc=True)
+
+    def _commit(self, df, epoch_id, source, summary, is_cdc: bool) -> dict:
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in self.committed_epochs(source):
+            return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+
+        new_schema_json = self._evolved_schema(snap, df)
+        schema = T.StructType.fromJson(json.loads(new_schema_json)) if new_schema_json else snap.schema()
+        bucketed = is_cdc and snap.key is not None
+        out = self._align(df, schema)
+        if bucketed:
+            out = out.withColumn(BUCKET_COL, self._bucket_expr(snap))
+        files = self._stage_files(out, snap, snap.version + 1, bucketed)
+
+        committed = {k: list(v) for k, v in snap.committed_epochs.items()}
+        if epoch_id is not None:
+            committed.setdefault(source, []).append(epoch_id)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=new_schema_json or snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            files=snap.files + files,
+            committed_epochs=committed,
+            summary={**(summary or {}), "epoch_id": epoch_id, "operation": "merge" if is_cdc else "append"},
+        )
+        self._write_snapshot(new)
+        return {"skipped": False, "epoch_id": epoch_id, "version": new.version, "files_added": len(files)}
+
+    # ----------------------------------------------------------- compaction
+    def compact(self) -> dict:
+        """Materialize the resolved state into fresh base files (bucketed),
+        dropping tombstones and superseded row versions. Periodic compaction
+        bounds read amplification; at scale it runs per-bucket-group."""
+        snap = self.snapshot()
+        if snap.key is None:
+            return {"skipped": True}
+        resolved = self.read(with_internal=True).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+        out = self._align(resolved, snap.schema()).withColumn(BUCKET_COL, self._bucket_expr(snap))
+        files = self._stage_files(out, snap, snap.version + 1, bucketed=True)
+        for f in files:
+            f["kind"] = "base"
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            files=files,
+            committed_epochs=snap.committed_epochs,
+            summary={"operation": "compact"},
+        )
+        self._write_snapshot(new)
+        return {"skipped": False, "version": new.version, "files": len(files)}
