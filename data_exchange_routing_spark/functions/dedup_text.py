@@ -1,0 +1,152 @@
+"""Document deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+All four are pure DataFrame compositions (no UDFs): hashing is md5-based so
+every step has an exact DuckDB-SQL twin for the correctness oracle.
+
+Scale notes:
+- exact: groupBy(md5(text)) — map-side combined hash agg, one shuffle of
+  (hash, id) pairs only, never the text.
+- Jaccard pairs: shingle-explode + self-equi-join on shingle. O(sum shingles)
+  shuffle; hot shingles are the skew risk — the LSH path replaces this at
+  scale, and AQE skew-join splitting covers the rest.
+- MinHash+LSH: signatures via groupBy(doc).agg(min(...)) per hash function
+  (map-side combined), banding join touches only same-band candidates —
+  the classical sub-quadratic near-dup path (MMDS ch.3, public knowledge).
+- SimHash: token-explode + 32 conditional sums per doc, then hamming-style
+  bucket compare; one shuffle by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.functions.textstats import md5_int32, normalize_text
+
+SHINGLE_N = 3
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = MINHASH_K / LSH_BANDS = 2
+
+
+def with_text_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("text_hash", F.md5(F.col(text_col)))
+
+
+def exact_dedup_survivors(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the minimum id per exact text hash (deterministic keep-first)."""
+    return (
+        with_text_hash(df, text_col)
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram Jaccard >= threshold (exact, quadratic in
+    co-shingled docs; use minhash_lsh_candidates at scale)."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """k min-hashes per doc; hash_j(shingle) = md5(j || ':' || shingle) compared
+    as hex strings (total order identical in every engine)."""
+    sh = shingles(df, id_col, text_col)
+    hashes = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias("h"))
+                for j in range(k)
+            ])
+        ).alias("jh"),
+    ).select("doc_id", F.col("jh.j").alias("j"), F.col("jh.h").alias("h"))
+    return hashes.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band (band hash = md5 of
+    its rows' minhashes). Sub-quadratic: the pair join runs per (band, hash)
+    bucket only."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k)
+    banded = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j"), F.col("minhash")))))).alias("band_hash"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word tokens as a bit string: bit_j = 1 iff
+    sum over distinct tokens of (2*((md5_int32(token)>>j)&1)-1) > 0."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", md5_int32(F.col("tok")))
+    )
+    aggs = [
+        F.sum(((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    bit_chars = [F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits - 1, -1, -1)]
+    return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))

@@ -1,0 +1,115 @@
+"""Text analysis for large-scale training-data pipelines: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything here is a *Column builder* over built-in pyspark.sql.functions —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path — and each
+builder has an exact ANSI-SQL twin used as the DuckDB oracle (plans/queries.py),
+so correctness is cross-checked value-by-value.
+
+Hashing contract shared with the oracle: md5 hex (both engines agree), with
+`md5_int32` = first 8 hex digits as an unsigned 32-bit integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "ein"],
+}
+EN_STOPWORDS = STOPWORDS["en"]
+
+
+def md5_int32(col: Column) -> Column:
+    """First 32 bits of md5 as an unsigned int (DuckDB:
+    ('0x'||substr(md5(x),1,8))::bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Pinned normalization: lowercase, non-alphanumeric -> space, collapse."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def word_tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), "\\s+"))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-approximate token count: alphanumeric runs + each punctuation mark
+    counts once (regexp-only; a real tokenizer would be a pandas UDF)."""
+    runs = F.size(F.split(F.trim(col), "[^A-Za-z0-9]+")) - F.when(
+        F.trim(col).rlike("^[^A-Za-z0-9]"), 0
+    ).otherwise(0)
+    punct = F.length(F.regexp_replace(col, "[A-Za-z0-9\\s]", ""))
+    return runs + punct
+
+
+def char_len(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 when empty)."""
+    p = F.length(F.regexp_replace(col, "[A-Za-z0-9\\s]", ""))
+    return F.when(F.length(col) > 0, p.cast("double") / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Distinct stopwords hit / number of tokens."""
+    toks = word_tokens(col)
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = word_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet spot, low punctuation,
+    plausible mean word length. Deterministic; weights pinned."""
+    n = F.length(col)
+    len_score = F.when(n >= 200, F.lit(1.0)).otherwise(n.cast("double") / 200.0)
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    mwl = mean_word_len(col)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * 0.4 + punct_score * 0.3 + word_score * 0.3, 4)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit argmax over {en,es,fr,de}; 'zz' when no hits. Deterministic
+    tie-break in fixed language order (SURVEY §2.10 scalar-function slot)."""
+    toks = word_tokens(col)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+    s = scores
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("zz"))
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """16-hex-digit content fingerprint of the normalized text (md5-based;
+    the rolling-hash variant lives in the pandas-UDF module)."""
+    return F.substring(F.md5(normalize_text(col)), 1, 16)

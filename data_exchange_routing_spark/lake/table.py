@@ -212,9 +212,17 @@ class LakeTable:
         """
         rel = os.path.join(_DATA_DIR, f"commit-{commit_version:08d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel)
-        writer = df.write.mode("overwrite")
         if bucketed:
-            writer = writer.partitionBy(BUCKET_COL)
+            # one write task per bucket => one file per bucket per commit.
+            # (At 100 TB the policy generalizes: repartition(max(n_buckets,
+            # batch_bytes/target_file_size), BUCKET_COL) — file count stays
+            # proportional to data, never tasks x buckets.)
+            df = df.repartition(snap.n_buckets, F.col(BUCKET_COL))
+            writer = df.write.mode("overwrite").partitionBy(BUCKET_COL)
+        else:
+            # control-plane appends (dead_letter / lineage) are tiny: 1 file
+            df = df.repartition(1)
+            writer = df.write.mode("overwrite")
         writer.parquet(out)
         entries: list[dict] = []
         for root, _dirs, names in os.walk(out):
@@ -261,6 +269,65 @@ class LakeTable:
         snap = self.snapshot()
         return set(snap.committed_epochs.get(source, []))
 
+    def commit_staged_files(
+        self,
+        entries: list[dict],
+        delta_schema: T.StructType,
+        epoch_id: int | None = None,
+        source: str = "default",
+        summary: dict | None = None,
+        kind: str = "delta",
+    ) -> dict:
+        """Metadata-only commit of externally staged parquet files (paths may
+        live in a shared warehouse staging area — manifest entries are paths,
+        Iceberg-style, so one multicast Spark write can feed N tables).
+
+        ``delta_schema`` drives additive evolution exactly like a DataFrame
+        commit would. No Spark job runs here.
+        """
+        for e in entries:
+            e.setdefault("kind", kind)
+        for _attempt in range(50):
+            snap = self.snapshot()
+            if epoch_id is not None and epoch_id in set(snap.committed_epochs.get(source, [])):
+                return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+            current = snap.schema()
+            have = set(current.fieldNames())
+            new_fields = [
+                T.StructField(f.name, f.dataType, True)
+                for f in delta_schema.fields
+                if f.name not in have and f.name != BUCKET_COL
+            ]
+            schema_json = (
+                json.dumps(T.StructType(current.fields + new_fields).jsonValue())
+                if new_fields
+                else snap.schema_json
+            )
+            committed = {k: list(v) for k, v in snap.committed_epochs.items()}
+            if epoch_id is not None:
+                committed.setdefault(source, []).append(epoch_id)
+            new = Snapshot(
+                version=snap.version + 1,
+                schema_json=schema_json,
+                n_buckets=snap.n_buckets,
+                key=snap.key,
+                files=snap.files + entries,
+                committed_epochs=committed,
+                summary={**(summary or {}), "epoch_id": epoch_id, "operation": "merge-staged"},
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                continue
+            return {
+                "skipped": False,
+                "epoch_id": epoch_id,
+                "version": new.version,
+                "files_added": len(entries),
+                "rows_added": sum(e.get("rows", 0) for e in entries),
+            }
+        raise RuntimeError(f"commit contention exhausted retries on {self.path}")
+
     def append(
         self,
         df: DataFrame,
@@ -289,7 +356,7 @@ class LakeTable:
 
     def _commit(self, df, epoch_id, source, summary, is_cdc: bool) -> dict:
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in self.committed_epochs(source):
+        if epoch_id is not None and epoch_id in set(snap.committed_epochs.get(source, [])):
             return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
 
         new_schema_json = self._evolved_schema(snap, df)
@@ -300,20 +367,31 @@ class LakeTable:
             out = out.withColumn(BUCKET_COL, self._bucket_expr(snap))
         files = self._stage_files(out, snap, snap.version + 1, bucketed)
 
-        committed = {k: list(v) for k, v in snap.committed_epochs.items()}
-        if epoch_id is not None:
-            committed.setdefault(source, []).append(epoch_id)
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_json=new_schema_json or snap.schema_json,
-            n_buckets=snap.n_buckets,
-            key=snap.key,
-            files=snap.files + files,
-            committed_epochs=committed,
-            summary={**(summary or {}), "epoch_id": epoch_id, "operation": "merge" if is_cdc else "append"},
-        )
-        self._write_snapshot(new)
-        return {"skipped": False, "epoch_id": epoch_id, "version": new.version, "files_added": len(files)}
+        # optimistic-concurrency commit loop (Iceberg-style): losers of the
+        # exclusive-create race re-read the new snapshot and retry on top.
+        for _attempt in range(50):
+            snap = self.snapshot()
+            if epoch_id is not None and epoch_id in set(snap.committed_epochs.get(source, [])):
+                return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+            new_schema_json = self._evolved_schema(snap, df) or snap.schema_json
+            committed = {k: list(v) for k, v in snap.committed_epochs.items()}
+            if epoch_id is not None:
+                committed.setdefault(source, []).append(epoch_id)
+            new = Snapshot(
+                version=snap.version + 1,
+                schema_json=new_schema_json,
+                n_buckets=snap.n_buckets,
+                key=snap.key,
+                files=snap.files + files,
+                committed_epochs=committed,
+                summary={**(summary or {}), "epoch_id": epoch_id, "operation": "merge" if is_cdc else "append"},
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                continue
+            return {"skipped": False, "epoch_id": epoch_id, "version": new.version, "files_added": len(files)}
+        raise RuntimeError(f"commit contention exhausted retries on {self.path}")
 
     # ----------------------------------------------------------- compaction
     def compact(self) -> dict:
@@ -339,5 +417,10 @@ class LakeTable:
             committed_epochs=snap.committed_epochs,
             summary={"operation": "compact"},
         )
-        self._write_snapshot(new)
+        try:
+            self._write_snapshot(new)
+        except FileExistsError:
+            # a concurrent merge landed after we resolved: abort rather than
+            # drop its delta (compaction retries on the next cycle)
+            return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}

@@ -27,11 +27,17 @@ from pyspark.sql import functions as F
 ORDER_COLS = ("warc_ts", "lsn")
 
 
-def dedup_last_writer(df: DataFrame, key: str = "url", strategy: str = "agg", n_salts: int = 32) -> DataFrame:
+def dedup_last_writer(
+    df: DataFrame,
+    key: str | list[str] = "url",
+    strategy: str = "agg",
+    n_salts: int = 32,
+) -> DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
     if strategy == "agg":
-        return _dedup_agg(df, key)
+        return _dedup_agg(df, keys)
     if strategy == "window_salted":
-        return _dedup_window_salted(df, key, n_salts)
+        return _dedup_window_salted(df, keys, n_salts)
     raise ValueError(f"unknown dedup strategy: {strategy}")
 
 
@@ -39,22 +45,22 @@ def _ord(df: DataFrame):
     return F.struct(*[F.col(c) for c in ORDER_COLS])
 
 
-def _dedup_agg(df: DataFrame, key: str) -> DataFrame:
+def _dedup_agg(df: DataFrame, keys: list[str]) -> DataFrame:
     cols = df.columns
     row = F.struct(*[F.col(c) for c in cols])
-    out = df.groupBy(key).agg(F.max_by(row, _ord(df)).alias("_row"))
+    out = df.groupBy(*keys).agg(F.max_by(row, _ord(df)).alias("_row"))
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
-def _dedup_window_salted(df: DataFrame, key: str, n_salts: int) -> DataFrame:
+def _dedup_window_salted(df: DataFrame, keys: list[str], n_salts: int) -> DataFrame:
     """Phase 1: reduce per (key, salt) — hot keys split across n_salts reducers;
     phase 2: reduce the <=n_salts survivors per key; final row_number window
     runs on at most n_salts rows per key."""
     cols = df.columns
     row = F.struct(*[F.col(c) for c in cols])
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col("lsn"), F.lit(7)), F.lit(n_salts)))
-    phase1 = salted.groupBy(key, "_salt").agg(F.max_by(row, _ord(df)).alias("_row"))
-    w = Window.partitionBy(key).orderBy(
+    phase1 = salted.groupBy(*keys, "_salt").agg(F.max_by(row, _ord(df)).alias("_row"))
+    w = Window.partitionBy(*keys).orderBy(
         F.desc(F.col(f"_row.{ORDER_COLS[0]}")), F.desc(F.col(f"_row.{ORDER_COLS[1]}"))
     )
     final = phase1.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)

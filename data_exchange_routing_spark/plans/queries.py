@@ -1,0 +1,755 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir) ->
+DataFrame callable with a matching DuckDB oracle SQL (driver contract).
+
+Organization mirrors SURVEY.md §2: engine relational core (aggregation, joins,
+windows, set ops — the substrate every reference operator maps onto), the
+reference's dataflow operators restated over the `events` stream table, and
+the training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal) over `documents` / `embeddings`.
+
+Contract rules honored here:
+- every computed column aliased identically in Spark and SQL;
+- float aggregates rounded (sum-order differences live below the rounding);
+- embeddings cast to double before arithmetic in BOTH engines;
+- deterministic ORDER BY tie-breaks wherever LIMIT/top-k appears.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.functions import dedup_text as DT
+from data_exchange_routing_spark.functions import similarity as SIM
+from data_exchange_routing_spark.functions import textstats as TS
+from data_exchange_routing_spark.functions.multimodal import extract_media_features, generate_media
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return wrap
+
+
+def ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# =====================================================================
+# 1. Relational core (Catalyst substrate: S9, A*, J3, §2.7)
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = ld(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = ld(spark, sf_dir, "lineitem")
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    r = ld(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@q(
+    "top_customer_per_nation",
+    """
+    SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) t JOIN nation ON c_nationkey = n_nationkey
+    WHERE rn = 1
+    """,
+)
+def top_customer_per_nation(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    n = ld(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@q(
+    "orders_priority_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_priority_rollup(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@q(
+    "segment_pivot_by_nation",
+    """
+    SELECT c_nationkey,
+           count(*) FILTER (WHERE c_mktsegment = 'BUILDING')  AS building,
+           count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery,
+           count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def segment_pivot_by_nation(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    out = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", ["BUILDING", "MACHINERY", "AUTOMOBILE"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "c_nationkey",
+        F.coalesce("BUILDING", F.lit(0)).alias("building"),
+        F.coalesce("MACHINERY", F.lit(0)).alias("machinery"),
+        F.coalesce("AUTOMOBILE", F.lit(0)).alias("automobile"),
+    )
+
+
+@q(
+    "customers_with_orders_semi",
+    """
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def customers_with_orders_semi(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "customers_without_orders_anti",
+    """
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def customers_without_orders_anti(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "config_join3_left",
+    # J3 analog: 3-way inner join + LEFT JOIN (uspGetConfig.sql shape)
+    """
+    SELECT r_name, n_name, count(s_suppkey) AS n_suppliers
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY r_name, n_name
+    """,
+)
+def config_join3_left(spark, sf_dir):
+    r = ld(spark, sf_dir, "region")
+    n = ld(spark, sf_dir, "nation")
+    s = ld(spark, sf_dir, "supplier")
+    return (
+        r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(s, F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("r_name", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@q(
+    "union_distinct_customers",
+    """
+    SELECT c_nationkey, count(*) AS n FROM (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 9000
+    ) GROUP BY c_nationkey
+    """,
+)
+def union_distinct_customers(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_nationkey")
+    return a.union(b).distinct().groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# 2. Reference dataflow operators over the `events` stream table
+# =====================================================================
+
+@q(
+    "events_json_extract",
+    # P1: JSON envelope parse (Common.kt:211-214)
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "events_last_per_user",
+    # A-dedup: last-writer-wins by (ts, event_id) per key
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           round(value, 2) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_last_per_user(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+@q(
+    "events_route_multicast",
+    # J1+M1+F10: broadcast config join, miss -> dead-letter fallback
+    """
+    WITH route_config(event_type, destination) AS (
+      VALUES ('click', 'clicks_table'), ('view', 'views_table'),
+             ('purchase', 'purchases_table'), ('signup', 'signups_table')
+    )
+    SELECT coalesce(destination, 'route-deadletter') AS destination,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events LEFT JOIN route_config USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_route_multicast(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    cfg = spark.createDataFrame(
+        [
+            ("click", "clicks_table"),
+            ("view", "views_table"),
+            ("purchase", "purchases_table"),
+            ("signup", "signups_table"),
+        ],
+        "event_type string, destination string",
+    )
+    return (
+        e.join(F.broadcast(cfg), "event_type", "left")
+        .withColumn("destination", F.coalesce("destination", F.lit("route-deadletter")))
+        .groupBy("destination")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "events_partition_path",
+    # P5: date-token destination templating (Common.kt:231-250)
+    """
+    SELECT strftime(ts, '%Y/%m/%d') AS path, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_partition_path(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return (
+        e.withColumn("path", F.date_format("ts", "yyyy/MM/dd"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "events_hourly_rollup",
+    # T5 analog: tumbling 1h window as batch date_trunc
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_bucket", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "events_sessionize",
+    # sessionization: 30-minute inactivity gap
+    """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("prev_ts").isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("session_id", F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@q(
+    "events_fan_in_collect",
+    # A2: fan-in collect (sorted for determinism)
+    """
+    SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def events_fan_in_collect(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+    )
+
+
+@q(
+    "events_first_per_user",
+    # A4: first-match reduce (min_by / arg_min)
+    """
+    SELECT user_id, arg_min(event_type, ts) AS first_type, min(ts) AS first_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def events_first_per_user(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"), F.min("ts").alias("first_ts")
+    )
+
+
+# =====================================================================
+# 3. Training-data pipeline: documents
+# =====================================================================
+
+@q(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    return DT.exact_dedup_survivors(ld(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           length(text) AS n_chars,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                 / length(text), 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        TS.char_len(F.col("text")).alias("n_chars"),
+        F.round(TS.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+    )
+
+
+@q(
+    "doc_lang_id",
+    None,  # SQL twin built programmatically below
+)
+def doc_lang_id(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", TS.lang_id(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_sql() -> str:
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    toks = f"string_split({norm}, ' ')"
+    scores = {
+        lang: f"len(list_intersect({toks}, {[w for w in ws]}))"
+        for lang, ws in TS.STOPWORDS.items()
+    }
+    s = scores
+    case = f"""
+      CASE
+        WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['de']} AND {s['en']} > 0 THEN 'en'
+        WHEN {s['es']} >= {s['fr']} AND {s['es']} >= {s['de']} AND {s['es']} > 0 THEN 'es'
+        WHEN {s['fr']} >= {s['de']} AND {s['fr']} > 0 THEN 'fr'
+        WHEN {s['de']} > 0 THEN 'de'
+        ELSE 'zz'
+      END"""
+    return f"""
+    SELECT lang, {case} AS lang_pred, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """
+
+
+ORACLE["doc_lang_id"] = _langid_sql()
+
+
+@q(
+    "doc_quality",
+    None,  # SQL twin below
+)
+def doc_quality(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
+
+
+def _quality_sql() -> str:
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    punct = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)"
+    mwl = f"length(replace({norm}, ' ', '')) * 1.0 / len(string_split({norm}, ' '))"
+    return f"""
+    SELECT doc_id, round(
+      (CASE WHEN length(text) >= 200 THEN 1.0 ELSE length(text) / 200.0 END) * 0.4
+      + greatest(0.0, 1.0 - ({punct}) * 5.0) * 0.3
+      + (CASE WHEN ({mwl}) >= 3.0 AND ({mwl}) <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+    , 4) AS quality
+    FROM documents
+    """
+
+
+ORACLE["doc_quality"] = _quality_sql()
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.doc_fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "doc_jaccard_pairs",
+    None,  # SQL twin below
+)
+def doc_jaccard_pairs(spark, sf_dir):
+    return DT.jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.05)
+
+
+def _shingle_sql(n: int = DT.SHINGLE_N) -> str:
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    return f"""
+      SELECT DISTINCT doc_id,
+             array_to_string((string_split({norm}, ' '))[i + 1:i + {n}], ' ') AS shingle
+      FROM documents,
+           UNNEST(range(greatest(len(string_split({norm}, ' ')) - {n - 1}, 0))) AS t(i)
+    """
+
+
+def _jaccard_sql() -> str:
+    return f"""
+    WITH sh AS ({_shingle_sql()}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+    """
+
+
+ORACLE["doc_jaccard_pairs"] = _jaccard_sql()
+
+
+@q(
+    "doc_minhash_signatures",
+    None,  # SQL twin below
+)
+def doc_minhash_signatures(spark, sf_dir):
+    sig = DT.minhash_signatures(ld(spark, sf_dir, "documents"))
+    return sig.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", "j", "minhash"))))).alias("sig_hash")
+    )
+
+
+def _minhash_sql(k: int = DT.MINHASH_K) -> str:
+    return f"""
+    WITH sh AS ({_shingle_sql()}),
+    hashes AS (
+      SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS minhash
+      FROM sh, UNNEST(range({k})) AS t(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list(concat(j, ':', minhash))), '|')) AS sig_hash
+    FROM hashes GROUP BY doc_id
+    """
+
+
+ORACLE["doc_minhash_signatures"] = _minhash_sql()
+
+
+@q("doc_minhash_lsh_pairs", None)  # rows-only: candidate generation (bucketed join)
+def doc_minhash_lsh_pairs(spark, sf_dir):
+    return DT.minhash_lsh_candidates(ld(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_simhash",
+    None,  # SQL twin below
+)
+def doc_simhash(spark, sf_dir):
+    return DT.simhash(ld(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    sums = ", ".join(
+        f"sum(((h // {1 << j}) % 2) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    concat = " || ".join(
+        f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(bits - 1, -1, -1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM documents, UNNEST(string_split({norm}, ' ')) AS t(tok)
+      WHERE tok <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {concat} AS simhash FROM sums
+    """
+
+
+ORACLE["doc_simhash"] = _simhash_sql()
+
+
+# =====================================================================
+# 4. Similarity search: embeddings
+# =====================================================================
+
+def _knn_sql(k: int, n_queries: int) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM v a JOIN v b ON a.vec_id < {n_queries} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, nn_id, sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@q("emb_cosine_top5", _knn_sql(5, 10))
+def emb_cosine_top5(spark, sf_dir):
+    return SIM.brute_force_topk(ld(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+@q("emb_lsh_ann", None)  # rows-only: approximate path
+def emb_lsh_ann(spark, sf_dir):
+    return SIM.lsh_ann_topk(ld(spark, sf_dir, "embeddings"), k=3)
+
+
+# =====================================================================
+# 5. CDC engine + multimodal (non-SQL-expressible: rows-only checks)
+# =====================================================================
+
+@q("cdc_replay_web_pages", None)
+def cdc_replay_web_pages(spark, sf_dir):
+    """Full CDC replay on a deterministic synthetic log -> final web_pages
+    state. The real correctness gate for this path is tests/test_replay_e2e.py
+    (final-state equality vs a pure-pandas oracle, byte-identical text)."""
+    import tempfile
+
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.sources.datagen import write_change_events
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    events_dir = f"{root}/events"
+    write_change_events(spark, events_dir, 1500, 150, n_epochs=4)
+    wh = Warehouse(spark, f"{root}/wh", n_buckets=8)
+    replay(wh, events_dir)
+    wp = wh.table("web_pages").read()
+    cols = ["url", "warc_ts", "text", "lang"] + (["charset"] if "charset" in wp.columns else [])
+    return wp.select(*cols)
+
+
+@q("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    """Binary media columns -> typed features via mapInPandas (decode stubbed
+    deterministically; Spark plumbing real)."""
+    return extract_media_features(generate_media(spark, 300))

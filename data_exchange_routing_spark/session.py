@@ -43,11 +43,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch bytes with multi-KB binary payloads
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # partition-size policy: 128 MiB splits keep scan tasks uniform at scale
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # partition-size policy: split size is FIXED (identical at every
+        # parallelism level — the scaling protocol's "same partitioning
+        # rules"), sized so local-SF inputs produce >= cores splits. On a
+        # 100 TB cluster the right value is the 128 MiB default; here the
+        # inputs are ~1 GiB, so 16 MiB yields ~64+ splits. Env-overridable.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

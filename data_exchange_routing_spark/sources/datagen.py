@@ -56,6 +56,7 @@ def generate_change_events(
     empty_meta_frac: float = 0.005,
     non_utf8_frac: float = 0.02,
     unrouted_frac: float = 0.02,
+    filler_repeat: int = 20,
 ) -> DataFrame:
     """Return a change-event DataFrame of ~n_events * (1 + dup_frac) rows."""
     ids = spark.range(0, n_events).withColumnRenamed("id", "lsn")
@@ -129,7 +130,10 @@ def generate_change_events(
         F.lit(" &amp; content "),
         F.hex(_h(F.col("lsn"), 9)),
         F.lit(" of page.</p><p>"),
-        F.repeat(F.concat(F.lit("word"), F.pmod(_h(F.col("lsn"), 10), F.lit(1000)).cast("string"), F.lit(" ")), 20),
+        # filler_repeat tunes payload size: ~20 -> ~2 KB pages (unit tests),
+        # ~1500 -> ~12 KB pages (Common-Crawl-like, used by the bench so
+        # per-event compute dominates fixed stage overheads)
+        F.repeat(F.concat(F.lit("word"), F.pmod(_h(F.col("lsn"), 10), F.lit(1000)).cast("string"), F.lit(" ")), filler_repeat),
         F.lit("</p></body></html>"),
     )
     html = F.encode(body, "UTF-8")
@@ -181,11 +185,16 @@ def write_change_events(
     deliberately differs from lsn order (out-of-order delivery).
     """
     df = generate_change_events(spark, n_events, n_urls, n_epochs, **kw)
+    # 32 files per epoch segment, rows hash-scattered across them: storage
+    # order != lsn order (out-of-order delivery) AND every segment is
+    # splittable/parallel-readable (a single fat file would serialize the
+    # whole narrow phase behind one scan task).
+    files_per_epoch = 32
     (
-        df.withColumn("_shuffle", _h(F.col("lsn"), 18))
-        .repartition("epoch_hint")
-        .sortWithinPartitions("_shuffle")
-        .drop("_shuffle")
+        df.withColumn("_shard", F.pmod(_h(F.col("lsn"), 18), F.lit(files_per_epoch)))
+        .repartition(n_epochs * files_per_epoch, F.col("epoch_hint"), F.col("_shard"))
+        .sortWithinPartitions("_shard", "url")
+        .drop("_shard")
         .write.mode("overwrite")
         .partitionBy("epoch_hint")
         .parquet(out_dir)

@@ -70,9 +70,13 @@ def test_full_replay_matches_oracle(spark, events_dir, events_pdf, tmpdir_path):
     assert got_counts.get("validate", 0) == exp_counts["validate"]
     assert got_counts.get("route", 0) == exp_counts["route"]
 
-    # lineage rows exist for every committed (epoch, destination)
+    # lineage rows exist for every committed (epoch, destination); routed
+    # commits are SUCCESS, dead-letter rows carry FAILURE (PSReportEnvelope
+    # StageStatus analog)
     lm = wh.table("lineage_metrics").read().toPandas()
-    assert (lm["status"] == "SUCCESS").all()
+    routed_lm = lm[lm["destination_table"] != "dead_letter"]
+    assert (routed_lm["status"] == "SUCCESS").all()
+    assert (lm[lm["destination_table"] == "dead_letter"]["status"] == "FAILURE").all()
     assert lm["rows_applied"].sum() > 0
 
     # schema evolution actually happened: charset column present on web_pages
