@@ -1,0 +1,86 @@
+"""Structured Streaming ingest: the binlog/WAL tail as a streaming source
+(SURVEY.md §2.1 S1-S3, §2.9 T1-T8).
+
+The reference consumes change events from a storage queue at-least-once
+(RouteIngestedFile.kt:74-103); here the tail is a file-arrival streaming
+source over the partitioned event log (a Kafka source drops in with
+`.format("kafka")` + from_json — same downstream pipeline), and every
+micro-batch flows through the SAME apply_epoch as bounded replay:
+
+- exactly-once: Structured Streaming's offset WAL names each micro-batch with
+  a monotonically increasing batch_id; apply_epoch commits are per-table
+  epoch-guarded, so a crash between the sink commit and the streaming commit
+  log replays the batch as a no-op (T1/T2).
+- checkpoint/resume: `checkpointLocation` persists source offsets; restart
+  resumes from the last committed batch (T3).
+- backpressure: `maxFilesPerTrigger` bounds batch size (T7 analog of the
+  reference's 50 MiB big-blob strategy switch).
+- lineage: apply_epoch's lineage table plus a StreamingQueryListener bridge
+  for engine-level progress metrics (K4/K5 analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
+
+from data_exchange_routing_spark.pipeline import Warehouse, apply_epoch
+from data_exchange_routing_spark.schemas import CHANGE_EVENTS
+
+
+class LineageListener(StreamingQueryListener):
+    """Per-micro-batch progress rows (rows/sec, duration) — the engine-level
+    analog of the reference's per-invocation `out in {ms}` timing logs
+    (RouteIngestedFile.kt:85,105)."""
+
+    def __init__(self):
+        self.progress: list[dict] = []
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        self.progress.append(
+            {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "duration_ms": dict(p.durationMs) if p.durationMs else {},
+            }
+        )
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass
+
+
+def stream_ingest(
+    spark: SparkSession,
+    events_dir: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    dedup_strategy: str = "agg",
+) -> StreamingQuery:
+    """Start an availableNow streaming ingest of the event log into the
+    warehouse. Returns the running query; callers awaitTermination()."""
+    wh.init_tables()
+    reader = spark.readStream.schema(CHANGE_EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(events_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        # streaming batch ids and replay epoch ids share the guard namespace
+        # "cdc"/"dead_letter"/"lineage" only within one driver mode; a
+        # streaming checkpoint owns its warehouse.
+        apply_epoch(wh, batch_df, epoch_id=int(batch_id), dedup_strategy=dedup_strategy)
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,163 @@
+"""Unit tests for parse / validate / dedup / routing operators, mirroring the
+reference's exact-assertion style (Unit_FnDecompressor.kt, FunctionTest.kt)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.operators.dedup import dedup_last_writer
+from data_exchange_routing_spark.operators.parse import (
+    decompose_url,
+    folders_to_path,
+    iso8601,
+    normalize_meta_keys,
+    coalesce_routing_keys,
+)
+from data_exchange_routing_spark.operators.routing import annotate_routes, split_routed
+from data_exchange_routing_spark.operators.validate import split_valid
+from data_exchange_routing_spark.schemas import (
+    CHANGE_EVENTS,
+    ERR_EMPTY_META,
+    ERR_INVALID_ROUTE,
+    ERR_MISSING_STREAM_ID,
+    ERR_MISSING_STREAM_ROUTE,
+    ERR_NO_ROUTE,
+)
+from data_exchange_routing_spark.sources.configs import default_route_config
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENTS)
+
+
+def _e(lsn, url="https://h.example/a/b.html", meta=None, op="I", ct="text/html", ts=None):
+    return (
+        lsn,
+        op,
+        url,
+        ts or datetime(2024, 1, 1, 12, 30, 45),
+        b"<html>x</html>",
+        "en",
+        ct,
+        {"data_stream_id": "s", "data_stream_route": "r"} if meta is None else meta,
+        0,
+    )
+
+
+def test_decompose_url(spark):
+    # reference asserts exact (account, container, path) decomposition
+    # (FunctionTest.kt:49-61); ours: scheme/host/path/file/folder
+    df = _events(spark, [_e(1, url="https://host.example/folder/sub/file.html")])
+    r = decompose_url(df).first()
+    assert r["url_scheme"] == "https"
+    assert r["url_host"] == "host.example"
+    assert r["url_path"] == "/folder/sub/file.html"
+    assert r["url_file"] == "file.html"
+    assert r["url_folder"] == "/folder/sub"
+
+
+def test_meta_key_normalization_and_coalesce(spark):
+    df = _events(
+        spark,
+        [_e(1, meta={"Data_Stream_ID": "sid", "META_EXT_EVENT": "rt", "Upload_ID": "u1"})],
+    )
+    out = coalesce_routing_keys(normalize_meta_keys(df)).first()
+    assert out["data_stream_id"] == "sid"  # lowered key found
+    assert out["data_stream_route"] == "rt"  # fallback meta_ext_event
+    assert out["upload_id"] == "u1"
+    assert out["ingest_ts"] == datetime(2024, 1, 1, 12, 30, 45)  # fallback to warc_ts
+
+
+def test_folders_to_path_date_tokens(spark):
+    # Common.kt:231-250 token semantics
+    df = spark.createDataFrame(
+        [("x/:y/:m/:d/", datetime(2024, 3, 7, 9, 5, 6))], "tpl string, ts timestamp"
+    )
+    r = df.select(
+        folders_to_path(F.col("tpl"), F.col("ts")).alias("p"),
+        iso8601(F.col("ts")).alias("iso"),
+    ).first()
+    assert r["p"] == "x/2024/03/07"
+    assert r["iso"] == "2024-03-07T09:05:06.000Z"
+
+
+def test_validation_exact_errors(spark):
+    df = _events(
+        spark,
+        [
+            _e(1, meta={}),
+            _e(2, meta={"data_stream_route": "r"}),
+            _e(3, meta={"data_stream_id": "s"}),
+            _e(4),
+        ],
+    )
+    valid, dead = split_valid(df)
+    errs = {r["lsn"]: r["error"] for r in dead.collect()}
+    assert errs == {
+        1: ERR_EMPTY_META,
+        2: ERR_MISSING_STREAM_ID,
+        3: ERR_MISSING_STREAM_ROUTE,
+    }
+    assert [r["lsn"] for r in valid.collect()] == [4]
+    assert {r["stage"] for r in dead.collect()} == {"validate"}
+
+
+def test_routing_split_and_errors(spark):
+    df = _events(
+        spark,
+        [
+            _e(1, ct="text/html"),
+            _e(2, ct="application/octet-stream"),  # no route
+            _e(3, ct="application/xml"),  # invalid route
+        ],
+    )
+    routed, dead = split_routed(annotate_routes(df, default_route_config(spark)))
+    assert {r["lsn"]: r["destination_table"] for r in routed.collect()} == {1: "web_pages"}
+    errs = {r["lsn"]: r["error"] for r in dead.collect()}
+    assert errs == {2: ERR_NO_ROUTE, 3: ERR_INVALID_ROUTE}
+    # per-route static metadata merged (RouteIngestedFile.kt:205-209)
+    assert routed.first()["meta"]["tier"] == "hot"
+
+
+def test_routing_default_fallback(spark):
+    # deprecated C# fallback route (RouteIngestedFile.cs:39-45)
+    df = _events(spark, [_e(1, ct="application/octet-stream")])
+    annotated = annotate_routes(df, default_route_config(spark), default_route_key="text/html")
+    routed, dead = split_routed(annotated)
+    assert routed.count() == 1 and dead.count() == 0
+    assert routed.first()["destination_table"] == "web_pages"
+
+
+def test_routing_join_is_broadcast(spark):
+    """The config join must plan as a broadcast hash join — no shuffle of the
+    event stream for routing (SURVEY §2.5 J1)."""
+    df = _events(spark, [_e(1)])
+    annotated = annotate_routes(df, default_route_config(spark))
+    plan = annotated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_strategies_agree_and_pick_latest(spark):
+    rows = [
+        _e(1, url="u", ts=datetime(2024, 1, 1, 0, 0, 5)),
+        _e(2, url="u", ts=datetime(2024, 1, 1, 0, 0, 9)),  # winner: latest ts
+        _e(3, url="u", ts=datetime(2024, 1, 1, 0, 0, 9)),  # same ts, higher lsn wins
+        _e(4, url="v", ts=datetime(2024, 1, 1, 0, 0, 1)),
+        _e(4, url="v", ts=datetime(2024, 1, 1, 0, 0, 1)),  # exact duplicate delivery
+    ]
+    df = _events(spark, rows)
+    for strat in ("agg", "window_salted"):
+        got = {r["url"]: r["lsn"] for r in dedup_last_writer(df, "url", strategy=strat).collect()}
+        assert got == {"u": 3, "v": 4}, strat
+
+
+def test_parquet_filter_pushdown(spark):
+    """Predicate + projection reach the parquet scan (PushedFilters)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.select("l_orderkey").filter(F.col("l_orderkey") == 42)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan

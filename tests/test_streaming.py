@@ -1,0 +1,53 @@
+"""Structured Streaming ingest: drain-to-parity with the oracle, restart
+safety, and micro-batch lineage."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from data_exchange_routing_spark.pipeline import Warehouse
+from data_exchange_routing_spark.sources.datagen import write_change_events
+from data_exchange_routing_spark.streaming.ingest import LineageListener, stream_ingest
+from tests.oracle import oracle_final_states
+
+
+@pytest.fixture(scope="module")
+def stream_events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_events"))
+    write_change_events(spark, d, 3000, 300, n_epochs=4)
+    return d
+
+
+def test_stream_drain_matches_oracle(spark, stream_events_dir, tmpdir_path):
+    wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=8)
+    cp = os.path.join(tmpdir_path, "cp")
+    listener = LineageListener()
+    spark.streams.addListener(listener)
+    try:
+        q = stream_ingest(spark, stream_events_dir, wh, cp, max_files_per_trigger=40)
+        q.awaitTermination(300)
+    finally:
+        spark.streams.removeListener(listener)
+
+    events_pdf = spark.read.parquet(stream_events_dir).toPandas()
+    expected = oracle_final_states(events_pdf)["web_pages"]
+    got = wh.table("web_pages").read().toPandas()
+    assert len(got) == len(expected)
+    g = got.sort_values("url").reset_index(drop=True)
+    e = expected.sort_values("url").reset_index(drop=True)
+    assert list(g["url"]) == list(e["url"])
+    assert list(g["text"]) == list(e["text"])  # byte-identical extraction
+
+    # multiple micro-batches actually happened, and lineage saw them
+    assert len(listener.progress) >= 2
+    lm = wh.table("lineage_metrics").read().toPandas()
+    assert lm["epoch_id"].nunique() >= 2
+
+    # restart on the same checkpoint: no new data -> no state change
+    v_before = wh.table("web_pages").current_version()
+    q2 = stream_ingest(spark, stream_events_dir, wh, cp, max_files_per_trigger=40)
+    q2.awaitTermination(120)
+    assert wh.table("web_pages").current_version() == v_before
