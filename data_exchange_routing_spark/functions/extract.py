@@ -70,3 +70,10 @@ def detect_lang_py(text: str | None) -> str | None:
 @F.pandas_udf(T.StringType())
 def detect_lang(text: pd.Series) -> pd.Series:
     return text.map(detect_lang_py)
+
+
+@F.pandas_udf(T.StringType())
+def html_escape(text: pd.Series) -> pd.Series:
+    """P9: HTML-encode scalar (reference Encode.forHtml on report fields,
+    FnStoreReportingEvent.kt:68-70) — vectorized stdlib html.escape."""
+    return text.map(lambda s: _html.escape(s, quote=True) if s is not None else None)

@@ -293,6 +293,53 @@ def union_distinct_customers(spark, sf_dir):
     return a.union(b).distinct().groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q(
+    "q17_small_quantity_revenue",
+    # correlated-subquery pattern (TPC-H Q17 shape): per-part average as a
+    # window, filter below 20% of it
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM (
+      SELECT l_extendedprice, l_quantity,
+             avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+      FROM lineitem
+    ) WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "part_brand_stats",
+    # statistical aggregates (A1 counters generalized): stddev/var/median
+    """
+    SELECT p_brand, count(*) AS n,
+           round(avg(p_retailprice), 2) AS avg_price,
+           round(stddev_samp(p_retailprice), 2) AS sd_price,
+           round(quantile_cont(p_retailprice, 0.5), 2) AS median_price,
+           min(p_size) AS min_size, max(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_brand_stats(spark, sf_dir):
+    p = ld(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("p_retailprice"), 2).alias("sd_price"),
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 2).alias("median_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
 # =====================================================================
 # 2. Reference dataflow operators over the `events` stream table
 # =====================================================================
@@ -656,9 +703,32 @@ def _minhash_sql(k: int = DT.MINHASH_K) -> str:
 ORACLE["doc_minhash_signatures"] = _minhash_sql()
 
 
-@q("doc_minhash_lsh_pairs", None)  # rows-only: candidate generation (bucketed join)
+@q("doc_minhash_lsh_pairs", None)  # SQL twin built below
 def doc_minhash_lsh_pairs(spark, sf_dir):
     return DT.minhash_lsh_candidates(ld(spark, sf_dir, "documents"))
+
+
+def _lsh_pairs_sql(k: int = DT.MINHASH_K, bands: int = DT.LSH_BANDS) -> str:
+    rpb = k // bands
+    return f"""
+    WITH sh AS ({_shingle_sql()}),
+    hashes AS (
+      SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS minhash
+      FROM sh, UNNEST(range({k})) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    banded AS (
+      SELECT doc_id, (j // {rpb}) AS band,
+             md5(array_to_string(list_sort(list(concat(j, ':', minhash))), '|')) AS band_hash
+      FROM hashes GROUP BY doc_id, (j // {rpb})
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+ORACLE["doc_minhash_lsh_pairs"] = _lsh_pairs_sql()
 
 
 @q(
@@ -722,6 +792,33 @@ def emb_cosine_top5(spark, sf_dir):
 @q("emb_lsh_ann", None)  # rows-only: approximate path
 def emb_lsh_ann(spark, sf_dir):
     return SIM.lsh_ann_topk(ld(spark, sf_dir, "embeddings"), k=3)
+
+
+@q(
+    "emb_near_dup_pairs",
+    # embedding-cosine near-duplicate detection (dedup family, exact variant)
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.42
+    """,
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    e = ld(spark, sf_dir, "embeddings")
+    from data_exchange_routing_spark.functions.similarity import _dvec, cosine
+
+    a = e.select(F.col("vec_id").alias("id_a"), _dvec(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), _dvec(F.col("embedding")).alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.42)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )
 
 
 # =====================================================================
