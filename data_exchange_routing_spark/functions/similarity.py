@@ -79,6 +79,49 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def ivf_assign(df: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: centroids are the first n_centroids vectors
+    (deterministic; a k-means refinement would slot in here), assignment is
+    argmax cosine against the BROADCAST centroid set — map-side only, no
+    shuffle of the corpus."""
+    cents = (
+        df.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), _dvec(F.col(vec_col)).alias("c_vec"))
+    )
+    v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+    scored = v.join(F.broadcast(cents)).withColumn("c_sim", cosine(F.col("vec"), F.col("c_vec")))
+    w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vid", "vec", "centroid_id")
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: exact cosine only within each vector's inverted list
+    (same-centroid candidates). At 10^9 vectors the candidate join touches
+    ~N/n_centroids rows per query instead of N; recall tunes via n_centroids
+    (and an n_probe>1 extension probing the next-nearest lists)."""
+    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = a.join(
+        b, (F.col("a.centroid_id") == F.col("b.centroid_id")) & (F.col("a.vid") != F.col("b.vid"))
+    ).select(
+        F.col("a.vid").alias("query_id"),
+        F.col("b.vid").alias("nn_id"),
+        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
 def lsh_ann_topk(
     df: DataFrame,
     k: int = 5,

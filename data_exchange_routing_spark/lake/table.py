@@ -56,6 +56,21 @@ _META_DIR = "_meta"
 _DATA_DIR = "data"
 
 
+def _enc_epochs(s: set[int]) -> dict:
+    """Compact epoch-set encoding: {0..w} ∪ extras. Micro-batch ids are
+    contiguous from 0, so the snapshot stays O(1) bytes at 10^6 epochs."""
+    w = -1
+    while (w + 1) in s:
+        w += 1
+    return {"w": w, "extra": sorted(x for x in s if x > w)}
+
+
+def _dec_epochs(v) -> set[int]:
+    if isinstance(v, list):  # legacy plain list
+        return set(v)
+    return set(range(v.get("w", -1) + 1)) | set(v.get("extra", []))
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -63,11 +78,14 @@ class Snapshot:
     n_buckets: int
     key: str | None
     files: list[dict[str, Any]] = field(default_factory=list)  # {path,bucket,kind}
-    committed_epochs: dict[str, list[int]] = field(default_factory=dict)
+    committed_epochs: dict[str, Any] = field(default_factory=dict)
     summary: dict[str, Any] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def epochs(self, source: str) -> set[int]:
+        return _dec_epochs(self.committed_epochs.get(source, []))
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -267,7 +285,7 @@ class LakeTable:
 
     def committed_epochs(self, source: str = "default") -> set[int]:
         snap = self.snapshot()
-        return set(snap.committed_epochs.get(source, []))
+        return snap.epochs(source)
 
     def commit_staged_files(
         self,
@@ -289,7 +307,7 @@ class LakeTable:
             e.setdefault("kind", kind)
         for _attempt in range(50):
             snap = self.snapshot()
-            if epoch_id is not None and epoch_id in set(snap.committed_epochs.get(source, [])):
+            if epoch_id is not None and epoch_id in snap.epochs(source):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
             current = snap.schema()
             have = set(current.fieldNames())
@@ -303,9 +321,9 @@ class LakeTable:
                 if new_fields
                 else snap.schema_json
             )
-            committed = {k: list(v) for k, v in snap.committed_epochs.items()}
+            committed = dict(snap.committed_epochs)
             if epoch_id is not None:
-                committed.setdefault(source, []).append(epoch_id)
+                committed[source] = _enc_epochs(snap.epochs(source) | {epoch_id})
             new = Snapshot(
                 version=snap.version + 1,
                 schema_json=schema_json,
@@ -356,7 +374,7 @@ class LakeTable:
 
     def _commit(self, df, epoch_id, source, summary, is_cdc: bool) -> dict:
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in set(snap.committed_epochs.get(source, [])):
+        if epoch_id is not None and epoch_id in snap.epochs(source):
             return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
 
         new_schema_json = self._evolved_schema(snap, df)
@@ -371,12 +389,12 @@ class LakeTable:
         # exclusive-create race re-read the new snapshot and retry on top.
         for _attempt in range(50):
             snap = self.snapshot()
-            if epoch_id is not None and epoch_id in set(snap.committed_epochs.get(source, [])):
+            if epoch_id is not None and epoch_id in snap.epochs(source):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
             new_schema_json = self._evolved_schema(snap, df) or snap.schema_json
-            committed = {k: list(v) for k, v in snap.committed_epochs.items()}
+            committed = dict(snap.committed_epochs)
             if epoch_id is not None:
-                committed.setdefault(source, []).append(epoch_id)
+                committed[source] = _enc_epochs(snap.epochs(source) | {epoch_id})
             new = Snapshot(
                 version=snap.version + 1,
                 schema_json=new_schema_json,
@@ -424,3 +442,45 @@ class LakeTable:
             # drop its delta (compaction retries on the next cycle)
             return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}
+
+    # ---------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Drop snapshot JSONs older than the newest ``keep_last`` (Iceberg
+        expire_snapshots analog). Time travel shortens; current state, epoch
+        guards and lineage are untouched (they live in the newest snapshot)."""
+        current = self.current_version()
+        cutoff = max(1, current - keep_last + 1)
+        removed = []
+        for f in os.listdir(self.meta_dir):
+            if not (f.startswith("snapshot-") and f.endswith(".json")):
+                continue
+            v = int(f[len("snapshot-") : -len(".json")])
+            if v < cutoff:
+                os.unlink(os.path.join(self.meta_dir, f))
+                removed.append(v)
+        return {"removed_snapshots": sorted(removed), "kept_from": cutoff}
+
+    def vacuum_orphans(self) -> dict:
+        """Delete data files under this table's own data/ dir that no retained
+        snapshot references (crashed commits, compacted-away deltas). Staged
+        files shared via a warehouse staging area are the warehouse's to
+        vacuum, not the table's."""
+        referenced: set[str] = set()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("snapshot-") and f.endswith(".json"):
+                snap = self.snapshot(int(f[len("snapshot-") : -len(".json")]))
+                for e in snap.files:
+                    referenced.add(os.path.abspath(os.path.join(self.path, e["path"])))
+        removed = 0
+        data_dir = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, names in os.walk(data_dir):
+            for name in names:
+                full = os.path.abspath(os.path.join(root, name))
+                if name.endswith(".parquet") and full not in referenced:
+                    os.unlink(full)
+                    removed += 1
+        # drop now-empty commit dirs
+        for root, dirs, names in os.walk(data_dir, topdown=False):
+            if root != data_dir and not dirs and not names:
+                os.rmdir(root)
+        return {"removed_files": removed}

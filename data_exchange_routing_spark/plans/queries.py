@@ -794,6 +794,11 @@ def emb_lsh_ann(spark, sf_dir):
     return SIM.lsh_ann_topk(ld(spark, sf_dir, "embeddings"), k=3)
 
 
+@q("emb_ivf_ann", None)  # rows-only: approximate path (IVF inverted lists)
+def emb_ivf_ann(spark, sf_dir):
+    return SIM.ivf_ann_topk(ld(spark, sf_dir, "embeddings"), k=3, n_centroids=16)
+
+
 @q(
     "emb_near_dup_pairs",
     # embedding-cosine near-duplicate detection (dedup family, exact variant)

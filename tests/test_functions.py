@@ -129,6 +129,16 @@ def test_brute_force_topk_self_similarity(spark):
     assert order[0] == 1 and order[-1] == 3
 
 
+def test_ivf_ann_recall_on_testdata(spark):
+    from data_exchange_routing_spark.functions.similarity import ivf_ann_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = brute_force_topk(df, query_ids=list(range(20)), k=1).collect()
+    approx = {r["query_id"]: r["nn_id"] for r in ivf_ann_topk(df, k=1, n_centroids=4).collect()}
+    hits = sum(1 for r in exact if approx.get(r["query_id"]) == r["nn_id"])
+    assert hits >= 5, f"recall too low: {hits}/20"
+
+
 def test_lsh_ann_recall_on_testdata(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = brute_force_topk(df, query_ids=list(range(20)), k=1).collect()

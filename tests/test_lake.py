@@ -129,3 +129,35 @@ def test_crash_before_commit_leaves_no_trace(spark, tmpdir_path):
     out = t._align(_delta(spark, [_row("ghost", 9, 9)]), snap.schema())
     t._stage_files(out.withColumn("_b", F.lit(0)), snap, 99, bucketed=True)
     assert sorted(r["url"] for r in t.read().collect()) == ["a"]
+
+
+def test_epoch_encoding_compact_and_correct(spark, tmpdir_path):
+    from data_exchange_routing_spark.lake.table import _dec_epochs, _enc_epochs
+
+    s = {0, 1, 2, 3, 7, 9}
+    enc = _enc_epochs(s)
+    assert enc == {"w": 3, "extra": [7, 9]}
+    assert _dec_epochs(enc) == s
+    assert _dec_epochs([1, 2]) == {1, 2}  # legacy list form
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=2)
+    for e in range(5):
+        t.merge_cdc(_delta(spark, [_row(f"u{e}", 1, e)]), epoch_id=e)
+    snap = t.snapshot()
+    assert snap.committed_epochs["default"] == {"w": 4, "extra": []}
+    assert t.committed_epochs() == {0, 1, 2, 3, 4}
+
+
+def test_expire_and_vacuum(spark, tmpdir_path):
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=2)
+    for e in range(4):
+        t.merge_cdc(_delta(spark, [_row(f"u{e}", 1, e)]), epoch_id=e)
+    t.compact()  # deltas now unreferenced by the newest snapshot
+    state_before = sorted(r["url"] for r in t.read().collect())
+    res = t.expire_snapshots(keep_last=1)
+    assert len(res["removed_snapshots"]) >= 4
+    vac = t.vacuum_orphans()
+    assert vac["removed_files"] > 0
+    assert sorted(r["url"] for r in t.read().collect()) == state_before
+    # epoch guards survive expiry
+    skip = t.merge_cdc(_delta(spark, [_row("dup", 9, 99)]), epoch_id=2)
+    assert skip["skipped"] is True

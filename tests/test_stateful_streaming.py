@@ -1,0 +1,68 @@
+"""Stateful streaming: cross-batch dedup state + watermarked windows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_exchange_routing_spark.schemas import CHANGE_EVENTS
+from data_exchange_routing_spark.sources.datagen import write_change_events
+from data_exchange_routing_spark.streaming.stateful import stateful_dedup, windowed_ingest_rate
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stateful_events"))
+    write_change_events(spark, d, 2000, 150, n_epochs=4)
+    return d
+
+
+def _drain(spark, df, name, cp):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stateful_dedup_emits_monotone_per_url(spark, stream_dir, tmpdir_path):
+    events = (
+        spark.readStream.schema(CHANGE_EVENTS)
+        .option("maxFilesPerTrigger", 32)  # force multiple micro-batches
+        .parquet(stream_dir)
+    )
+    out = _drain(spark, stateful_dedup(events), "dedup_out", os.path.join(tmpdir_path, "cp1")).toPandas()
+
+    # emitted sequence per url advances strictly in (warc_ts, lsn) across ALL
+    # batches: cross-batch duplicates and stale out-of-order events are gone
+    all_events = spark.read.parquet(stream_dir).toPandas()
+    assert len(out) < len(all_events)
+    assert not out.duplicated(subset=["url", "lsn"]).any()
+    # final high-water mark per url equals the true max
+    got_max = out.groupby("url").apply(lambda g: tuple(g.sort_values(["warc_ts", "lsn"]).iloc[-1][["warc_ts", "lsn"]]), include_groups=False)
+    exp_max = all_events.groupby("url").apply(lambda g: tuple(g.sort_values(["warc_ts", "lsn"]).iloc[-1][["warc_ts", "lsn"]]), include_groups=False)
+    for url, exp in exp_max.items():
+        assert got_max[url] == exp, url
+
+
+def test_windowed_ingest_rate_matches_batch(spark, stream_dir, tmpdir_path):
+    events = spark.readStream.schema(CHANGE_EVENTS).parquet(stream_dir)
+    out = _drain(
+        spark, windowed_ingest_rate(events, "10 minutes", "20 minutes"), "win_out", os.path.join(tmpdir_path, "cp2")
+    ).toPandas()
+    assert len(out) > 0
+    # spot-check one window against a batch recomputation
+    batch = spark.read.parquet(stream_dir).toPandas()
+    row = out.iloc[0]
+    mask = (
+        (batch["warc_ts"] >= row["window_start"])
+        & (batch["warc_ts"] < row["window_end"])
+        & (batch["content_type"] == row["content_type"])
+    )
+    assert int(mask.sum()) == int(row["n_events"])
