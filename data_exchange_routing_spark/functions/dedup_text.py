@@ -42,17 +42,34 @@ def exact_dedup_survivors(df: DataFrame, id_col: str = "doc_id", text_col: str =
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document. ``distinct=True`` (set semantics,
+    one extra shuffle) is required for Jaccard counting; min-hash callers pass
+    ``distinct=False`` because min() is duplicate-insensitive — skipping a
+    full shuffle of every shingle string.
+
+    The token array is materialized in its own projection BEFORE the
+    higher-order lambda: transform/slice run interpreted (no whole-stage
+    codegen for lambda functions), and referencing the raw
+    split(regexp(...)) expression inside the lambda re-evaluates it per
+    element — O(tokens^2) regex work per doc, measured 14x slower at sf0.1."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    tk = F.col("_toks")
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = toked.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -90,18 +107,25 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
     """k min-hashes per doc; hash_j(shingle) = md5(j || ':' || shingle) compared
-    as hex strings (total order identical in every engine)."""
-    sh = shingles(df, id_col, text_col)
-    hashes = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("j"), F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias("h"))
-                for j in range(k)
-            ])
-        ).alias("jh"),
-    ).select("doc_id", F.col("jh.j").alias("j"), F.col("jh.h").alias("h"))
-    return hashes.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+    as hex strings (total order identical in every engine).
+
+    Physical shape: ONE hash aggregation — k ``min`` aggregates over the raw
+    (non-distinct) shingle stream, partially combined map-side, so the shuffle
+    carries (doc_id, k hex strings) per doc rather than every exploded
+    (shingle x j) row. The long (doc_id, j, minhash) form is re-derived with a
+    post-agg explode, which is narrow (docs x k rows, no shuffle)."""
+    sh = shingles(df, id_col, text_col, distinct=False)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(k)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[F.struct(F.lit(j).alias("j"), F.col(f"m{j}").alias("minhash")) for j in range(k)]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.j").alias("j"), F.col("p.minhash").alias("minhash")
+    )
 
 
 def minhash_lsh_candidates(
