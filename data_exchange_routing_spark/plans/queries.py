@@ -855,3 +855,281 @@ def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed
     deterministically; Spark plumbing real)."""
     return extract_media_features(generate_media(spark, 300))
+
+
+# =====================================================================
+# 5. Relational breadth: subqueries, cube/grouping sets, set ops,
+#    analytic windows, as-of + range joins (beyond-reference per brief)
+# =====================================================================
+
+@q(
+    "q4_order_priority",
+    # EXISTS semi-join with an inequality on both sides (late-shipped orders)
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders").alias("o")
+    l = ld(spark, sf_dir, "lineitem").alias("l")
+    return (
+        o.join(
+            l,
+            (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+            & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    # the pushdown showcase: every predicate reaches the parquet scan
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "part_above_avg_price",
+    # scalar subquery -> broadcast cross join of a 1-row aggregate (stays
+    # distributed; no driver-side collect)
+    """
+    SELECT p_partkey, round(p_retailprice, 2) AS retail
+    FROM part WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+)
+def part_above_avg_price(spark, sf_dir):
+    p = ld(spark, sf_dir, "part")
+    avg_df = p.agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        p.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .select("p_partkey", F.round("p_retailprice", 2).alias("retail"))
+    )
+
+
+@q(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@q(
+    "grouping_sets_nation_segment",
+    """
+    SELECT c_nationkey, c_mktsegment, count(*) AS n
+    FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+    """,
+)
+def grouping_sets_nation_segment(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_gs_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM _gs_customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+        """
+    )
+
+
+@q(
+    "nations_intersect_segments",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def nations_intersect_segments(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return a.intersect(b)
+
+
+@q(
+    "nations_except_segments",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    EXCEPT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def nations_except_segments(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.subtract(b)
+
+
+@q(
+    "events_running_value",
+    """
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 3) AS running_value
+    FROM events
+    """,
+)
+def events_running_value(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "ts", F.round(F.sum("value").over(w), 3).alias("running_value")
+    )
+
+
+@q(
+    "events_lag_delta",
+    """
+    SELECT event_id, user_id, ts,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS delta_prev
+    FROM events
+    """,
+)
+def events_lag_delta(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 3).alias("delta_prev"),
+    )
+
+
+@q(
+    "events_ntile_by_type",
+    # quartiles need a total order (event_id tie-break) to be engine-stable
+    """
+    SELECT event_type, quartile, count(*) AS n, round(avg(value), 3) AS avg_value
+    FROM (SELECT event_type, value,
+                 ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+          FROM events)
+    GROUP BY event_type, quartile
+    """,
+)
+def events_ntile_by_type(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 3).alias("avg_value"))
+    )
+
+
+@q(
+    "events_asof_purchase_view",
+    # as-of join: each purchase picks the user's latest view at-or-before it.
+    # DuckDB twin uses native ASOF; ours is the union+window composition in
+    # operators/asof.py (one shuffle, no range explosion).
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def events_asof_purchase_view(spark, sf_dir):
+    from data_exchange_routing_spark.operators.asof import asof_join
+
+    e = ld(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts", payload_cols=[]
+    )
+
+
+@q(
+    "part_price_band_range_join",
+    # range (interval) join against a tiny band dimension -> broadcast;
+    # the SQL twin states the same bands as a join too
+    """
+    SELECT band, count(*) AS n, round(avg(p_retailprice), 3) AS avg_price
+    FROM part
+    JOIN (VALUES ('low', 0.0, 940.0), ('mid', 940.0, 970.0), ('high', 970.0, 1001.0))
+         AS bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def part_price_band_range_join(spark, sf_dir):
+    p = ld(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 940.0), ("mid", 940.0, 970.0), ("high", 970.0, 1001.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 3).alias("avg_price"))
+    )
