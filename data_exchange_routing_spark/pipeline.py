@@ -244,11 +244,10 @@ def apply_epoch(
                 )
             )
 
-        lineage = wh.table("lineage_metrics")
-        lineage.append(
-            wh.spark.createDataFrame(lineage_rows, LINEAGE_METRICS),
-            epoch_id=epoch_id,
-            source="lineage",
+        # lineage rows are computed on the driver (footer stats): driver-side
+        # parquet write + metadata-only commit, zero Spark jobs
+        wh.table("lineage_metrics").append_rows(
+            lineage_rows, LINEAGE_METRICS, epoch_id=epoch_id, source="lineage"
         )
         return stats
     finally:

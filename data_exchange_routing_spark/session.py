@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # pre-size the heap: with the default tiny -Xms, the first minutes of
+        # a replay run GC-thrash while the heap grows toward -Xmx (measured
+        # 3x wall-clock on repeated replays at local[16]); real clusters set
+        # executor memory = a fixed heap, which this mirrors
+        .config(
+            "spark.driver.defaultJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_XMS', '16g')} -XX:+UseG1GC",
+        )
         # partition-size policy: split size is FIXED (identical at every
         # parallelism level — the scaling protocol's "same partitioning
         # rules"), sized so local-SF inputs produce >= cores splits. On a

@@ -1,0 +1,49 @@
+"""Kafka change-log tail (SURVEY.md §2.1 S2/S5).
+
+The reference's Event Hub / Service Bus consumers (FnRouter.kt:29-39,
+fn-internalrouter/Function.kt:26-34) are queue tails carrying JSON envelopes;
+in Spark that is the Kafka source with `from_json`, feeding the SAME
+foreachBatch(apply_epoch) pipeline as the file-based tail
+(streaming/ingest.py). This module is the drop-in: no sandbox broker exists,
+so tests cover the file source and this stays a configuration shim (the
+downstream plan is identical — the source swap changes no operator).
+
+Requires the spark-sql-kafka package on the cluster
+(`--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_tail(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: T.StructType,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame of parsed change events from a Kafka topic.
+
+    Kafka partition/offset ride along as (_kafka_partition, _kafka_offset) —
+    the log-sequence provenance (the reference's `sequencer`,
+    HL7Message.kt:25); `maxOffsetsPerTrigger` is the backpressure bound (T7).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_e"),
+        F.col("partition").alias("_kafka_partition"),
+        F.col("offset").alias("_kafka_offset"),
+    ).select("_e.*", "_kafka_partition", "_kafka_offset")
