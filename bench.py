@@ -118,14 +118,11 @@ def main_default() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = _spark(cores)
     # warm python workers + codegen once so the first timed query doesn't
-    # absorb session startup
-    import pandas as pd
+    # absorb session startup (no type hints: postponed-annotation strings
+    # break pandas_udf inference under `from __future__ import annotations`)
     from pyspark.sql import functions as F
 
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
+    _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(100000).select(F.sum(_warm(F.col("id")))).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -138,11 +135,16 @@ def main_default() -> None:
     )
     # sustained (steady-state) replay: repeat in the same JVM and report the
     # best — early runs additionally pay one-time python-worker fork + JIT/
-    # codegen warmup (measured 2-5x); all runs are disclosed.
-    cdc_runs = [
-        run_cdc_replay(spark, ev_dir)
-        for _ in range(int(os.environ.get("BENCH_REPEATS", "3")))
-    ]
+    # codegen warmup (measured 2-5x); all runs are disclosed. A wall-clock
+    # budget bounds total bench time on noisy-host windows.
+    budget = float(os.environ.get("BENCH_CDC_BUDGET_SEC", "300"))
+    t_cdc = time.time()
+    cdc_runs = [run_cdc_replay(spark, ev_dir)]
+    while len(cdc_runs) < int(os.environ.get("BENCH_REPEATS", "3")):
+        # predictive: skip the next run if it would likely blow the budget
+        if time.time() - t_cdc + cdc_runs[-1]["sec"] > budget:
+            break
+        cdc_runs.append(run_cdc_replay(spark, ev_dir))
     cdc = min(cdc_runs, key=lambda r: r["sec"])
     timings["cdc_replay"] = cdc["sec"]
 
