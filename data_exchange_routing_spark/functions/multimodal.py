@@ -96,6 +96,92 @@ def extract_media_features(df: DataFrame, use_fake_decoder: bool = True) -> Data
     return df.mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, use_fake_decoder: bool = True) -> DataFrame:
+    """Resize plumbing (mapInPandas, 1→1): output schema carries the new
+    payload + dims. Fake path emits a deterministic digest-derived payload of
+    len ∝ width*height; the real path (PIL thumbnail + re-encode) sits behind
+    the same signature and raises NotImplementedError without an imaging lib."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_fake_decoder:
+                out_payload = pdf["payload"].map(
+                    lambda b: None
+                    if b is None
+                    else (hashlib.md5(bytes(b) + f"{width}x{height}".encode()).digest() * (
+                        max(1, (width * height) // 256)
+                    ))[: max(16, (width * height) // 64)]
+                )
+            else:
+                raise NotImplementedError(
+                    "real resize requires an imaging library not present in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                    "content_hash": out_payload.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(op, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10, use_fake_decoder: bool = True) -> DataFrame:
+    """Frame sampling (mapInPandas, 1→N): each video row explodes into its
+    sampled frames — the multimodal analog of the zip/debatch explode shape
+    (SURVEY.md §2.8 M2/M3). Frame count comes from the (stubbed) decoder;
+    fake frames are digest-derived and deterministic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_index": [], "frame": [], "frame_hash": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                if not use_fake_decoder:
+                    raise NotImplementedError(
+                        "real frame decode requires a video library not present in this environment"
+                    )
+                _w, _h, n_frames = fake_decode_meta(payload)
+                for idx in range(0, n_frames, every_nth):
+                    frame = hashlib.md5(bytes(payload) + idx.to_bytes(4, "big")).digest()
+                    out["asset_id"].append(aid)
+                    out["frame_index"].append(idx)
+                    out["frame"].append(frame)
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(op, FRAME_SCHEMA)
+
+
 def generate_media(spark, n: int = 200) -> DataFrame:
     """Deterministic synthetic media table (binary payload = seeded bytes)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))

@@ -168,3 +168,42 @@ def test_real_decode_is_stubbed():
     if not _HAS_PIL:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG...")
+
+
+def test_multimodal_resize_plumbing(spark):
+    from data_exchange_routing_spark.functions.multimodal import generate_media, resize_images
+
+    media = generate_media(spark, 60)
+    out = resize_images(media, 64, 48)
+    rows = out.collect()
+    assert len(rows) == 60
+    assert all(r["width"] == 64 and r["height"] == 48 for r in rows)
+    # deterministic: same input -> same resized payload hash
+    again = {r["asset_id"]: r["content_hash"] for r in resize_images(media, 64, 48).collect()}
+    assert {r["asset_id"]: r["content_hash"] for r in rows} == again
+    # different target size -> different payloads
+    other = {r["asset_id"]: r["content_hash"] for r in resize_images(media, 32, 32).collect()}
+    assert other != again
+
+
+def test_multimodal_frame_sampling_explodes_videos_only(spark):
+    import hashlib as _h
+
+    from data_exchange_routing_spark.functions.multimodal import (
+        fake_decode_meta,
+        generate_media,
+        sample_frames,
+    )
+
+    media = generate_media(spark, 60)
+    videos = {r["asset_id"]: bytes(r["payload"]) for r in media.filter("kind = 'video'").collect()}
+    frames = sample_frames(media, every_nth=25).collect()
+    assert frames and {r["asset_id"] for r in frames} == set(videos)
+    expected_counts = {
+        aid: len(range(0, fake_decode_meta(p)[2], 25)) for aid, p in videos.items()
+    }
+    got_counts: dict = {}
+    for r in frames:
+        got_counts[r["asset_id"]] = got_counts.get(r["asset_id"], 0) + 1
+        assert r["frame_hash"] == _h.md5(bytes(r["frame"])).hexdigest()
+    assert got_counts == expected_counts
