@@ -1133,3 +1133,82 @@ def part_price_band_range_join(spark, sf_dir):
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 3).alias("avg_price"))
     )
+
+
+@q(
+    "q13_order_count_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@q(
+    "supplier_part_variety",
+    # count(DISTINCT ...) — two-phase distinct aggregation
+    """
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def supplier_part_variety(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return l.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@q(
+    "q18_large_volume_orders",
+    """
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ORDER BY total_qty DESC, l_orderkey LIMIT 25
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 250)
+        .drop("_raw")
+        .orderBy(F.desc("total_qty"), "l_orderkey")
+        .limit(25)
+    )
+
+
+@q(
+    "doc_embedding_label_stats",
+    # documents x embeddings equi-join (the doc->vector alignment a training
+    # pipeline does before ANN indexing)
+    """
+    SELECT d.lang, e.label, count(*) AS n, round(avg(d.n_chars), 3) AS avg_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def doc_embedding_label_stats(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    e = ld(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 3).alias("avg_chars"))
+    )

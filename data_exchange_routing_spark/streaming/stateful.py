@@ -40,40 +40,59 @@ DEDUP_OUTPUT = T.StructType(
 )
 
 
-def _dedup_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    """Emit only events strictly newer (warc_ts, lsn) than everything seen for
-    this url across ALL prior micro-batches; advance the high-water mark."""
-    (url,) = key
-    if state.exists:
-        max_ts_us, max_lsn = state.get
-    else:
-        max_ts_us, max_lsn = -1, -1
-    out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["warc_ts", "lsn"])
-        for row in pdf.itertuples(index=False):
-            ts_us = int(row.warc_ts.value // 1_000) if row.warc_ts is not None else -1
-            if (ts_us, int(row.lsn)) > (max_ts_us, max_lsn):
-                max_ts_us, max_lsn = ts_us, int(row.lsn)
-                out.append((url, int(row.lsn), row.warc_ts, row.op))
-    state.update((max_ts_us, max_lsn))
-    if out:
-        yield pd.DataFrame(out, columns=["url", "lsn", "warc_ts", "op"])
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        """Emit only events strictly newer (warc_ts, lsn) than everything seen
+        for this url across ALL prior micro-batches; advance the high-water
+        mark. With a TTL, idle urls' state is dropped on timeout — dropping
+        the mark only weakens dedup to at-least-once for that url, and the
+        idempotent MERGE sink already absorbs that (SURVEY.md T1/T2)."""
+        (url,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            max_ts_us, max_lsn = state.get
+        else:
+            max_ts_us, max_lsn = -1, -1
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["warc_ts", "lsn"])
+            for row in pdf.itertuples(index=False):
+                ts_us = int(row.warc_ts.value // 1_000) if row.warc_ts is not None else -1
+                if (ts_us, int(row.lsn)) > (max_ts_us, max_lsn):
+                    max_ts_us, max_lsn = ts_us, int(row.lsn)
+                    out.append((url, int(row.lsn), row.warc_ts, row.op))
+        state.update((max_ts_us, max_lsn))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=["url", "lsn", "warc_ts", "op"])
+
+    return _dedup_fn
 
 
-def stateful_dedup(events: DataFrame) -> DataFrame:
+def stateful_dedup(events: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """Cross-batch last-writer-aware dedup over a STREAMING events DataFrame.
     Each url's state is one (ts, lsn) pair — O(#urls) store, partitioned by
-    the grouping key across executors; watermark on warc_ts GC-bounds it."""
+    the grouping key across executors. ``state_ttl_ms`` bounds the store at
+    10^10-url scale: urls idle longer than the TTL drop their high-water mark
+    (processing-time timeout); correctness degrades only to at-least-once for
+    those urls, which the idempotent sink absorbs."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("url", "lsn", "warc_ts", "op")
         .groupBy("url")
         .applyInPandasWithState(
-            _dedup_fn,
+            _make_dedup_fn(state_ttl_ms),
             outputStructType=DEDUP_OUTPUT,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -66,3 +66,33 @@ def test_windowed_ingest_rate_matches_batch(spark, stream_dir, tmpdir_path):
         & (batch["content_type"] == row["content_type"])
     )
     assert int(mask.sum()) == int(row["n_events"])
+
+
+def test_stateful_dedup_with_ttl_same_results_single_drain(spark, stream_dir, tmpdir_path):
+    """TTL-enabled dedup produces identical output within one bounded drain
+    (the timeout can only fire between batches; dropping idle state weakens
+    dedup to at-least-once, which the idempotent sink absorbs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_exchange_routing_spark.schemas import CHANGE_EVENTS
+    from data_exchange_routing_spark.streaming.stateful import stateful_dedup
+
+    out = {}
+    for name, ttl in (("no_ttl", None), ("ttl", 60_000)):
+        stream = spark.readStream.schema(CHANGE_EVENTS).parquet(stream_dir)
+        q = (
+            stateful_dedup(stream, state_ttl_ms=ttl)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmpdir_path, f"out_{name}"))
+            .option("checkpointLocation", os.path.join(tmpdir_path, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        res = spark.read.parquet(os.path.join(tmpdir_path, f"out_{name}"))
+        out[name] = sorted(
+            (r["url"], r["lsn"]) for r in res.select("url", "lsn").collect()
+        )
+    assert out["no_ttl"] == out["ttl"] and len(out["ttl"]) > 0
