@@ -479,6 +479,55 @@ class LakeTable:
         raise RuntimeError(f"commit contention exhausted retries on {self.path}")
 
     # ----------------------------------------------------------- compaction
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental change feed (Iceberg incremental-scan analog): the raw
+        delta rows added by commits in (from_version, to_version], with a
+        ``_change_type`` column ('delete' for tombstones, 'upsert' otherwise).
+        Downstream consumers tail the table by remembering the last version
+        they processed — the engine's own CDC output surface.
+
+        Cost is O(files added in the range): the file diff comes from the two
+        manifests, no table scan and no listing."""
+        to_snap = self.snapshot(to_version)
+        from_snap = self.snapshot(from_version)
+        have = {f["path"] for f in from_snap.files}
+        added = [f for f in to_snap.files if f["path"] not in have and f["kind"] == "delta"]
+        df = self._read_files(to_snap, added, with_internal=True)
+        deleted = (
+            F.coalesce(F.col(DELETED_COL), F.lit(False))
+            if DELETED_COL in df.columns
+            else F.lit(False)
+        )
+        df = df.withColumn(
+            "_change_type", F.when(deleted, F.lit("delete")).otherwise(F.lit("upsert"))
+        )
+        return df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
+
+    def rollback(self, version: int) -> dict:
+        """Roll the table back to an earlier snapshot by committing a NEW
+        snapshot with the old content (Iceberg rollback semantics — history
+        is preserved, nothing is deleted; expire/vacuum reclaim later).
+        The committed-epoch guard also rewinds, so replaying the undone
+        epochs reconverges to the pre-rollback state."""
+        target = self.snapshot(version)
+        for _attempt in range(50):
+            cur = self.snapshot()
+            new = Snapshot(
+                version=cur.version + 1,
+                schema_json=target.schema_json,
+                n_buckets=target.n_buckets,
+                key=target.key,
+                files=list(target.files),
+                committed_epochs=dict(target.committed_epochs),
+                summary={"operation": "rollback", "to_version": version},
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                continue
+            return {"version": new.version, "rolled_back_to": version}
+        raise RuntimeError(f"rollback contention exhausted retries on {self.path}")
+
     def compact(self) -> dict:
         """Materialize the resolved state into fresh base files (bucketed),
         dropping tombstones and superseded row versions. Periodic compaction

@@ -161,3 +161,80 @@ def test_expire_and_vacuum(spark, tmpdir_path):
     # epoch guards survive expiry
     skip = t.merge_cdc(_delta(spark, [_row("dup", 9, 99)]), epoch_id=2)
     assert skip["skipped"] is True
+
+
+def test_read_changes_incremental_feed(spark, tmpdir_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmpdir_path + "/t", schema, key="url", n_buckets=4)
+    ts = dt.datetime(2024, 1, 1)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v int, _lsn long, _deleted boolean")
+        return t.merge_cdc(df, epoch_id=epoch, source="cdc")
+
+    v0 = t.snapshot().version
+    delta([("a", ts, 1, 1, False), ("b", ts, 1, 2, False)], 0)
+    v1 = t.snapshot().version
+    delta([("a", ts + dt.timedelta(1), 2, 3, False), ("b", ts + dt.timedelta(1), None, 4, True)], 1)
+    v2 = t.snapshot().version
+
+    c01 = t.read_changes(v0, v1)
+    assert sorted((r["url"], r["_change_type"]) for r in c01.collect()) == [
+        ("a", "upsert"), ("b", "upsert"),
+    ]
+    c12 = t.read_changes(v1, v2)
+    assert sorted((r["url"], r["_change_type"]) for r in c12.collect()) == [
+        ("a", "upsert"), ("b", "delete"),
+    ]
+    # full range = union of both commits
+    assert t.read_changes(v0).count() == 4
+    # change feed carries no internal columns
+    assert not {c for c in c12.columns if c.startswith("_")} - {"_change_type"}
+
+
+def test_rollback_restores_state_and_epoch_guard(spark, tmpdir_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmpdir_path + "/t", schema, key="url", n_buckets=4)
+    ts = dt.datetime(2024, 1, 1)
+
+    def delta(rows, epoch):
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, _lsn long, _deleted boolean")
+        return t.merge_cdc(df, epoch_id=epoch, source="cdc")
+
+    delta([("a", ts, 1, False)], 0)
+    v_good = t.snapshot().version
+    delta([("a", ts + dt.timedelta(1), 2, True), ("c", ts, 3, False)], 1)
+    assert sorted(r["url"] for r in t.read().collect()) == ["c"]
+
+    res = t.rollback(v_good)
+    assert res["rolled_back_to"] == v_good
+    assert sorted(r["url"] for r in t.read().collect()) == ["a"]
+    # epoch guard rewound: epoch 1 re-applies (is NOT skipped)
+    out = delta([("a", ts + dt.timedelta(1), 2, True), ("c", ts, 3, False)], 1)
+    assert not out.get("skipped")
+    assert sorted(r["url"] for r in t.read().collect()) == ["c"]
+    # history preserved: time travel to the pre-rollback version still works
+    assert t.read(version=v_good).count() == 1
