@@ -77,3 +77,48 @@ def html_escape(text: pd.Series) -> pd.Series:
     """P9: HTML-encode scalar (reference Encode.forHtml on report fields,
     FnStoreReportingEvent.kt:68-70) — vectorized stdlib html.escape."""
     return text.map(lambda s: _html.escape(s, quote=True) if s is not None else None)
+
+
+# ------------------------------------------------------ rolling fingerprints
+# Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — public algorithm):
+# polynomial rolling hash over every k-gram of the normalized text, then keep
+# the minimum hash in each window of w consecutive k-grams. Near-identical
+# documents share most selected fingerprints, and local edits perturb only
+# the windows they touch — the document-fingerprinting contract md5 of the
+# whole text cannot give.
+
+_FP_BASE = 257
+_FP_MOD = (1 << 61) - 1  # Mersenne prime: cheap mod, no collisions in practice
+_FP_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def rolling_fingerprints_py(text: str | None, k: int = 8, window: int = 4) -> list[int] | None:
+    """Sorted distinct winnowed fingerprints of ``text`` (None -> None)."""
+    if text is None:
+        return None
+    s = _FP_NORM_RE.sub(" ", text.lower()).strip()
+    if len(s) < k:
+        return []
+    # rolling hash of every k-gram
+    pow_k = pow(_FP_BASE, k - 1, _FP_MOD)
+    h = 0
+    hashes = []
+    for i, ch in enumerate(s):
+        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+        if i >= k - 1:
+            hashes.append(h)
+            h = (h - ord(s[i - k + 1]) * pow_k) % _FP_MOD
+    # winnow: min per window, right-most wins ties (standard rule)
+    selected = set()
+    for start in range(0, max(1, len(hashes) - window + 1)):
+        win = hashes[start : start + window]
+        m = min(win)
+        selected.add(m)
+    return sorted(selected)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def rolling_fingerprints(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized winnowing fingerprints (engine path; the plain
+    function above is the oracle path — tests compare element-wise)."""
+    return text.map(lambda t: rolling_fingerprints_py(t))

@@ -1212,3 +1212,15 @@ def doc_embedding_label_stats(spark, sf_dir):
         .groupBy("lang", "label")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 3).alias("avg_chars"))
     )
+
+
+@q("doc_rolling_fingerprints", None)  # rows-only: winnowing isn't SQL-expressible;
+# the exact-equality gate vs the pure-Python twin lives in
+# tests/test_functions.py::test_rolling_fingerprints_winnowing_properties
+def doc_rolling_fingerprints(spark, sf_dir):
+    from data_exchange_routing_spark.functions.extract import rolling_fingerprints
+
+    d = ld(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(rolling_fingerprints(F.col("text"))).alias("n_fingerprints")
+    )

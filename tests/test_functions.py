@@ -207,3 +207,32 @@ def test_multimodal_frame_sampling_explodes_videos_only(spark):
         got_counts[r["asset_id"]] = got_counts.get(r["asset_id"], 0) + 1
         assert r["frame_hash"] == _h.md5(bytes(r["frame"])).hexdigest()
     assert got_counts == expected_counts
+
+
+def test_rolling_fingerprints_winnowing_properties(spark):
+    from pyspark.sql import functions as F
+
+    from data_exchange_routing_spark.functions.extract import (
+        rolling_fingerprints,
+        rolling_fingerprints_py,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    edited = base.replace("lazy dog", "sleepy cat", 1)  # one local edit
+    other = "completely different content about spark engines " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, None), (5, "xy")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rolling_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    # engine path == oracle path, element-wise
+    for doc_id, text in [(1, base), (2, edited), (3, other), (4, None), (5, "xy")]:
+        assert got[doc_id] == rolling_fingerprints_py(text), doc_id
+    # near-identical docs share most fingerprints; unrelated docs share few
+    a, b, c = set(got[1]), set(got[2]), set(got[3])
+    sim_ab = len(a & b) / len(a | b)
+    sim_ac = len(a & c) / len(a | c)
+    assert sim_ab > 0.6 and sim_ac < 0.1
+    assert got[5] == []  # shorter than k -> empty, not None
