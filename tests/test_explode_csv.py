@@ -80,7 +80,7 @@ def test_csv_roundtrip_quote_all(spark, tmpdir_path):
         [(1, "plain"), (2, 'with "quotes", and commas')], "id long, s string"
     )
     out = os.path.join(tmpdir_path, "csv_out")
-    src.write.option("quoteAll", "true").option("header", "true").mode("overwrite").csv(out)
+    src.coalesce(1).write.option("quoteAll", "true").option("header", "true").mode("overwrite").csv(out)
     back = (
         spark.read.option("header", "true")
         .option("recursiveFileLookup", "true")
