@@ -1224,3 +1224,34 @@ def doc_rolling_fingerprints(spark, sf_dir):
     return d.select(
         "doc_id", F.size(rolling_fingerprints(F.col("text"))).alias("n_fingerprints")
     )
+
+
+@q(
+    "events_value_percentiles",
+    # exact interpolated percentiles: Spark `percentile` == DuckDB quantile_cont
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@q("events_approx_distinct_users", None)  # rows-only: HLL sketch is
+# approximate by design; the <2% relative-error gate vs the exact count
+# lives in tests/test_functions.py::test_approx_distinct_within_tolerance
+def events_approx_distinct_users(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

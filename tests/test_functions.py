@@ -236,3 +236,23 @@ def test_rolling_fingerprints_winnowing_properties(spark):
     sim_ac = len(a & c) / len(a | c)
     assert sim_ab > 0.6 and sim_ac < 0.1
     assert got[5] == []  # shorter than k -> empty, not None
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ sketch (approx_count_distinct) stays within its configured 2%
+    relative error against the exact distinct count — the sketch path a
+    10^10-row pipeline uses where exact distinct would shuffle every key."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"]), r
