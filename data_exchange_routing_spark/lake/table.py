@@ -284,8 +284,16 @@ class LakeTable:
                 for part in root.split(os.sep):
                     if part.startswith(marker):
                         bucket = int(part[len(marker):])
+                import pyarrow.parquet as pq
+
                 entries.append(
-                    {"path": os.path.relpath(full, self.path), "bucket": bucket, "kind": "delta"}
+                    {
+                        "path": os.path.relpath(full, self.path),
+                        "bucket": bucket,
+                        "kind": "delta",
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "bytes": os.path.getsize(full),
+                    }
                 )
         return entries
 
@@ -528,28 +536,36 @@ class LakeTable:
             return {"version": new.version, "rolled_back_to": version}
         raise RuntimeError(f"rollback contention exhausted retries on {self.path}")
 
-    def compact(self) -> dict:
+    def compact(self, buckets: list[int] | None = None) -> dict:
         """Materialize the resolved state into fresh base files (bucketed),
-        dropping tombstones and superseded row versions. Periodic compaction
-        bounds read amplification; at scale it runs per-bucket-group."""
+        dropping tombstones and superseded row versions.
+
+        ``buckets=None`` compacts the whole table; passing a bucket list
+        compacts ONLY those buckets — O(selected buckets), not O(table) —
+        which is how a 100 TB table compacts incrementally: pick the buckets
+        with the worst delta amplification (see ``bucket_delta_stats``) each
+        maintenance cycle. Untouched buckets keep their existing files."""
         snap = self.snapshot()
         if snap.key is None:
             return {"skipped": True}
-        resolved = self.read(with_internal=True).filter(
-            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        )
+        selected = set(range(snap.n_buckets)) if buckets is None else set(buckets)
+        resolved = self.read(
+            buckets=sorted(selected) if buckets is not None else None,
+            with_internal=True,
+        ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         out = self._align(resolved, snap.schema()).withColumn(BUCKET_COL, self._bucket_expr(snap))
         files = self._stage_files(out, snap, snap.version + 1, bucketed=True)
         for f in files:
             f["kind"] = "base"
+        kept = [f for f in snap.files if f["bucket"] not in selected]
         new = Snapshot(
             version=snap.version + 1,
             schema_json=snap.schema_json,
             n_buckets=snap.n_buckets,
             key=snap.key,
-            files=files,
+            files=kept + files,
             committed_epochs=snap.committed_epochs,
-            summary={"operation": "compact"},
+            summary={"operation": "compact", "buckets": sorted(selected) if buckets is not None else "all"},
         )
         try:
             self._write_snapshot(new)
@@ -558,6 +574,22 @@ class LakeTable:
             # drop its delta (compaction retries on the next cycle)
             return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}
+
+    def bucket_delta_stats(self) -> dict[int, dict]:
+        """Per-bucket delta amplification from the manifest alone (no scan):
+        {bucket: {n_delta_files, n_base_files, delta_rows}}. The maintenance
+        scheduler compacts the worst buckets first."""
+        snap = self.snapshot()
+        stats: dict[int, dict] = {}
+        for f in snap.files:
+            b = f.get("bucket", -1)
+            s = stats.setdefault(b, {"n_delta_files": 0, "n_base_files": 0, "delta_rows": 0})
+            if f.get("kind") == "base":
+                s["n_base_files"] += 1
+            else:
+                s["n_delta_files"] += 1
+                s["delta_rows"] += f.get("rows", 0)
+        return stats
 
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 5) -> dict:

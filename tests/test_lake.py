@@ -238,3 +238,47 @@ def test_rollback_restores_state_and_epoch_guard(spark, tmpdir_path):
     assert sorted(r["url"] for r in t.read().collect()) == ["c"]
     # history preserved: time travel to the pre-rollback version still works
     assert t.read(version=v_good).count() == 1
+
+
+def test_partial_bucket_compaction(spark, tmpdir_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmpdir_path + "/t", schema, key="url", n_buckets=4)
+    ts = dt.datetime(2024, 1, 1)
+    urls = [f"u{i}" for i in range(40)]
+    for epoch in range(3):
+        rows = [(u, ts + dt.timedelta(days=epoch), epoch, epoch * 100 + i, False) for i, u in enumerate(urls)]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v int, _lsn long, _deleted boolean")
+        t.merge_cdc(df, epoch_id=epoch, source="cdc")
+
+    before = {(r["url"], r["v"]) for r in t.read().collect()}
+    stats = t.bucket_delta_stats()
+    assert sum(s["n_delta_files"] for s in stats.values()) > 0
+
+    # compact only the two worst buckets
+    worst = sorted(stats, key=lambda b: -stats[b]["delta_rows"])[:2]
+    res = t.compact(buckets=worst)
+    assert not res.get("skipped")
+    after_stats = t.bucket_delta_stats()
+    for b in worst:
+        assert after_stats[b]["n_delta_files"] == 0 and after_stats[b]["n_base_files"] > 0
+    untouched = set(stats) - set(worst)
+    for b in untouched:
+        assert after_stats[b] == stats[b]
+    # state identical after partial compaction
+    assert {(r["url"], r["v"]) for r in t.read().collect()} == before
+    # and the remaining buckets compact too
+    t.compact(buckets=sorted(untouched))
+    assert {(r["url"], r["v"]) for r in t.read().collect()} == before
+    assert all(s["n_delta_files"] == 0 for s in t.bucket_delta_stats().values())
