@@ -52,9 +52,10 @@ def stage_multicast_delta(
 
     work: list[tuple[str, int, str]] = []
     for root, _dirs, names in os.walk(staging_dir):
-        parts = dict(
-            p.split("=", 1) for p in root.split(os.sep) if "=" in p and not p.startswith("_")
-        )
+        # note: the bucket partition dir is `_b=K` — do NOT filter out
+        # underscore-prefixed components here (doing so silently recorded
+        # bucket=-1 for every staged file, defeating manifest bucket pruning)
+        parts = dict(p.split("=", 1) for p in root.split(os.sep) if "=" in p)
         dest = parts.get(DEST_COL)
         bucket = int(parts.get(BUCKET_COL, -1))
         for name in names:

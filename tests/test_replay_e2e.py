@@ -122,3 +122,17 @@ def test_window_salted_dedup_equivalent(spark, events_dir, events_pdf, tmpdir_pa
     wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=8)
     replay(wh, events_dir, dedup_strategy="window_salted")
     _assert_state_equal(spark, wh, events_pdf)
+
+
+def test_pipeline_commits_carry_real_buckets(spark, events_dir, events_pdf, tmpdir_path):
+    """Regression: the staged-write manifest entries must record the actual
+    bucket (the bucket dir is `_b=K`; a filter once dropped underscore
+    components and recorded -1, silently defeating manifest pruning)."""
+    wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=8)
+    replay(wh, events_dir, stop_after_epoch=0)
+    snap = wh.table("web_pages").snapshot()
+    assert snap.files and all(0 <= f["bucket"] < 8 for f in snap.files)
+    # bucket-selective read returns a strict subset
+    full = wh.table("web_pages").read().count()
+    part = wh.table("web_pages").read(buckets=[0]).count()
+    assert 0 < part < full
