@@ -45,6 +45,10 @@ def stage_multicast_delta(
     # O(destinations x buckets), not O(tasks x buckets).
     (
         out.repartition(F.col(DEST_COL), F.col(BUCKET_COL))
+        # cluster by url inside each (destination, bucket) file: a
+        # partition-local sort (no extra shuffle) that tightens parquet
+        # row-group min/max on the key -> point reads skip row groups
+        .sortWithinPartitions(DEST_COL, BUCKET_COL, "url")
         .write.mode("overwrite")
         .partitionBy(DEST_COL, BUCKET_COL)
         .parquet(staging_dir)

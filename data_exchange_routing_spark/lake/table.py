@@ -575,6 +575,28 @@ class LakeTable:
             return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}
 
+    def point_read(self, key_value: str) -> DataFrame:
+        """Resolved row(s) for one key with full pruning: the key hashes to
+        one bucket (manifest prunes every other bucket's files before any
+        listing), the key predicate reaches the parquet scan (PushedFilters),
+        and — because staged files are clustered by key within each bucket —
+        row-group min/max statistics skip the rest of the file. The 100 TB
+        point-lookup path: touches O(files-in-one-bucket) footers, reads
+        O(row-groups-containing-key) pages."""
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("point_read requires a keyed table")
+        bucket = None
+        # compute the bucket exactly as the write path does (xxhash64 in JVM)
+        bucket = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(snap.n_buckets)).cast("int").alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        return self.read(buckets=[bucket]).filter(F.col(snap.key) == key_value)
+
     def bucket_delta_stats(self) -> dict[int, dict]:
         """Per-bucket delta amplification from the manifest alone (no scan):
         {bucket: {n_delta_files, n_base_files, delta_rows}}. The maintenance

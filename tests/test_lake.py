@@ -282,3 +282,35 @@ def test_partial_bucket_compaction(spark, tmpdir_path):
     t.compact(buckets=sorted(untouched))
     assert {(r["url"], r["v"]) for r in t.read().collect()} == before
     assert all(s["n_delta_files"] == 0 for s in t.bucket_delta_stats().values())
+
+
+def test_point_read_prunes_and_matches(spark, tmpdir_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmpdir_path + "/t", schema, key="url", n_buckets=8)
+    ts = dt.datetime(2024, 1, 1)
+    for epoch in range(2):
+        rows = [
+            (f"u{i}", ts + dt.timedelta(days=epoch), epoch, epoch * 1000 + i, False)
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v int, _lsn long, _deleted boolean")
+        t.merge_cdc(df, epoch_id=epoch, source="cdc")
+
+    got = t.point_read("u42").collect()
+    assert len(got) == 1 and got[0]["v"] == 1  # latest version wins
+    assert t.point_read("no-such-url").count() == 0
+    # the key predicate reaches the parquet scan
+    plan = t.point_read("u42")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "url" in plan.split("PushedFilters", 1)[1][:200]
