@@ -1,0 +1,94 @@
+"""Connected components for dedup clustering.
+
+Near-dup detection (MinHash/LSH, SimHash, embedding cosine) yields PAIRS;
+keeping one representative per duplicate *cluster* requires the connected
+components of that pair graph. Implemented with the large-star / small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014 — public algorithm): each round is two joins + aggregations, the
+component id converges to the minimum node id, and rounds are O(log n) on
+real graphs. No driver-side union-find — everything stays distributed.
+
+Scale shape per round: two shuffles keyed by node id; skewed high-degree
+nodes are exactly what large-star handles (it hangs every neighbor larger
+than the center directly under the center's current minimum, collapsing
+stars in one round). AQE skew-join splitting covers the residual join skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(F.col("u") != F.col("v"))
+    return e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+    Nodes appearing in no surviving edge map to themselves (callers union
+    isolated nodes separately if they track the full vertex set)."""
+    # parent[x] starts as min(x, min neighbor)
+    e = _canonical_edges(edges, src, dst).persist()
+    nodes = e.select(F.col("u").alias("x")).union(e.select(F.col("v").alias("x"))).distinct()
+    nbr_min = (
+        e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .groupBy("x")
+        .agg(F.min("y").alias("m"))
+    )
+    parent = nodes.join(nbr_min, "x", "left").select(
+        "x", F.least(F.col("x"), F.coalesce("m", F.col("x"))).alias("p")
+    )
+
+    for _round in range(max_iter):
+        # pointer-jump: p[x] <- p[p[x]] (the star-collapse step; combining
+        # both star operations into min-label propagation over current parents)
+        grand = parent.alias("a").join(
+            parent.alias("b"), F.col("a.p") == F.col("b.x")
+        ).select(F.col("a.x").alias("x"), F.col("b.p").alias("p"))
+        # min over neighbors' parents (small-star analog)
+        nbr_parent = (
+            e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .union(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+            .join(parent.withColumnRenamed("x", "y").withColumnRenamed("p", "py"), "y")
+            .groupBy("x")
+            .agg(F.min("py").alias("np"))
+        )
+        new_parent = (
+            grand.join(nbr_parent, "x", "left")
+            .select("x", F.least(F.col("p"), F.coalesce("np", F.col("p"))).alias("p"))
+        )
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("o"), F.col("n.x") == F.col("o.x"))
+            .filter(F.col("n.p") != F.col("o.p"))
+            .limit(1)
+            .count()
+        )
+        parent = new_parent
+        if changed == 0:
+            break
+    e.unpersist()
+    return parent.select(F.col("x").alias("node"), F.col("p").alias("component"))
+
+
+def dedup_cluster_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """One representative (min id) per near-dup cluster plus all untouched
+    docs — the keep-set of cluster-level dedup."""
+    cc = connected_components(pairs, src, dst)
+    in_cluster = cc.select(F.col("node").alias(id_col), "component")
+    keep_clustered = in_cluster.groupBy("component").agg(F.min(id_col).alias(id_col))
+    untouched = docs.select(id_col).join(in_cluster, id_col, "left_anti")
+    return keep_clustered.select(id_col).union(untouched).distinct()

@@ -1255,3 +1255,15 @@ def events_approx_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@q("doc_dedup_cluster_survivors", None)  # rows-only: iterative connected
+# components (large-star/small-star) isn't single-statement SQL; exact gate
+# vs a pure-Python union-find oracle lives in tests/test_graph.py
+def doc_dedup_cluster_survivors(spark, sf_dir):
+    from data_exchange_routing_spark.functions.dedup_text import minhash_lsh_candidates
+    from data_exchange_routing_spark.functions.graph import dedup_cluster_survivors
+
+    docs = ld(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    return dedup_cluster_survivors(docs, pairs)

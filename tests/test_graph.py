@@ -1,0 +1,82 @@
+"""Connected components / dedup clustering vs a pure-Python union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_exchange_routing_spark.functions.graph import (
+    connected_components,
+    dedup_cluster_survivors,
+)
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical: min node id per component
+    comp = {}
+    for x in range(n_nodes):
+        comp[x] = find(x)
+    # path-compress to true minimum
+    roots = {}
+    for x in range(n_nodes):
+        roots.setdefault(comp[x], []).append(x)
+    return {x: min(roots[comp[x]]) for x in range(n_nodes)}
+
+
+def test_cc_chain_star_and_islands(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 21)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60))
+def test_cc_matches_union_find(spark, raw_edges):
+    edges = [(u, v) for u, v in raw_edges if u != v]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    oracle = _uf_components(31, edges)
+    touched = {u for e in edges for u in e}
+    assert got == {x: oracle[x] for x in touched}
+
+
+def test_dedup_cluster_survivors_on_lsh_pairs(spark):
+    """End-to-end: documents -> LSH candidate pairs -> cluster survivors."""
+    from data_exchange_routing_spark.functions.dedup_text import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    rng = random.Random(7)
+    rows = []
+    # cluster of 4 near-identical docs, plus 6 distinct docs
+    for i in range(4):
+        words = base.split()
+        if i:
+            words[rng.randrange(len(words))] = f"tweak{i}"
+        rows.append((i, " ".join(words)))
+    for i in range(4, 10):
+        rows.append((i, f"completely different document number {i} " + " ".join(
+            f"w{rng.randrange(10000)}" for _ in range(60)
+        )))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_candidates(docs)
+    keep = sorted(r["doc_id"] for r in dedup_cluster_survivors(docs, pairs).collect())
+    assert 0 in keep  # representative of the near-dup cluster
+    assert set(range(4, 10)) <= set(keep)  # distinct docs all survive
+    assert len(keep) <= 8  # the 4-dup cluster collapsed (at most 1-2 reps)
