@@ -137,6 +137,13 @@ def main_default() -> None:
     # best — early runs additionally pay one-time python-worker fork + JIT/
     # codegen warmup (measured 2-5x); all runs are disclosed. A wall-clock
     # budget bounds total bench time on noisy-host windows.
+    # untimed warmup replay on a small log: compiles the full codegen/Arrow
+    # path so the first TIMED run is not JIT-cold (~2-5x otherwise)
+    warm_dir = ensure_events(
+        spark, os.path.join(tempfile.gettempdir(), "bench_events_warmup"), 20000, 2000, 2
+    )
+    run_cdc_replay(spark, warm_dir)
+
     budget = float(os.environ.get("BENCH_CDC_BUDGET_SEC", "300"))
     t_cdc = time.time()
     cdc_runs = [run_cdc_replay(spark, ev_dir)]
