@@ -161,3 +161,53 @@ def test_parquet_filter_pushdown(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
     assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_empty_epoch_is_safe(spark, tmpdir_path):
+    """An empty micro-batch (quiet binlog window) must commit cleanly and be
+    epoch-guarded like any other (streaming triggers fire on empty windows)."""
+    from data_exchange_routing_spark.pipeline import Warehouse, apply_epoch
+    from data_exchange_routing_spark.schemas import CHANGE_EVENTS
+
+    wh = Warehouse(spark, tmpdir_path, n_buckets=4)
+    wh.init_tables()
+    empty = spark.createDataFrame([], CHANGE_EVENTS)
+    stats = apply_epoch(wh, empty, epoch_id=0)
+    assert set(stats["destinations"]) and wh.table("web_pages").read().count() == 0
+    # re-apply is a guard no-op
+    again = apply_epoch(wh, empty, epoch_id=0)
+    assert all(v.get("skipped") for v in again["destinations"].values())
+
+
+def test_native_session_window_agrees_with_lag_sessionize(spark):
+    """Spark's built-in session_window must assign the same session spans as
+    the explicit lag/cumsum sessionization the oracle checks (30 min gap)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    native = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (F.col("prev_ts").isNull())
+        | (F.expr("timestampdiff(SECOND, prev_ts, ts)") >= 1800),
+    )
+    manual = (
+        lagged.withColumn(
+            "session_id",
+            F.sum(F.col("new_session").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "session_start", "n")
+    )
+    got = sorted(map(tuple, native.collect()))
+    exp = sorted(map(tuple, manual.collect()))
+    assert got == exp
