@@ -211,3 +211,40 @@ def test_native_session_window_agrees_with_lag_sessionize(spark):
     got = sorted(map(tuple, native.collect()))
     exp = sorted(map(tuple, manual.collect()))
     assert got == exp
+
+
+def test_dedup_agg_combines_map_side(spark):
+    """The dedup aggregation must plan a partial (map-side) max_by BEFORE the
+    exchange — the property that pre-reduces Zipf-hot urls so no reduce task
+    ever receives a hot key's full duplicate stream (SCALE.md §3)."""
+    df = _events(spark, [_e(1, url="u"), _e(2, url="u")])
+    plan = dedup_last_writer(df, "url")._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan and "Exchange hashpartitioning(url" in plan
+
+
+def test_dedup_extreme_hot_key(spark):
+    """One url carrying 100k duplicate events resolves to exactly its max
+    (warc_ts, lsn) row under both strategies."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    hot = spark.range(100000).selectExpr(
+        "id AS lsn",
+        "'U' AS op",
+        "'https://hot.example/page' AS url",
+        f"timestamp'{base}' + make_interval(0,0,0,0,0,0, id % 1000) AS warc_ts",
+    )
+    cold = spark.range(500).selectExpr(
+        "id + 1000000 AS lsn",
+        "'U' AS op",
+        "concat('https://cold.example/', id) AS url",
+        f"timestamp'{base}' AS warc_ts",
+    )
+    df = hot.unionByName(cold)
+    for strat in ("agg", "window_salted"):
+        out = dedup_last_writer(df, "url", strategy=strat)
+        assert out.count() == 501, strat
+        winner = out.filter("url = 'https://hot.example/page'").collect()[0]
+        # max warc_ts is base+999s; among those, max lsn = 99999
+        assert winner["warc_ts"] == base + timedelta(seconds=999)
+        assert winner["lsn"] == 99999, strat
