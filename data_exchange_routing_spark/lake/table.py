@@ -575,7 +575,44 @@ class LakeTable:
             return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}
 
-    def point_read(self, key_value: str) -> DataFrame:
+    def history(self) -> list[dict]:
+        """Snapshot log, oldest first: [{version, operation, epoch_id,
+        n_files}] — the ops surface for audits and picking rollback targets
+        (Iceberg table-history analog). Reads only _meta JSONs."""
+        out = []
+        for f in sorted(os.listdir(self.meta_dir)):
+            if not (f.startswith("snapshot-") and f.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, f)) as fh:
+                d = json.load(fh)
+            out.append(
+                {
+                    "version": d["version"],
+                    "operation": d.get("summary", {}).get("operation"),
+                    "epoch_id": d.get("summary", {}).get("epoch_id"),
+                    "n_files": len(d.get("files", [])),
+                }
+            )
+        return out
+
+    def delete_where(self, predicate, lsn: int, epoch_id: int | None = None, source: str = "delete") -> dict:
+        """Targeted delete (GDPR/takedown path): write tombstones for every
+        currently-live key matching ``predicate``. Merge-on-read: the delete
+        is one O(matching-keys) delta commit, not a table rewrite; compaction
+        later reclaims the bytes. ``lsn`` must exceed the rows' current lsn
+        ordering (callers pass the current binlog position) so last-writer
+        resolution keeps the tombstone."""
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("delete_where requires a keyed table")
+        victims = self.read().filter(predicate).select(snap.key, "warc_ts")
+        tomb = victims.select(
+            F.col(snap.key),
+            F.col("warc_ts"),
+            F.lit(lsn).cast("long").alias(LSN_COL),
+            F.lit(True).alias(DELETED_COL),
+        )
+        return self.merge_cdc(tomb, epoch_id=epoch_id, source=source)
         """Resolved row(s) for one key with full pruning: the key hashes to
         one bucket (manifest prunes every other bucket's files before any
         listing), the key predicate reaches the parquet scan (PushedFilters),

@@ -314,3 +314,42 @@ def test_point_read_prunes_and_matches(spark, tmpdir_path):
     # the key predicate reaches the parquet scan
     plan = t.point_read("u42")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "url" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_delete_where_and_history(spark, tmpdir_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmpdir_path + "/t", schema, key="url", n_buckets=4)
+    ts = dt.datetime(2024, 1, 1)
+    rows = [(f"https://{'bad' if i % 3 == 0 else 'ok'}.example/{i}", ts, i, i, False) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v int, _lsn long, _deleted boolean")
+    t.merge_cdc(df, epoch_id=0, source="cdc")
+
+    res = t.delete_where(F.col("url").startswith("https://bad."), lsn=10_000, epoch_id=0)
+    assert not res.get("skipped")
+    left = [r["url"] for r in t.read().collect()]
+    assert len(left) == 20 and all(u.startswith("https://ok.") for u in left)
+    # delete is idempotent under its epoch guard
+    again = t.delete_where(F.col("url").startswith("https://bad."), lsn=10_001, epoch_id=0)
+    assert again.get("skipped")
+    # physical reclaim on compaction; state unchanged
+    t.compact()
+    assert t.read().count() == 20
+
+    ops = [h["operation"] for h in t.history()]
+    assert ops[0] is None or ops[0] in ("create",)  # initial snapshot
+    assert "merge-on-read-delta" in str(ops) or "compact" in ops  # ops recorded
+    versions = [h["version"] for h in t.history()]
+    assert versions == sorted(versions)
