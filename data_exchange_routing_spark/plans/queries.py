@@ -1267,3 +1267,23 @@ def doc_dedup_cluster_survivors(spark, sf_dir):
     docs = ld(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs)
     return dedup_cluster_survivors(docs, pairs)
+
+
+@q(
+    "part_below_brand_avg",
+    # correlated scalar subquery -> decorrelates to a per-group window/join
+    """
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS retail
+    FROM part p
+    WHERE p_retailprice < (SELECT avg(p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def part_below_brand_avg(spark, sf_dir):
+    p = ld(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("_brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") < F.col("_brand_avg"))
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("retail"))
+    )
