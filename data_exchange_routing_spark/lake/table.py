@@ -613,6 +613,8 @@ class LakeTable:
             F.lit(True).alias(DELETED_COL),
         )
         return self.merge_cdc(tomb, epoch_id=epoch_id, source=source)
+
+    def point_read(self, key_value: str) -> DataFrame:
         """Resolved row(s) for one key with full pruning: the key hashes to
         one bucket (manifest prunes every other bucket's files before any
         listing), the key predicate reaches the parquet scan (PushedFilters),
