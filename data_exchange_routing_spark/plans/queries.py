@@ -1287,3 +1287,97 @@ def part_below_brand_avg(spark, sf_dir):
         .filter(F.col("p_retailprice") < F.col("_brand_avg"))
         .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("retail"))
     )
+
+
+@q(
+    "q7_nation_volume_shipping",
+    # two roles of the same dimension (supplier nation x customer nation)
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND n1.n_name IN ('NATION_0', 'NATION_1')
+      AND n2.n_name IN ('NATION_0', 'NATION_1')
+      AND n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume_shipping(spark, sf_dir):
+    s = ld(spark, sf_dir, "supplier")
+    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    n = ld(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_0", "NATION_1"))
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@q(
+    "q9_supplier_nation_profit",
+    """
+    SELECT n_name, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount) - 50.0 * l_quantity), 2) AS profit
+    FROM lineitem, orders, supplier, nation
+    WHERE o_orderkey = l_orderkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_supplier_nation_profit(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders")
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) - 50.0 * F.col("l_quantity")),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@q(
+    "q12_priority_line_counts",
+    # conditional aggregation over a join (late-shipped lines by status)
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_line_counts(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
