@@ -1,0 +1,45 @@
+"""Watermarked stream-stream join (SURVEY.md §2.9 extension).
+
+The reference joins streams only against static config (J1); a training-data
+ingest pipeline also needs event-to-event correlation under lateness bounds —
+e.g. attribute each purchase to the user's views in the preceding hour while
+both sides are still flowing. Structured Streaming's stream-stream inner join
+with watermarks is the canonical shape: each side declares its lateness bound
+(`withWatermark`), the join condition bounds the event-time range, and Spark
+sizes/GCs the join state from exactly those two facts — state is
+O(events inside watermark+range), never O(stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner-join two event streams on ``on`` where ``right_ts`` falls in
+    [left_ts - lookback, left_ts]. Works identically on batch DataFrames
+    (the tests cross-check streaming vs batch results).
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    r = rw.select(
+        F.col(on).alias(f"{on}{suffix}"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[c for c in rw.columns if c not in (on, right_ts)],
+    )
+    cond = (
+        (F.col(on) == F.col(f"{on}{suffix}"))
+        & (F.col(f"{right_ts}{suffix}") >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"{right_ts}{suffix}") <= F.col(left_ts))
+    )
+    return lw.join(r, cond, "inner")
