@@ -63,14 +63,28 @@ def stream_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     dedup_strategy: str = "agg",
+    suppress_redelivery_watermark: str | None = None,
 ) -> StreamingQuery:
     """Start an availableNow streaming ingest of the event log into the
-    warehouse. Returns the running query; callers awaitTermination()."""
+    warehouse. Returns the running query; callers awaitTermination().
+
+    ``suppress_redelivery_watermark`` (e.g. "2 hours") inserts Spark's
+    built-in ``dropDuplicatesWithinWatermark(["lsn"])`` before the apply:
+    at-least-once sources redeliver the SAME event (same lsn), and dropping
+    those cross-batch saves the downstream merge work. State is GC'd by the
+    watermark; a redelivery beyond it just falls through to the idempotent
+    MERGE, which absorbs it (T1/T2). Per-(warc_ts,lsn) LAST-WRITER dedup of
+    distinct events still happens inside apply_epoch — the built-in keeps
+    the first arrival, which for identical payloads is the same row."""
     wh.init_tables()
     reader = spark.readStream.schema(CHANGE_EVENTS)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = reader.parquet(events_dir)
+    if suppress_redelivery_watermark is not None:
+        events = events.withWatermark(
+            "warc_ts", suppress_redelivery_watermark
+        ).dropDuplicatesWithinWatermark(["lsn"])
 
     def process(batch_df, batch_id: int) -> None:
         # streaming batch ids and replay epoch ids share the guard namespace

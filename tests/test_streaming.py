@@ -51,3 +51,26 @@ def test_stream_drain_matches_oracle(spark, stream_events_dir, tmpdir_path):
     q2 = stream_ingest(spark, stream_events_dir, wh, cp, max_files_per_trigger=40)
     q2.awaitTermination(120)
     assert wh.table("web_pages").current_version() == v_before
+
+
+def test_redelivery_suppression_same_final_state(spark, stream_events_dir, tmpdir_path):
+    """dropDuplicatesWithinWatermark(['lsn']) before the apply yields exactly
+    the same final table state (the event log contains ~1.5% redeliveries),
+    with less merge work downstream."""
+    plain = Warehouse(spark, os.path.join(tmpdir_path, "wh_plain"), n_buckets=8)
+    q = stream_ingest(spark, stream_events_dir, plain, os.path.join(tmpdir_path, "ck1"))
+    q.awaitTermination(300)
+    sup = Warehouse(spark, os.path.join(tmpdir_path, "wh_sup"), n_buckets=8)
+    q2 = stream_ingest(
+        spark,
+        stream_events_dir,
+        sup,
+        os.path.join(tmpdir_path, "ck2"),
+        suppress_redelivery_watermark="24 hours",
+    )
+    q2.awaitTermination(300)
+    a = plain.table("web_pages").read().select("url", "warc_ts", "text").toPandas()
+    b = sup.table("web_pages").read().select("url", "warc_ts", "text").toPandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
