@@ -1470,3 +1470,33 @@ def q19_disjunctive_revenue(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@q(
+    "events_interval_join",
+    # interval (range) join between two event classes: views in the hour
+    # before each purchase; the streaming twin is streaming/joins.py
+    """
+    SELECT p.event_id, CAST(count(v.event_id) AS BIGINT) AS n_views_before
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY p.event_id
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    from data_exchange_routing_spark.streaming.joins import interval_join
+
+    e = ld(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = e.filter(F.col("event_type") == "view").selectExpr(
+        "event_id AS view_event_id", "user_id", "ts"
+    )
+    joined = interval_join(p, v, on="user_id", left_ts="ts", right_ts="ts")
+    matched = joined.groupBy("event_id").agg(F.count("view_event_id").alias("n_views_before"))
+    return (
+        p.select("event_id")
+        .join(matched, "event_id", "left")
+        .select("event_id", F.coalesce("n_views_before", F.lit(0)).alias("n_views_before"))
+    )
