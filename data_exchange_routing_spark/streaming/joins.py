@@ -25,11 +25,18 @@ def interval_join(
     lookback: str = "1 hour",
     watermark: str = "2 hours",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two event streams on ``on`` where ``right_ts`` falls in
+    """Join two event streams on ``on`` where ``right_ts`` falls in
     [left_ts - lookback, left_ts]. Works identically on batch DataFrames
     (the tests cross-check streaming vs batch results).
+
+    ``how`` supports "inner" and "left_outer"; for the streaming outer join
+    Spark emits the null-padded left rows only once the watermark passes the
+    row's join range (availableNow drains flush them at end-of-input).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how}")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     r = rw.select(
@@ -42,4 +49,4 @@ def interval_join(
         & (F.col(f"{right_ts}{suffix}") >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (F.col(f"{right_ts}{suffix}") <= F.col(left_ts))
     )
-    return lw.join(r, cond, "inner")
+    return lw.join(r, cond, how)

@@ -66,3 +66,65 @@ def test_stream_stream_join_matches_batch(spark, split_dirs, tmpdir_path):
         (r["event_id"], r["view_event_id"]) for r in spark.read.parquet(out).collect()
     )
     assert got == expected
+
+
+def test_stream_left_outer_interval_join(spark, split_dirs, tmpdir_path):
+    """Streaming left-outer drain equals the batch left join: purchases with
+    no views in range appear null-padded once the stream ends."""
+    batch_l = spark.read.parquet(split_dirs + "/purchases")
+    batch_r = spark.read.parquet(split_dirs + "/views").withColumnRenamed("event_id", "view_event_id")
+    expected = sorted(
+        (r["event_id"], r["view_event_id"])
+        for r in interval_join(
+            batch_l, batch_r, on="user_id", left_ts="ts", right_ts="ts", how="left_outer"
+        ).select("event_id", "view_event_id").collect()
+    )
+    n_unmatched = sum(1 for _, v in expected if v is None)
+    assert n_unmatched > 0  # outer semantics actually exercised
+
+    sl = spark.readStream.schema(SCHEMA).parquet(split_dirs + "/purchases")
+    sr = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(split_dirs + "/views")
+        .withColumnRenamed("event_id", "view_event_id")
+    )
+    out = os.path.join(tmpdir_path, "out_lo")
+    q = (
+        interval_join(sl, sr, on="user_id", left_ts="ts", right_ts="ts", how="left_outer")
+        .select("event_id", "view_event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ckpt_lo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(
+        (r["event_id"], r["view_event_id"]) for r in spark.read.parquet(out).collect()
+    )
+    # Streaming outer semantics: a null-padded left row is emitted only once
+    # the watermark passes its ts (a matching right event could arrive until
+    # then). At end-of-input the final watermark is max(ts) - 2h, so
+    # unmatched purchases in the last 2h stay pending — drop them from the
+    # batch expectation.
+    from pyspark.sql import functions as F
+
+    max_ts = (
+        batch_l.select(F.max("ts").alias("m"))
+        .unionByName(spark.read.parquet(split_dirs + "/views").select(F.max("ts").alias("m")))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    import datetime as dt
+
+    # guaranteed-emission region: strictly older than watermark + lookback
+    cutoff = max_ts - dt.timedelta(hours=3)
+    ts_by_id = {r["event_id"]: r["ts"] for r in batch_l.collect()}
+    exp_matched = sorted((e, v) for e, v in expected if v is not None)
+    got_matched = sorted((e, v) for e, v in got if v is not None)
+    assert got_matched == exp_matched  # matches are exact
+    exp_null_all = {e for e, v in expected if v is None}
+    got_null = {e for e, v in got if v is None}
+    assert got_null <= exp_null_all  # no spurious nulls
+    must_emit = {e for e in exp_null_all if ts_by_id[e] < cutoff}
+    assert must_emit <= got_null and got_null  # old unmatched rows emitted
