@@ -42,9 +42,15 @@ def connected_components(
         .groupBy("x")
         .agg(F.min("y").alias("m"))
     )
+    # Every round materializes via eager localCheckpoint: round k runs O(1)
+    # jobs over the previous round's stored blocks AND the logical plan is
+    # truncated to a block scan — without this, round k re-executes the whole
+    # k-deep join chain and Catalyst analysis itself grows unboundedly (the
+    # round-1 verdict's scale-killer). Same pattern GraphFrames/GraphX use
+    # for iterative convergence loops.
     parent = nodes.join(nbr_min, "x", "left").select(
         "x", F.least(F.col("x"), F.coalesce("m", F.col("x"))).alias("p")
-    )
+    ).localCheckpoint(eager=True)
 
     for _round in range(max_iter):
         # pointer-jump: p[x] <- p[p[x]] (the star-collapse step; combining
@@ -64,6 +70,7 @@ def connected_components(
             grand.join(nbr_parent, "x", "left")
             .select("x", F.least(F.col("p"), F.coalesce("np", F.col("p"))).alias("p"))
         )
+        new_parent = new_parent.localCheckpoint(eager=True)
         changed = (
             new_parent.alias("n")
             .join(parent.alias("o"), F.col("n.x") == F.col("o.x"))

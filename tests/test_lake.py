@@ -353,3 +353,97 @@ def test_delete_where_and_history(spark, tmpdir_path):
     assert "merge-on-read-delta" in str(ops) or "compact" in ops  # ops recorded
     versions = [h["version"] for h in t.history()]
     assert versions == sorted(versions)
+
+
+def _commit_unbucketed(spark, t, rows, epoch):
+    """Simulate a legacy unbucketed (-1) delta file on a keyed table: stage a
+    parquet file directly and commit it with bucket=-1 metadata (the shape
+    append_rows used to produce before it was blocked on keyed tables)."""
+    import uuid
+
+    snap = t.snapshot()
+    aligned = t._align(_delta(spark, rows), snap.schema())
+    rel = os.path.join("data", f"legacy-{uuid.uuid4().hex[:8]}")
+    out = os.path.join(t.path, rel)
+    aligned.repartition(1).write.parquet(out)
+    entries = []
+    for root, _dirs, names in os.walk(out):
+        for name in names:
+            if name.endswith(".parquet"):
+                entries.append(
+                    {
+                        "path": os.path.relpath(os.path.join(root, name), t.path),
+                        "bucket": -1,
+                        "kind": "delta",
+                        "rows": len(rows),
+                    }
+                )
+    return t.commit_staged_files(entries, snap.schema(), epoch_id=epoch, source="legacy")
+
+
+def test_unbucketed_files_survive_pruned_reads(spark, tmpdir_path):
+    """ADVICE r01 (medium): bucket==-1 files must be visible to bucket-pruned
+    reads and point_read, and a full compact must reclaim them exactly once."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=4)
+    t.merge_cdc(_delta(spark, [_row(f"u{i}", 1, i) for i in range(20)]), epoch_id=0)
+    _commit_unbucketed(spark, t, [_row("legacy-row", 2, 1000, text="from-minus1")], 1)
+
+    # point_read goes through bucket pruning — it must still find the -1 row
+    got = t.point_read("legacy-row").collect()
+    assert len(got) == 1 and got[0]["text"] == "from-minus1"
+    # explicit bucket-filtered reads see it too (for every bucket choice)
+    assert any(
+        r["url"] == "legacy-row" for r in t.read(buckets=[0, 1, 2, 3]).collect()
+    )
+    before = sorted(r["url"] for r in t.read().collect())
+
+    # full compact folds the -1 file into real buckets, no duplication
+    res = t.compact()
+    assert not res.get("skipped")
+    snap = t.snapshot()
+    assert all(f["bucket"] != -1 for f in snap.files)
+    assert sorted(r["url"] for r in t.read().collect()) == before
+    assert t.read().filter(F.col("url") == "legacy-row").count() == 1
+
+
+def test_selective_compact_with_stray_unbucketed_file(spark, tmpdir_path):
+    """A newer tombstone in a bucket file + an older live row in a -1 file:
+    selective compaction of that bucket must not resurrect the key."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=4)
+    _commit_unbucketed(spark, t, [_row("k", 1, 1, text="old-live")], 0)
+    t.merge_cdc(_delta(spark, [_row("k", 5, 2, deleted=True)]), epoch_id=1)
+    t.merge_cdc(_delta(spark, [_row("other", 1, 3)]), epoch_id=2)
+    assert sorted(r["url"] for r in t.read().collect()) == ["other"]
+
+    for b in range(4):
+        t.compact(buckets=[b])
+    # -1 delta is still referenced (selective compacts leave it in place)...
+    assert any(f["bucket"] == -1 for f in t.snapshot().files)
+    # ...and the tombstone still beats the old -1 live row
+    assert sorted(r["url"] for r in t.read().collect()) == ["other"]
+    # full compact reclaims everything
+    t.compact()
+    assert all(f["bucket"] != -1 for f in t.snapshot().files)
+    assert sorted(r["url"] for r in t.read().collect()) == ["other"]
+
+
+def test_keyed_table_blocks_unbucketed_appends(spark, tmpdir_path):
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=4)
+    with pytest.raises(ValueError, match="merge_cdc"):
+        t.append(_delta(spark, [_row("a", 1, 1)]))
+    with pytest.raises(ValueError, match="merge_cdc"):
+        t.append_rows([("x",)], T.StructType([T.StructField("url", T.StringType())]))
+
+
+def test_delete_where_stale_lsn_still_wins(spark, tmpdir_path):
+    """ADVICE r01: a stale caller lsn must not make the delete silently no-op;
+    the tombstone lsn is derived per-row from the victim's current _lsn."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=4)
+    t.merge_cdc(_delta(spark, [_row("a", 1, 500), _row("b", 1, 600)]), epoch_id=0)
+    # stale lsn=1 (far below the rows' 500/600) — would have lost before
+    res = t.delete_where(F.col("url") == "a", lsn=1, epoch_id=1)
+    assert not res.get("skipped")
+    assert sorted(r["url"] for r in t.read().collect()) == ["b"]
+    # lsn omitted entirely — derived floor alone
+    t.delete_where(F.col("url") == "b", epoch_id=2)
+    assert t.read().count() == 0
