@@ -79,22 +79,88 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
-def ivf_assign(df: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantizer: centroids are the first n_centroids vectors
-    (deterministic; a k-means refinement would slot in here), assignment is
-    argmax cosine against the BROADCAST centroid set — map-side only, no
-    shuffle of the corpus."""
-    cents = (
-        df.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), _dvec(F.col(vec_col)).alias("c_vec"))
+def ivf_train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer trained on a deterministic
+    hash-ordered sample (FAISS-style IVF training): one distributed
+    TakeOrdered pass pulls <= sample_size vectors to the driver — centroids
+    are control-plane-tiny even at 10^9 vectors — then Lloyd iterations with
+    cosine assignment refine a hash-order init. Fully deterministic (no RNG
+    state): xxhash64 ordering fixes both the sample and the init."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("i"), _dvec(F.col(vec_col)).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("i")))
+        .orderBy("h", "i")
+        .limit(sample_size)
+        .collect()
     )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if len(X) <= n_centroids:
+        return [[float(x) for x in row] for row in X]
+    C = X[:n_centroids].copy()
+    for _ in range(n_iter):
+        sim = X @ C.T
+        assign = sim.argmax(axis=1)
+        new_c = np.empty_like(C)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                new_c[j] = m / norm if norm > 1e-12 else C[j]
+            else:
+                # re-seed an empty list with the worst-served sample vector
+                new_c[j] = X[sim.max(axis=1).argmin()]
+        if np.allclose(new_c, C, atol=1e-9):
+            C = new_c
+            break
+        C = new_c
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 1,
+) -> DataFrame:
+    """(vid, vec, centroid_id, probe_rank) for each vector's n_probe nearest
+    centroids. The centroid set is folded into the expression tree as
+    literals, so assignment is a pure map-side projection — zero shuffles,
+    zero joins, no window — regardless of corpus size."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, n_centroids, id_col, vec_col)
     v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
-    scored = v.join(F.broadcast(cents)).withColumn("c_sim", cosine(F.col("vec"), F.col("c_vec")))
-    w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vid", "vec", "centroid_id")
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(F.col("vec"), F.array(*[F.lit(x) for x in c])).alias("c_sim"),
+                F.lit(j).alias("centroid_id"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    # array_sort on (c_sim, centroid_id) asc, reversed => desc sim; ties break
+    # toward the larger centroid id, deterministically.
+    probes = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+    return v.select(
+        "vid", "vec", F.posexplode(probes).alias("pr", "probe")
+    ).select(
+        "vid",
+        "vec",
+        F.col("probe.centroid_id").alias("centroid_id"),
+        (F.col("pr") + 1).cast("int").alias("probe_rank"),
     )
 
 
@@ -102,17 +168,23 @@ def ivf_ann_topk(
     df: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
+    n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: exact cosine only within each vector's inverted list
-    (same-centroid candidates). At 10^9 vectors the candidate join touches
-    ~N/n_centroids rows per query instead of N; recall tunes via n_centroids
-    (and an n_probe>1 extension probing the next-nearest lists)."""
-    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cand = a.join(
-        b, (F.col("a.centroid_id") == F.col("b.centroid_id")) & (F.col("a.vid") != F.col("b.vid"))
+    """IVF ANN: every vector is indexed under its single nearest centroid;
+    each query probes its ``n_probe`` nearest inverted lists and scores exact
+    cosine against only those candidates. At 10^9 vectors the candidate join
+    touches ~n_probe*N/n_centroids rows per query instead of N; recall tunes
+    via n_probe (and n_centroids), gated >= 0.9 vs brute force in tests."""
+    centroids = ivf_train_centroids(df, n_centroids, id_col, vec_col)
+    index = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=centroids, n_probe=1)
+    queries = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=centroids, n_probe=n_probe)
+    # each index vector lives in exactly one list, so a (query, neighbor)
+    # pair appears at most once across the probed lists — no dedup needed
+    cand = queries.alias("a").join(
+        index.alias("b"),
+        (F.col("a.centroid_id") == F.col("b.centroid_id")) & (F.col("a.vid") != F.col("b.vid")),
     ).select(
         F.col("a.vid").alias("query_id"),
         F.col("b.vid").alias("nn_id"),
