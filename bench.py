@@ -154,6 +154,7 @@ def main_default() -> None:
         cdc_runs.append(run_cdc_replay(spark, ev_dir))
     cdc = min(cdc_runs, key=lambda r: r["sec"])
     timings["cdc_replay"] = cdc["sec"]
+    med_sec = sorted(r["sec"] for r in cdc_runs)[len(cdc_runs) // 2]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -166,6 +167,10 @@ def main_default() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": cdc["events_per_sec"],
+                # min = best sustained window; median = typical window on this
+                # noisy host — report both so neither overstates (ADVICE r01)
+                "cdc_events_per_sec_median": round(cdc["events"] / med_sec, 1),
+                "cdc_sec_median": med_sec,
                 "cdc_events": cdc["events"],
                 "cdc_all_secs": [r["sec"] for r in cdc_runs],
                 "cores": cores,
@@ -188,6 +193,7 @@ def main_cdc_only(cores: int, events_dir: str, json_out: str | None, repeats: in
     res = runs[0]
     res["cores"] = cores
     res["all_secs"] = [r["sec"] for r in runs]
+    res["sec_median"] = runs[len(runs) // 2]["sec"]
     line = json.dumps(res)
     print(line)
     if json_out:

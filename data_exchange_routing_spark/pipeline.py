@@ -69,6 +69,11 @@ STANDARD_META_KEYS = {
 }
 
 
+import threading
+
+_PROMOTE_LOCK = threading.Lock()
+
+
 class Warehouse:
     """A directory of lake tables + replay checkpoints."""
 
@@ -106,12 +111,39 @@ class Warehouse:
             if f.startswith("epoch-") and f.endswith(".json")
         }
 
+    # ---- promoted-meta-key registry (open-world schema, amortized O(1)) ----
+    def _promote_registry_path(self) -> str:
+        return os.path.join(self.root, "_checkpoints", "promoted_meta_keys.json")
+
+    def known_promote_keys(self) -> list[str]:
+        try:
+            with open(self._promote_registry_path()) as f:
+                return sorted(json.load(f))
+        except FileNotFoundError:
+            return []
+
+    def register_promote_keys(self, keys: list[str]) -> list[str]:
+        """Union new keys into the registry (atomic replace; concurrent epochs
+        serialize on the module lock — single-driver process, like the
+        checkpoint log)."""
+        with _PROMOTE_LOCK:
+            merged = sorted(set(self.known_promote_keys()) | set(keys))
+            tmp = self._promote_registry_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f)
+            os.replace(tmp, self._promote_registry_path())
+            return merged
+
 
 def detect_promotable_meta_keys(df: DataFrame) -> list[str]:
     """Open-world metadata -> additive schema evolution: any non-standard key
     appearing in the batch becomes a top-level nullable string column
     (reference open-world enrichment, RouteIngestedFile.kt:196-209; tolerant
-    parsing, dtos/AzureBlobCreateEventMesage.kt:3). One tiny distinct-agg job."""
+    parsing, dtos/AzureBlobCreateEventMesage.kt:3).
+
+    Standalone one-job variant for ad-hoc callers; the replay hot path does
+    NOT run this extra pass — it piggybacks an Observation on the staging
+    write and keeps a warehouse-level key registry (see apply_epoch)."""
     keys = [
         r[0]
         for r in df.select(F.explode(F.map_keys(F.col("meta"))).alias("k")).distinct().collect()
@@ -129,25 +161,32 @@ def apply_epoch(
     epoch (crash replay, at-least-once redelivery of the whole batch) is a
     no-op thanks to per-table epoch guards.
 
-    Exactly 4 Spark actions per epoch, each O(batch):
-      1. dead-letter append (materializes the cached batch),
-      2. promotable-meta-key detection (tiny distinct agg),
-      3. the fused multicast write: dedup per (destination, url) -> ONE text
+    ONE full-batch Spark action per epoch in steady state:
+      1. the fused multicast write: dedup per (destination, url) -> ONE text
          extraction pass -> ONE shuffle keyed (destination, bucket) -> staged
-         parquet; every destination table then commits its file slice
-         metadata-only (no Spark job),
-      4. lineage append built from parquet footer stats (no extra scan).
+         parquet, with dead-letter rows riding the same write. Promotable
+         meta keys come from the warehouse registry; an Observation on the
+         write verifies them for free, and only an epoch that introduces a
+         never-before-seen key pays a second staging pass (then the registry
+         absorbs it for all later epochs).
+      2. per-table manifest commits run CONCURRENTLY, metadata-only (no
+         Spark job); lineage rows come from parquet footer stats gathered
+         during staging (no extra scan).
     """
+    import shutil
     import uuid as _uuid
+    from concurrent.futures import ThreadPoolExecutor
     from datetime import datetime, timezone
+
+    from pyspark.sql import Observation
 
     t0 = time.time()
     route_config = default_route_config(wh.spark)
 
-    # No .persist(): the batch is re-derived from columnar parquet on each of
-    # the 3 passes (dead-letter, key-detect, staging). Vectorized re-scan +
-    # predicate pushdown is cheaper than materializing ~GB of deserialized
-    # JVM row objects and paying the GC tax — measured 2x on local[32].
+    # No .persist(): the batch is re-derived from columnar parquet if a
+    # second pass is ever needed. Vectorized re-scan + predicate pushdown is
+    # cheaper than materializing ~GB of deserialized JVM row objects and
+    # paying the GC tax — measured 2x on local[32].
     batch = normalize_meta_keys(events)
     batch = coalesce_routing_keys(batch)
     try:
@@ -158,75 +197,120 @@ def apply_epoch(
         annotated = annotate_routes(valid, route_config)
         routed, dead_route = split_routed(annotated)
 
-        promote = detect_promotable_meta_keys(batch)
-        stats: dict = {"epoch_id": epoch_id, "destinations": {}, "promoted_columns": promote}
-
-        # fused multicast delta: one dedup+extract pass for ALL destinations,
-        # with dead-letter rows riding the SAME staged write under the
-        # pseudo-destination 'dead_letter' (the write is the epoch's single
-        # full-batch action; every table then commits its file slice
-        # metadata-only). Dead letters are NOT deduplicated — at-least-once
-        # dead-lettering, like the reference.
-        delta = dedup_last_writer(routed, key=[DEST_COL, "url"], strategy=dedup_strategy)
-        delta = delta.withColumn("text", extract_text(F.col("html")))
-        cols = [
-            F.col(DEST_COL),
-            F.col("url"),
-            F.col("warc_ts"),
-            F.col("html"),
-            F.col("text"),
-            F.col("lang"),
-            F.col("lsn").alias(LSN_COL),
-            (F.col("op") == "D").alias(DELETED_COL),
-        ]
-        for k in promote:
-            cols.append(F.col("meta").getItem(k).alias(k))
-        delta = delta.select(*cols)
-        delta_schema = delta.drop(DEST_COL).schema
-
         dead_all = (
             dead_validate.unionAll(dead_route)
             .withColumn(DEST_COL, F.lit("dead_letter"))
             .withColumn("lsn", F.col("lsn").cast("long"))
         )
-        staged_all = delta.unionByName(dead_all, allowMissingColumns=True)
 
-        staging = os.path.join(wh.root, "_staging", f"epoch-{epoch_id:08d}-{_uuid.uuid4().hex[:8]}")
-        entries_by_dest = stage_multicast_delta(staged_all, staging, wh.n_buckets)
+        def build_and_stage(promote: list[str], attempt: int):
+            """Fused multicast delta: one dedup+extract pass for ALL
+            destinations; dead letters ride the SAME staged write under the
+            pseudo-destination 'dead_letter'. Dead letters are NOT
+            deduplicated — at-least-once dead-lettering, like the reference."""
+            obs = Observation(f"meta-keys-{epoch_id}-{attempt}-{_uuid.uuid4().hex[:6]}")
+            delta = dedup_last_writer(routed, key=[DEST_COL, "url"], strategy=dedup_strategy)
+            delta = delta.withColumn("text", extract_text(F.col("html")))
+            # distinct meta keys collected DURING the write — no extra pass
+            delta = delta.observe(
+                obs,
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.map_keys(F.col("meta"))))
+                ).alias("keys"),
+            )
+            cols = [
+                F.col(DEST_COL),
+                F.col("url"),
+                F.col("warc_ts"),
+                F.col("html"),
+                F.col("text"),
+                F.col("lang"),
+                F.col("lsn").alias(LSN_COL),
+                (F.col("op") == "D").alias(DELETED_COL),
+            ]
+            for k in promote:
+                cols.append(F.col("meta").getItem(k).alias(k))
+            delta = delta.select(*cols)
+            delta_schema = delta.drop(DEST_COL).schema
+            staged_all = delta.unionByName(dead_all, allowMissingColumns=True)
+            staging = os.path.join(
+                wh.root, "_staging", f"epoch-{epoch_id:08d}-{_uuid.uuid4().hex[:8]}"
+            )
+            entries = stage_multicast_delta(staged_all, staging, wh.n_buckets)
+            try:
+                raw = obs.get["keys"] or []
+            except Exception:
+                # an all-empty batch can optimize the CollectMetrics node away
+                # (metrics row then fails Py4J conversion); fall back to the
+                # explicit one-job detection — trivially cheap on such batches
+                raw = detect_promotable_meta_keys(batch)
+            observed = sorted(k for k in raw if k not in STANDARD_META_KEYS)
+            return delta_schema, entries, observed, staging
 
-        dl = wh.table("dead_letter")
-        dl_entries = [
-            dict(e, path=os.path.relpath(e["path"], dl.path))
-            for e in entries_by_dest.get("dead_letter", [])
-        ]
-        dl.commit_staged_files(dl_entries, DEAD_LETTER, epoch_id=epoch_id, source="dead_letter")
+        promote = wh.known_promote_keys()
+        delta_schema, entries_by_dest, observed, staging = build_and_stage(promote, 0)
+        new_keys = [k for k in observed if k not in promote]
+        if new_keys:
+            # rare: this epoch introduces brand-new meta keys — register them
+            # and re-stage once so their values land as top-level columns
+            promote = wh.register_promote_keys(observed)
+            shutil.rmtree(staging, ignore_errors=True)
+            delta_schema, entries_by_dest, _, staging = build_and_stage(promote, 1)
+
+        stats: dict = {
+            "epoch_id": epoch_id,
+            "destinations": {},
+            "promoted_columns": promote,
+        }
 
         lineage_rows = []
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         start = datetime.fromtimestamp(t0, timezone.utc).replace(tzinfo=None)
-        for dest in sorted(set(DESTINATION_TABLES)):
+
+        def commit_dead_letter():
+            dl = wh.table("dead_letter")
+            dl_entries = [
+                dict(e, path=os.path.relpath(e["path"], dl.path))
+                for e in entries_by_dest.get("dead_letter", [])
+            ]
+            dl.commit_staged_files(
+                dl_entries, DEAD_LETTER, epoch_id=epoch_id, source="dead_letter"
+            )
+
+        def commit_dest(dest: str):
             table = wh.table(dest)
             entries = [
                 dict(e, path=os.path.relpath(e["path"], table.path))
                 for e in entries_by_dest.get(dest, [])
             ]
-            res = table.commit_staged_files(entries, delta_schema, epoch_id=epoch_id, source="cdc")
-            stats["destinations"][dest] = res
-            for e in entries:
-                lineage_rows.append(
-                    (
-                        epoch_id,
-                        e["bucket"],
-                        dest,
-                        e["rows"],
-                        e["bytes"],
-                        datetime.fromisoformat(e["ts_max"]) if e["ts_max"] else None,
-                        "SUCCESS",
-                        None,
-                        start,
-                        now,
+            res = table.commit_staged_files(
+                entries, delta_schema, epoch_id=epoch_id, source="cdc"
+            )
+            return dest, entries, res
+
+        # destination tables are independent — commit them concurrently to
+        # cut the epoch's serial driver floor (VERDICT r01 item 4)
+        dests = sorted(set(DESTINATION_TABLES))
+        with ThreadPoolExecutor(max_workers=1 + len(dests)) as ex:
+            dl_future = ex.submit(commit_dead_letter)
+            for dest, entries, res in ex.map(commit_dest, dests):
+                stats["destinations"][dest] = res
+                for e in entries:
+                    lineage_rows.append(
+                        (
+                            epoch_id,
+                            e["bucket"],
+                            dest,
+                            e["rows"],
+                            e["bytes"],
+                            datetime.fromisoformat(e["ts_max"]) if e["ts_max"] else None,
+                            "SUCCESS",
+                            None,
+                            start,
+                            now,
+                        )
                     )
-                )
+            dl_future.result()
 
         for e in entries_by_dest.get("dead_letter", []):
             lineage_rows.append(
