@@ -71,21 +71,74 @@ def _dec_epochs(v) -> set[int]:
     return set(range(v.get("w", -1) + 1)) | set(v.get("extra", []))
 
 
+def _enc_contains(v, epoch_id: int) -> bool:
+    """Membership on the ENCODED epoch set — O(#extras), never materializes
+    range(w); keeps the per-commit guard O(1) at 10^6 epochs."""
+    if isinstance(v, list):
+        return epoch_id in v
+    return epoch_id <= v.get("w", -1) or epoch_id in v.get("extra", [])
+
+
+def _enc_add(v, epoch_id: int) -> dict:
+    """Add one epoch to the encoded set without materializing it."""
+    enc = v if isinstance(v, dict) else _enc_epochs(set(v))
+    w = enc.get("w", -1)
+    if epoch_id <= w:
+        return enc
+    extra = set(enc.get("extra", []))
+    extra.add(epoch_id)
+    while (w + 1) in extra:
+        w += 1
+        extra.discard(w)
+    return {"w": w, "extra": sorted(extra)}
+
+
+# manifest segmentation thresholds: the inline tail rolls into an immutable
+# segment file past TAIL_MAX entries; segments merge into one past SEG_MAX
+# refs. Commit cost is O(new entries + #segment refs) — never O(#files) —
+# with an O(#files) merge amortized over TAIL_MAX*SEG_MAX commits.
+TAIL_MAX = 256
+SEG_MAX = 64
+
+
 @dataclass
 class Snapshot:
+    """Table state at one version. The file list is persisted Iceberg-style:
+    ``segments`` holds refs to immutable JSON manifest files REUSED across
+    snapshots; ``tail`` holds the newest entries inline. ``files`` is the
+    materialized concatenation (resolved at load time by LakeTable)."""
+
     version: int
     schema_json: str
     n_buckets: int
     key: str | None
-    files: list[dict[str, Any]] = field(default_factory=list)  # {path,bucket,kind}
+    segments: list[str] = field(default_factory=list)
+    tail: list[dict[str, Any]] = field(default_factory=list)
     committed_epochs: dict[str, Any] = field(default_factory=dict)
     summary: dict[str, Any] = field(default_factory=dict)
+    seg_files: list[dict[str, Any]] | None = None  # resolved segment entries
+
+    @property
+    def files(self) -> list[dict[str, Any]]:
+        if self.segments and self.seg_files is None:
+            raise RuntimeError("snapshot segments not resolved; load via LakeTable.snapshot()")
+        return (self.seg_files or []) + self.tail
+
+    def replace_files(self, files: list[dict[str, Any]]) -> None:
+        """Full file-list replacement (compact/rollback): drops segment refs;
+        _write_snapshot re-segments as needed."""
+        self.segments = []
+        self.seg_files = None
+        self.tail = list(files)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
 
     def epochs(self, source: str) -> set[int]:
         return _dec_epochs(self.committed_epochs.get(source, []))
+
+    def epoch_committed(self, source: str, epoch_id: int) -> bool:
+        return _enc_contains(self.committed_epochs.get(source, []), epoch_id)
 
 
 def _arrow_type(dt: T.DataType):
@@ -117,6 +170,25 @@ def _arrow_type(dt: T.DataType):
     if isinstance(dt, T.StructType):
         return pa.struct([pa.field(f.name, _arrow_type(f.dataType), True) for f in dt.fields])
     raise TypeError(f"unsupported driver-side type: {dt}")
+
+
+def _resolve_segments(meta_dir: str, segments: list[str], _cache: dict = {}) -> list[dict]:
+    """Concatenated entries of a snapshot's segment refs. Segment files are
+    immutable once written and successive snapshots share the same ref list,
+    so the resolved list is cached per (meta_dir, refs) and SHARED, never
+    copied — snapshot load stays O(tail), not O(#files). Callers must treat
+    segment-sourced entries as read-only."""
+    key = (meta_dir, tuple(segments))
+    hit = _cache.get(key)
+    if hit is None:
+        hit = []
+        for s in segments:
+            with open(os.path.join(meta_dir, s)) as f:
+                hit.extend(json.load(f))
+        if len(_cache) > 256:
+            _cache.clear()
+        _cache[key] = hit
+    return hit
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -196,11 +268,54 @@ class LakeTable:
         v = version or self.current_version()
         with open(os.path.join(self.meta_dir, f"snapshot-{v:08d}.json")) as f:
             d = json.load(f)
-        return Snapshot(**d)
+        snap = Snapshot(
+            version=d["version"],
+            schema_json=d["schema_json"],
+            n_buckets=d["n_buckets"],
+            key=d["key"],
+            segments=d.get("segments", []),
+            # legacy (round-1) snapshots stored the whole list inline as "files"
+            tail=d.get("tail", d.get("files", [])),
+            committed_epochs=d.get("committed_epochs", {}),
+            summary=d.get("summary", {}),
+        )
+        if snap.segments:
+            snap.seg_files = _resolve_segments(self.meta_dir, snap.segments)
+        return snap
 
     def _write_snapshot(self, snap: Snapshot) -> None:
+        # Roll the inline tail into an immutable, reused segment file once it
+        # grows past TAIL_MAX, and merge segment refs once there are more than
+        # SEG_MAX: every snapshot JSON and every commit stays
+        # O(TAIL_MAX + SEG_MAX) — independent of total file count — with the
+        # O(#files) merge amortized over TAIL_MAX*SEG_MAX commits
+        # (Iceberg manifest-list reuse). A segment written by a commit that
+        # then loses the version race is an orphan; expire_snapshots GCs it.
+        if len(snap.tail) > TAIL_MAX:
+            seg_name = f"seg-{uuid.uuid4().hex[:12]}.json"
+            with open(os.path.join(self.meta_dir, seg_name), "w") as f:
+                json.dump(snap.tail, f)
+            snap.seg_files = (snap.seg_files or []) + snap.tail
+            snap.segments = snap.segments + [seg_name]
+            snap.tail = []
+        if len(snap.segments) > SEG_MAX:
+            merged = f"seg-{uuid.uuid4().hex[:12]}.json"
+            with open(os.path.join(self.meta_dir, merged), "w") as f:
+                json.dump(snap.seg_files, f)
+            snap.segments = [merged]
+        payload = {
+            "version": snap.version,
+            "schema_json": snap.schema_json,
+            "n_buckets": snap.n_buckets,
+            "key": snap.key,
+            "segments": snap.segments,
+            "tail": snap.tail,
+            "committed_epochs": snap.committed_epochs,
+            "summary": snap.summary,
+            "n_files": len(snap.seg_files or []) + len(snap.tail),
+        }
         path = os.path.join(self.meta_dir, f"snapshot-{snap.version:08d}.json")
-        _atomic_write_json(path, snap.__dict__)
+        _atomic_write_json(path, payload)
 
     # -------------------------------------------------------------- reading
     def _read_files(self, snap: Snapshot, files: list[dict], with_internal: bool) -> DataFrame:
@@ -349,7 +464,7 @@ class LakeTable:
             e.setdefault("kind", kind)
         for _attempt in range(50):
             snap = self.snapshot()
-            if epoch_id is not None and epoch_id in snap.epochs(source):
+            if epoch_id is not None and snap.epoch_committed(source, epoch_id):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
             current = snap.schema()
             have = set(current.fieldNames())
@@ -365,15 +480,17 @@ class LakeTable:
             )
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
-                committed[source] = _enc_epochs(snap.epochs(source) | {epoch_id})
+                committed[source] = _enc_add(snap.committed_epochs.get(source, []), epoch_id)
             new = Snapshot(
                 version=snap.version + 1,
                 schema_json=schema_json,
                 n_buckets=snap.n_buckets,
                 key=snap.key,
-                files=snap.files + entries,
+                segments=snap.segments,
+                tail=snap.tail + entries,
                 committed_epochs=committed,
                 summary={**(summary or {}), "epoch_id": epoch_id, "operation": "merge-staged"},
+                seg_files=snap.seg_files,
             )
             try:
                 self._write_snapshot(new)
@@ -464,7 +581,7 @@ class LakeTable:
 
     def _commit(self, df, epoch_id, source, summary, is_cdc: bool) -> dict:
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.epochs(source):
+        if epoch_id is not None and snap.epoch_committed(source, epoch_id):
             return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
 
         new_schema_json = self._evolved_schema(snap, df)
@@ -479,20 +596,22 @@ class LakeTable:
         # exclusive-create race re-read the new snapshot and retry on top.
         for _attempt in range(50):
             snap = self.snapshot()
-            if epoch_id is not None and epoch_id in snap.epochs(source):
+            if epoch_id is not None and snap.epoch_committed(source, epoch_id):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
             new_schema_json = self._evolved_schema(snap, df) or snap.schema_json
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
-                committed[source] = _enc_epochs(snap.epochs(source) | {epoch_id})
+                committed[source] = _enc_add(snap.committed_epochs.get(source, []), epoch_id)
             new = Snapshot(
                 version=snap.version + 1,
                 schema_json=new_schema_json,
                 n_buckets=snap.n_buckets,
                 key=snap.key,
-                files=snap.files + files,
+                segments=snap.segments,
+                tail=snap.tail + files,
                 committed_epochs=committed,
                 summary={**(summary or {}), "epoch_id": epoch_id, "operation": "merge" if is_cdc else "append"},
+                seg_files=snap.seg_files,
             )
             try:
                 self._write_snapshot(new)
@@ -540,9 +659,11 @@ class LakeTable:
                 schema_json=target.schema_json,
                 n_buckets=target.n_buckets,
                 key=target.key,
-                files=list(target.files),
+                segments=list(target.segments),
+                tail=list(target.tail),
                 committed_epochs=dict(target.committed_epochs),
                 summary={"operation": "rollback", "to_version": version},
+                seg_files=target.seg_files,
             )
             try:
                 self._write_snapshot(new)
@@ -593,10 +714,10 @@ class LakeTable:
             schema_json=snap.schema_json,
             n_buckets=snap.n_buckets,
             key=snap.key,
-            files=kept + files,
             committed_epochs=snap.committed_epochs,
             summary={"operation": "compact", "buckets": sorted(selected) if buckets is not None else "all"},
         )
+        new.replace_files(kept + files)
         try:
             self._write_snapshot(new)
         except FileExistsError:
@@ -620,7 +741,7 @@ class LakeTable:
                     "version": d["version"],
                     "operation": d.get("summary", {}).get("operation"),
                     "epoch_id": d.get("summary", {}).get("epoch_id"),
-                    "n_files": len(d.get("files", [])),
+                    "n_files": d.get("n_files", len(d.get("files", d.get("tail", [])))),
                 }
             )
         return out
@@ -701,7 +822,23 @@ class LakeTable:
             if v < cutoff:
                 os.unlink(os.path.join(self.meta_dir, f))
                 removed.append(v)
-        return {"removed_snapshots": sorted(removed), "kept_from": cutoff}
+        # GC manifest segments no retained snapshot references (includes
+        # orphans written by commits that lost the version race)
+        referenced: set[str] = set()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("snapshot-") and f.endswith(".json"):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    referenced.update(json.load(fh).get("segments", []))
+        removed_segments = 0
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("seg-") and f.endswith(".json") and f not in referenced:
+                os.unlink(os.path.join(self.meta_dir, f))
+                removed_segments += 1
+        return {
+            "removed_snapshots": sorted(removed),
+            "kept_from": cutoff,
+            "removed_segments": removed_segments,
+        }
 
     def vacuum_orphans(self) -> dict:
         """Delete data files under this table's own data/ dir that no retained

@@ -447,3 +447,40 @@ def test_delete_where_stale_lsn_still_wins(spark, tmpdir_path):
     # lsn omitted entirely — derived floor alone
     t.delete_where(F.col("url") == "b", epoch_id=2)
     assert t.read().count() == 0
+
+
+def test_manifest_segmentation_rolls_and_stays_correct(spark, tmpdir_path, monkeypatch):
+    """VERDICT r01 item 5: snapshots must not rewrite the whole file list per
+    commit. Past TAIL_MAX entries the inline tail rolls into an immutable
+    segment file (and segments merge past SEG_MAX); reads, time travel,
+    epoch guards, compaction and expiry all see the identical file set."""
+    import json as _json
+
+    from data_exchange_routing_spark.lake import table as tbl
+
+    monkeypatch.setattr(tbl, "TAIL_MAX", 8)
+    monkeypatch.setattr(tbl, "SEG_MAX", 3)
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=4)
+    n_commits = 30
+    for e in range(n_commits):
+        t.merge_cdc(_delta(spark, [_row(f"u{i}", 1, e * 100 + i) for i in range(e % 3 + 1)]), epoch_id=e)
+    snap = t.snapshot()
+    assert snap.segments, "tail never rolled into a segment"
+    with open(os.path.join(t.meta_dir, f"snapshot-{snap.version:08d}.json")) as f:
+        d = _json.load(f)
+    assert len(d["tail"]) <= 8  # inline part bounded
+    assert d["n_files"] == len(snap.files) > 8
+    # the merge policy also ran (many rolls, few refs)
+    assert len(snap.segments) <= 4
+    # state correct across rolls/merges
+    assert t.read().count() == len({f"u{i}" for e in range(n_commits) for i in range(e % 3 + 1)})
+    # epoch guard still intact
+    assert t.merge_cdc(_delta(spark, [_row("dup", 9, 9)]), epoch_id=0)["skipped"]
+    # compaction collapses the manifest and preserves state
+    before = sorted(r["url"] for r in t.read().collect())
+    t.compact()
+    assert sorted(r["url"] for r in t.read().collect()) == before
+    # expire GCs unreferenced segment manifests
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_segments"] >= 1
+    assert sorted(r["url"] for r in t.read().collect()) == before
