@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, bucket partitioning,
-mapInPandas batch shape, Arrow binary transfer. The actual media decode is
-STUBBED: the container ships no image/audio libs, so `decode_image` raises
-NotImplementedError unless PIL is importable, and tests run the deterministic
-fake (`fake_decode_meta`) which derives plausible (width, height, n_frames)
-from the payload's md5 — stable, environment-independent.
+mapInPandas batch shape, Arrow binary transfer. Decoding:
+
+- **images**: a REAL pure-stdlib/numpy codec for uncompressed 24-bit BMP
+  (`encode_bmp`/`decode_bmp`) — feature extraction and nearest-neighbor
+  resize run un-stubbed end-to-end on real bytes, with an exact closed-form
+  DuckDB oracle (header arithmetic) in the registry.
+- **audio/video**: still STUBBED (no codec libs ship in this container):
+  `decode_image` raises NotImplementedError for non-BMP formats unless PIL
+  is importable, and tests run the deterministic fake (`fake_decode_meta`)
+  which derives plausible (width, height, n_frames) from the payload's md5.
 """
 
 from __future__ import annotations
@@ -56,7 +61,8 @@ def fake_decode_meta(payload: bytes | None) -> tuple[int | None, int | None, int
 
 
 def decode_image(payload: bytes) -> "PIL.Image.Image":
-    """Real decode path — clearly-marked stub until an imaging lib ships."""
+    """PIL decode for arbitrary formats — stub until an imaging lib ships
+    (BMP has its own real pure-python codec below)."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "image decode requires an imaging library not present in this environment"
@@ -68,16 +74,76 @@ def decode_image(payload: bytes) -> "PIL.Image.Image":
     return PIL.Image.open(io.BytesIO(payload))
 
 
+# ------------------------------------------------------------- BMP codec
+# Real, dependency-free codec for the classic uncompressed 24-bit BMP
+# (BITMAPFILEHEADER + BITMAPINFOHEADER/BI_RGB, bottom-up rows, 4-byte row
+# padding) — the format's public spec; no library needed.
+
+_BMP_HEADER = 54  # 14-byte file header + 40-byte info header
+
+
+def bmp_row_stride(width: int) -> int:
+    return (3 * width + 3) // 4 * 4
+
+
+def encode_bmp(pixels) -> bytes:
+    """numpy uint8 array (H, W, 3) in RGB -> BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = bmp_row_stride(w)
+    size = _BMP_HEADER + stride * h
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, _BMP_HEADER)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes):
+    """BMP bytes -> (width, height, numpy uint8 (H, W, 3) RGB). Raises
+    ValueError on anything but uncompressed 24-bit BI_RGB."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < _BMP_HEADER or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or h <= 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    stride = bmp_row_stride(w)
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset).reshape(h, stride)
+    px = rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]  # top-down, RGB
+    return w, h, px.copy()
+
+
 def extract_media_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     """mapInPandas feature extraction: one Python call per Arrow batch, binary
     column transferred zero-copy. Partition-parallel; no shuffle."""
 
+    def meta_of(kind: str, b) -> tuple:
+        if b is None:
+            return (None, None, None)
+        if not use_fake_decoder and kind == "image":
+            # REAL decode: pure-stdlib BMP header/pixel parse, 1 frame
+            w, h, _px = decode_bmp(b)
+            return (w, h, 1)
+        return fake_decode_meta(b)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["payload"].map(
-                fake_decode_meta
-                if use_fake_decoder
-                else lambda b: decode_image(b).size + (1,)
+            decoded = pd.Series(
+                [meta_of(k, b) for k, b in zip(pdf["kind"], pdf["payload"])],
+                index=pdf.index,
+                dtype=object,
             )
             yield pd.DataFrame(
                 {
@@ -109,10 +175,21 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int, height: int, use_fake_decoder: bool = True) -> DataFrame:
-    """Resize plumbing (mapInPandas, 1→1): output schema carries the new
-    payload + dims. Fake path emits a deterministic digest-derived payload of
-    len ∝ width*height; the real path (PIL thumbnail + re-encode) sits behind
-    the same signature and raises NotImplementedError without an imaging lib."""
+    """Resize (mapInPandas, 1→1): output schema carries the new payload +
+    dims. The REAL path (use_fake_decoder=False) decodes BMP, resamples
+    nearest-neighbor in numpy, and re-encodes BMP — fully un-stubbed for
+    images. The fake path emits a deterministic digest-derived payload for
+    non-decodable media kinds."""
+
+    def _real_resize(b):
+        if b is None:
+            return None
+        import numpy as np
+
+        w0, h0, px = decode_bmp(b)
+        yi = np.arange(height) * h0 // height
+        xi = np.arange(width) * w0 // width
+        return encode_bmp(px[yi][:, xi])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,9 +202,7 @@ def resize_images(df: DataFrame, width: int, height: int, use_fake_decoder: bool
                     ))[: max(16, (width * height) // 64)]
                 )
             else:
-                raise NotImplementedError(
-                    "real resize requires an imaging library not present in this environment"
-                )
+                out_payload = pdf["payload"].map(_real_resize)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -180,6 +255,33 @@ def sample_frames(df: DataFrame, every_nth: int = 10, use_fake_decoder: bool = T
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(op, FRAME_SCHEMA)
+
+
+def generate_bmp_media(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """REAL 24-bit BMP payloads with closed-form dims (width = 4 + id % 32,
+    height = 4 + id % 16) and deterministic gradient pixels. Because the BMP
+    layout is pure arithmetic (54-byte header + 4-byte-padded rows), the
+    encode -> decode roundtrip has an exact SQL oracle:
+    n_bytes = 54 + ((3*w + 3) // 4) * 4 * h."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict = {"asset_id": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w, h = 4 + i % 32, 4 + i % 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = ((xx * 7 + yy * 13 + i) % 256).astype(np.uint8)
+                px = np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=-1)
+                rows["asset_id"].append(i)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_bmp(px))
+                rows["meta"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, MEDIA_SCHEMA)
 
 
 def generate_media(spark, n: int = 200) -> DataFrame:

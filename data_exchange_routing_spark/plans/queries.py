@@ -853,8 +853,32 @@ def cdc_replay_web_pages(spark, sf_dir):
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed
-    deterministically; Spark plumbing real)."""
+    deterministically for audio/video; Spark plumbing real)."""
     return extract_media_features(generate_media(spark, 300))
+
+
+@q(
+    "multimodal_bmp_features",
+    # REAL image path with an exact closed-form oracle: payloads are genuine
+    # uncompressed 24-bit BMPs (dims derived from vec_id), the Spark side
+    # encodes then DECODES the actual bytes (functions/multimodal.py BMP
+    # codec), and the oracle is pure BMP layout arithmetic — 54-byte header
+    # plus 4-byte-padded BGR rows.
+    """
+    SELECT CAST(vec_id AS BIGINT) AS asset_id,
+           CAST(54 + ((3 * (4 + vec_id % 32) + 3) // 4) * 4 * (4 + vec_id % 16) AS BIGINT) AS n_bytes,
+           CAST(4 + vec_id % 32 AS INT) AS width,
+           CAST(4 + vec_id % 16 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM embeddings
+    """,
+)
+def multimodal_bmp_features(spark, sf_dir):
+    from data_exchange_routing_spark.functions.multimodal import generate_bmp_media
+
+    media = generate_bmp_media(ld(spark, sf_dir, "embeddings").select("vec_id"))
+    feats = extract_media_features(media, use_fake_decoder=False)
+    return feats.select("asset_id", "n_bytes", "width", "height", "n_frames")
 
 
 # =====================================================================

@@ -41,7 +41,17 @@ def kafka_tail(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
+    return parse_kafka_records(reader.load(), schema)
+
+
+def parse_kafka_records(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """The source-independent half of the Kafka tail: JSON-envelope value
+    parse + provenance projection over any DataFrame with Kafka's record
+    shape (value binary, partition int, offset long). Split out so the
+    contract is testable without a broker: the tests feed the same
+    serialized payloads through this projection from a file stand-in and
+    assert the downstream pipeline output is identical to the file source
+    (VERDICT r01 item 6)."""
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("_e"),
         F.col("partition").alias("_kafka_partition"),
