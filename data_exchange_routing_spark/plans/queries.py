@@ -789,9 +789,38 @@ def emb_cosine_top5(spark, sf_dir):
     return SIM.brute_force_topk(ld(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
 
 
-@q("emb_lsh_ann", None)  # rows-only: approximate path
+@q("emb_lsh_ann", None)  # SQL twin built below — the LSH path is fully
+# deterministic (md5-derived hyperplanes), so "approximate" still has an
+# exact cross-engine oracle: same buckets, same in-bucket cosine top-k
 def emb_lsh_ann(spark, sf_dir):
     return SIM.lsh_ann_topk(ld(spark, sf_dir, "embeddings"), k=3)
+
+
+def _lsh_ann_sql(k: int = 3, n_planes: int = 8, dim: int = 64) -> str:
+    planes = SIM._hyperplanes(dim, n_planes)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(emb, ["
+        + ", ".join(repr(x) for x in row)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    bk AS (SELECT vec_id, emb, {bits} AS bucket FROM v),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, nn_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+ORACLE["emb_lsh_ann"] = _lsh_ann_sql()
 
 
 @q("emb_ivf_ann", None)  # rows-only: approximate path (IVF inverted lists)
@@ -1238,9 +1267,48 @@ def doc_embedding_label_stats(spark, sf_dir):
     )
 
 
-@q("doc_rolling_fingerprints", None)  # rows-only: winnowing isn't SQL-expressible;
-# the exact-equality gate vs the pure-Python twin lives in
-# tests/test_functions.py::test_rolling_fingerprints_winnowing_properties
+@q(
+    "doc_rolling_fingerprints",
+    # Winnowing IS SQL-expressible: the rolling polynomial hash mod 2^61-1 of
+    # each 8-gram equals the direct polynomial sum (HUGEINT keeps the 2^66
+    # intermediate exact), and the winnow step is a sliding-window min with
+    # the same right-most-start bound as functions/extract.py:95. Constants
+    # are 257^j mod (2^61-1).
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(length(s) - 7, 0))) AS i, s
+      FROM norm
+    ),
+    hashed AS (
+      SELECT doc_id, i,
+        (
+          ord(substr(s, CAST(i AS INT), 1))::HUGEINT * 74051159531521793 +
+          ord(substr(s, CAST(i AS INT) + 1, 1))::HUGEINT * 288136807515649 +
+          ord(substr(s, CAST(i AS INT) + 2, 1))::HUGEINT * 1121154893057 +
+          ord(substr(s, CAST(i AS INT) + 3, 1))::HUGEINT * 4362470401 +
+          ord(substr(s, CAST(i AS INT) + 4, 1))::HUGEINT * 16974593 +
+          ord(substr(s, CAST(i AS INT) + 5, 1))::HUGEINT * 66049 +
+          ord(substr(s, CAST(i AS INT) + 6, 1))::HUGEINT * 257 +
+          ord(substr(s, CAST(i AS INT) + 7, 1))::HUGEINT
+        ) % 2305843009213693951 AS h
+      FROM grams
+    ),
+    win AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM hashed
+    ),
+    sel AS (SELECT doc_id, m FROM win WHERE i <= greatest(n - 3, 1))
+    SELECT d.doc_id, CAST(count(DISTINCT s.m) AS INT) AS n_fingerprints
+    FROM documents d LEFT JOIN sel s USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
 def doc_rolling_fingerprints(spark, sf_dir):
     from data_exchange_routing_spark.functions.extract import rolling_fingerprints
 
@@ -1270,20 +1338,36 @@ def events_value_percentiles(spark, sf_dir):
     )
 
 
-@q("events_approx_distinct_users", None)  # rows-only: HLL sketch is
-# approximate by design; the <2% relative-error gate vs the exact count
-# lives in tests/test_functions.py::test_approx_distinct_within_tolerance
+@q(
+    "events_approx_distinct_users",
+    # The HLL sketch value itself is engine-specific, so the oracle-checked
+    # surface is the exact count plus a hard error bound on the sketch: the
+    # oracle asserts within_5pct must be TRUE for every group. The raw
+    # <2%-config sketch error is additionally gated in
+    # tests/test_functions.py::test_approx_distinct_within_tolerance.
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_distinct_users(spark, sf_dir):
     e = ld(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.02) - F.count_distinct("user_id"))
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_5pct"),
     )
 
 
-@q("doc_dedup_cluster_survivors", None)  # rows-only: iterative connected
-# components (large-star/small-star) isn't single-statement SQL; exact gate
-# vs a pure-Python union-find oracle lives in tests/test_graph.py
+@q("doc_dedup_cluster_survivors", None)  # SQL twin (recursive CTE) built below;
+# the distributed large-star/small-star implementation is additionally gated
+# vs a pure-Python union-find oracle in tests/test_graph.py
 def doc_dedup_cluster_survivors(spark, sf_dir):
     from data_exchange_routing_spark.functions.dedup_text import minhash_lsh_candidates
     from data_exchange_routing_spark.functions.graph import dedup_cluster_survivors
@@ -1291,6 +1375,31 @@ def doc_dedup_cluster_survivors(spark, sf_dir):
     docs = ld(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs)
     return dedup_cluster_survivors(docs, pairs)
+
+
+def _cc_survivors_sql() -> str:
+    """Connected components as a recursive min-label propagation CTE over the
+    LSH candidate pairs (transitive closure of reachable labels; min per node
+    = component id), then one survivor (min doc_id) per cluster plus all
+    untouched docs — the exact relational twin of functions/graph.py."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    keep AS (SELECT min(node) AS doc_id FROM comp GROUP BY component)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM keep
+    UNION
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM nodes)
+    """
+
+
+ORACLE["doc_dedup_cluster_survivors"] = _cc_survivors_sql()
 
 
 @q(
