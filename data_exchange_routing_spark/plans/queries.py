@@ -1633,3 +1633,181 @@ def events_interval_join(spark, sf_dir):
         .join(matched, "event_id", "left")
         .select("event_id", F.coalesce("n_views_before", F.lit(0)).alias("n_views_before"))
     )
+
+
+# =====================================================================
+# 7. Round-2 relational breadth: remaining TPC-H shapes expressible
+#    without partsupp (q8 faithful; q21/q22/q11 adapted to our columns)
+# =====================================================================
+
+@q(
+    "q8_market_share",
+    # TPC-H q8: 7-table join, region-restricted demand, supplier-nation
+    # market share per order year (conditional agg over a ratio)
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_03' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    ) GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    n1 = ld(spark, sf_dir, "nation").alias("n1")
+    n2 = ld(spark, sf_dir, "nation").alias("n2")
+    r = ld(spark, sf_dir, "region")
+    s = ld(spark, sf_dir, "supplier")
+    p = ld(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    vol = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_03", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "sole_late_supplier_orders",
+    # TPC-H q21 shape without receipt/commit dates: suppliers whose shipment
+    # is the ONLY late one (> 90 days after order) in a multi-supplier order —
+    # correlated EXISTS + NOT EXISTS, decorrelated to semi/anti joins in Spark
+    """
+    WITH ship AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ship l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM ship l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ship l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late = 1)
+    GROUP BY s_name
+    """,
+)
+def sole_late_supplier_orders(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = ld(spark, sf_dir, "supplier")
+    ship = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    l1 = ship.filter(F.col("is_late") == 1).alias("l1")
+    others = ship.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"), "is_late"
+    )
+    with_other = l1.join(
+        others.select("o_key", "o_supp").distinct(),
+        (F.col("l1.l_orderkey") == F.col("o_key")) & (F.col("l1.l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    no_other_late = with_other.join(
+        others.filter(F.col("is_late") == 1).select("o_key", "o_supp"),
+        (F.col("l1.l_orderkey") == F.col("o_key")) & (F.col("l1.l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        no_other_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@q(
+    "rich_quiet_customers",
+    # TPC-H q22 shape: above-average-balance customers with no high-value
+    # orders, grouped by a derived country code (scalar subquery + NOT EXISTS)
+    """
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ) GROUP BY cntrycode
+    """,
+)
+def rich_quiet_customers(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    quiet = rich.join(
+        o.filter(F.col("o_totalprice") > 400000),
+        rich.c_custkey == o.o_custkey,
+        "left_anti",
+    )
+    return (
+        quiet.select((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@q(
+    "nation_supplier_concentration",
+    # TPC-H q11 shape without partsupp: nations holding an outsized share of
+    # total supplier account balance (HAVING against a global scalar subquery)
+    """
+    SELECT n_name, round(sum(s_acctbal), 2) AS nation_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * 0.05 FROM supplier)
+    """,
+)
+def nation_supplier_concentration(spark, sf_dir):
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    total = s.agg((F.sum("s_acctbal") * 0.05).alias("cutoff"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("raw_bal"))
+        .join(F.broadcast(total))
+        .filter(F.col("raw_bal") > F.col("cutoff"))
+        .select("n_name", F.round("raw_bal", 2).alias("nation_bal"))
+    )

@@ -44,3 +44,15 @@ def test_scalar_subquery_is_broadcast(spark):
 def test_exists_becomes_broadcast_semi_join(spark):
     plan = _plan(spark, "q4_order_priority")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q8_dims_broadcast_no_cartesian(spark):
+    plan = _plan(spark, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_late_supplier_semi_anti_shapes(spark):
+    plan = _plan(spark, "sole_late_supplier_orders")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
