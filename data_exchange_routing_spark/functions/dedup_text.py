@@ -158,6 +158,61 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """All pairs (a < b) with SimHash hamming distance <= max_hamming.
+
+    EXACT and sub-quadratic: with ``bands`` > max_hamming, any pair within
+    the distance bound must agree exactly on >= 1 band (pigeonhole), so the
+    candidate join runs per (band, band_bits) bucket — never all-pairs — and
+    the exact hamming filter then prunes false candidates. The classical
+    SimHash dedup join (Manku et al., WWW'07, public algorithm)."""
+    assert bands > max_hamming, "pigeonhole exactness needs bands > max_hamming"
+    width = bits // bands
+    sh = simhash(df, id_col, text_col, bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.substring("simhash", j * width + 1, width).alias("band_bits"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("a.simhash"), i, 1) != F.substring(F.col("b.simhash"), i, 1), 1
+        ).otherwise(0)
+        for i in range(1, bits + 1)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash over word tokens as a bit string: bit_j = 1 iff
     sum over distinct tokens of (2*((md5_int32(token)>>j)&1)-1) > 0."""

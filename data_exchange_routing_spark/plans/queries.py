@@ -1811,3 +1811,34 @@ def nation_supplier_concentration(spark, sf_dir):
         .filter(F.col("raw_bal") > F.col("cutoff"))
         .select("n_name", F.round("raw_bal", 2).alias("nation_bal"))
     )
+
+
+@q("doc_simhash_pairs", None)  # SQL twin built below
+def doc_simhash_pairs(spark, sf_dir):
+    return DT.simhash_near_dup_pairs(ld(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bits: int = 32, bands: int = 4) -> str:
+    """Banded SimHash near-dup join: candidates share >= 1 exact band
+    (pigeonhole-exact for hamming <= bands-1), hamming filter per pair."""
+    width = bits // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, substr(simhash, {j * width + 1}, {width}) AS band_bits FROM sh"
+        for j in range(bands)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, bits + 1)
+    )
+    return f"""
+    WITH sh AS ({_simhash_sql(bits)}),
+    banded AS ({band_rows})
+    SELECT DISTINCT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {hamming} AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+ORACLE["doc_simhash_pairs"] = _simhash_pairs_sql()

@@ -389,3 +389,28 @@ def test_real_bmp_feature_and_resize_pipeline(spark):
         assert bytes(resized[i]["payload"]) == expected  # byte-for-byte
         w2, h2, _ = decode_bmp(bytes(resized[i]["payload"]))
         assert (w2, h2) == (8, 6)
+
+
+def test_simhash_pairs_exact_vs_brute_force(spark):
+    """Banded SimHash join must equal the brute-force all-pairs hamming
+    filter (pigeonhole exactness), and actually find the near-dups."""
+    from data_exchange_routing_spark.functions.dedup_text import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(sh[a], sh[b]))
+    ids = sorted(sh)
+    expected = sorted(
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    )
+    assert got == expected and expected  # exact, and non-trivial on this data

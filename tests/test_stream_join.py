@@ -128,3 +128,21 @@ def test_stream_left_outer_interval_join(spark, split_dirs, tmpdir_path):
     assert got_null <= exp_null_all  # no spurious nulls
     must_emit = {e for e in exp_null_all if ts_by_id[e] < cutoff}
     assert must_emit <= got_null and got_null  # old unmatched rows emitted
+
+
+def test_interval_join_suffixes_clashing_right_columns(spark):
+    """ADVICE r01: any right column sharing a name with a left column must be
+    suffixed (not just the join keys); non-clashing columns keep their name."""
+    import datetime as dt
+
+    l = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), "L")], "user_id long, ts timestamp, src string"
+    )
+    r = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9, 30), "R", 7)],
+        "user_id long, ts timestamp, src string, extra long",
+    )
+    out = interval_join(l, r, on="user_id", left_ts="ts", right_ts="ts")
+    assert out.columns == ["user_id", "ts", "src", "user_id_r", "ts_r", "src_r", "extra"]
+    row = out.collect()[0]
+    assert row["src"] == "L" and row["src_r"] == "R" and row["extra"] == 7
