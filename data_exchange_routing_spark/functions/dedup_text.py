@@ -103,21 +103,45 @@ def jaccard_pairs(
     return out
 
 
+# MinHash affine family: hash_j(s) = (a_j * (base(s) mod p) + b_j) mod p with
+# p = 2^31 - 1 and ONE md5-derived 32-bit base hash per shingle — the classic
+# 2-universal construction (MMDS ch.3). p is small enough that a_j * h stays
+# under 2^62 (exact in 64-bit integers in Spark AND DuckDB — the oracle is
+# plain BIGINT arithmetic) while large random a_j make the product wrap many
+# times, decorrelating the k permutations. (Round 1 ran k full md5 calls per
+# shingle; one base hash + k derivations measured 2-5x faster at sf0.1.
+# CAUTION: a_j must span [1, p) — small sequential a_j with no wraparound
+# make every permutation share its argmin, collapsing the signature.)
+MH_MOD = (1 << 31) - 1
+
+
+def mh_params(k: int) -> list[tuple[int, int]]:
+    import hashlib as _hl
+
+    def _c(tag: str, j: int, lo: int) -> int:
+        return int(_hl.md5(f"mh-{tag}-{j}".encode()).hexdigest()[:12], 16) % (MH_MOD - lo) + lo
+
+    return [(_c("a", j, 1), _c("b", j, 0)) for j in range(k)]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
-    """k min-hashes per doc; hash_j(shingle) = md5(j || ':' || shingle) compared
-    as hex strings (total order identical in every engine).
+    """k min-hashes per doc from the affine family above.
 
     Physical shape: ONE hash aggregation — k ``min`` aggregates over the raw
     (non-distinct) shingle stream, partially combined map-side, so the shuffle
-    carries (doc_id, k hex strings) per doc rather than every exploded
-    (shingle x j) row. The long (doc_id, j, minhash) form is re-derived with a
-    post-agg explode, which is narrow (docs x k rows, no shuffle)."""
+    carries (doc_id, k longs) per doc rather than every exploded
+    (shingle x j) row, and each shingle is md5-hashed ONCE. The long
+    (doc_id, j, minhash) form is re-derived with a post-agg explode, which is
+    narrow (docs x k rows, no shuffle)."""
+    from data_exchange_routing_spark.functions.textstats import md5_int32
+
     sh = shingles(df, id_col, text_col, distinct=False)
+    h = md5_int32(F.col("shingle")) % F.lit(MH_MOD)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
-        for j in range(k)
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MH_MOD)).alias(f"m{j}")
+        for j, (a, b) in enumerate(mh_params(k))
     ]
     wide = sh.groupBy("doc_id").agg(*aggs)
     pairs = F.array(

@@ -686,14 +686,23 @@ def doc_minhash_signatures(spark, sf_dir):
     )
 
 
+def _mh_hashes_sql(k: int) -> str:
+    """Affine MinHash family twin of dedup_text.mh_params: one md5-derived
+    32-bit base hash per shingle, k (a*h + b) mod 2^61-1 derivations —
+    exact BIGINT arithmetic in both engines."""
+    vals = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(DT.mh_params(k)))
+    return f"""
+      SELECT doc_id, p.j AS j,
+             min((p.a * ((('0x' || substr(md5(shingle), 1, 8))::BIGINT) % {DT.MH_MOD}) + p.b) % {DT.MH_MOD}) AS minhash
+      FROM sh, (VALUES {vals}) AS p(j, a, b)
+      GROUP BY doc_id, p.j
+    """
+
+
 def _minhash_sql(k: int = DT.MINHASH_K) -> str:
     return f"""
     WITH sh AS ({_shingle_sql()}),
-    hashes AS (
-      SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS minhash
-      FROM sh, UNNEST(range({k})) AS t(j)
-      GROUP BY doc_id, j
-    )
+    hashes AS ({_mh_hashes_sql(k)})
     SELECT doc_id,
            md5(array_to_string(list_sort(list(concat(j, ':', minhash))), '|')) AS sig_hash
     FROM hashes GROUP BY doc_id
@@ -712,11 +721,7 @@ def _lsh_pairs_sql(k: int = DT.MINHASH_K, bands: int = DT.LSH_BANDS) -> str:
     rpb = k // bands
     return f"""
     WITH sh AS ({_shingle_sql()}),
-    hashes AS (
-      SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS minhash
-      FROM sh, UNNEST(range({k})) AS t(j)
-      GROUP BY doc_id, j
-    ),
+    hashes AS ({_mh_hashes_sql(k)}),
     banded AS (
       SELECT doc_id, (j // {rpb}) AS band,
              md5(array_to_string(list_sort(list(concat(j, ':', minhash))), '|')) AS band_hash

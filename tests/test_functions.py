@@ -319,12 +319,16 @@ def test_minhash_lsh_production_params_recall_precision(spark):
         for r in jaccard_pairs(docs, threshold=0.0).collect()
     }
     hi = {p for p, j in exact.items() if j >= 0.8}
+    very_hi = {p for p, j in exact.items() if j >= 0.9}
     assert len(hi) >= 10  # the dataset actually contains near-dups
     cand = {
         (r["doc_a"], r["doc_b"])
         for r in minhash_lsh_candidates(docs, k=128, bands=16).collect()
     }
-    assert hi <= cand, f"missed {len(hi - cand)} true near-dup pairs"
+    # statistical recall bounds for r=8, b=16: P(miss | J=0.9) ~ 1e-4 (gate
+    # full recall), P(miss | J=0.8) ~ 5% per pair (gate >= 90%)
+    assert very_hi <= cand, f"missed {len(very_hi - cand)} pairs with J>=0.9"
+    assert len(hi & cand) >= 0.9 * len(hi), f"recall at J>=0.8: {len(hi & cand)}/{len(hi)}"
     lo = {p for p, j in exact.items() if j < 0.3}
     assert not (lo & cand), f"{len(lo & cand)} false candidates below J=0.3"
     true_half = {p for p, j in exact.items() if j >= 0.5}
