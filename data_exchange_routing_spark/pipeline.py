@@ -393,3 +393,29 @@ def replay(
         with ThreadPoolExecutor(max_workers=max_concurrent_epochs) as ex:
             applied.extend(ex.map(run_one, todo))
     return {"applied_epochs": sorted(applied), "skipped_epochs": sorted(done)}
+
+
+def warehouse_health(wh: Warehouse) -> dict:
+    """Liveness/sanity probe — the reference's health-check endpoint analog
+    (fns-routing/.../HealthCheckFunction.kt:7-23, which reports service
+    liveness + dependency status). Metadata-only: reads each table's newest
+    snapshot JSON, zero Spark jobs, so it is cheap enough for a poller.
+
+    Returns {"ok": bool, "tables": {name: {version, n_files, rows, last_operation}}}
+    with ok=False if any expected table is missing/unreadable."""
+    expected = sorted(set(DESTINATION_TABLES)) + ["dead_letter", "lineage_metrics"]
+    out: dict = {"ok": True, "tables": {}}
+    for name in expected:
+        try:
+            t = wh.table(name)
+            snap = t.snapshot()
+            out["tables"][name] = {
+                "version": snap.version,
+                "n_files": len(snap.files),
+                "rows": sum(f.get("rows", 0) for f in snap.files),
+                "last_operation": snap.summary.get("operation"),
+            }
+        except Exception as e:  # noqa: BLE001 - a health probe reports, never raises
+            out["ok"] = False
+            out["tables"][name] = {"error": str(e)}
+    return out

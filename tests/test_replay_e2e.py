@@ -136,3 +136,21 @@ def test_pipeline_commits_carry_real_buckets(spark, events_dir, events_pdf, tmpd
     full = wh.table("web_pages").read().count()
     part = wh.table("web_pages").read(buckets=[0]).count()
     assert 0 < part < full
+
+
+def test_warehouse_health_probe(spark, tmpdir_path):
+    """Health probe: ok=True with per-table stats on a live warehouse,
+    ok=False naming the missing table on a broken one; zero Spark jobs."""
+    from data_exchange_routing_spark.pipeline import Warehouse, apply_epoch, warehouse_health
+    from data_exchange_routing_spark.sources.datagen import generate_change_events
+
+    wh = Warehouse(spark, tmpdir_path + "/wh", n_buckets=4)
+    wh.init_tables()
+    apply_epoch(wh, generate_change_events(spark, 200, 40, n_epochs=1), epoch_id=0)
+    h = warehouse_health(wh)
+    assert h["ok"] and h["tables"]["web_pages"]["rows"] > 0
+    assert h["tables"]["web_pages"]["version"] >= 2
+
+    broken = Warehouse(spark, tmpdir_path + "/nope", n_buckets=4)
+    hb = warehouse_health(broken)
+    assert not hb["ok"] and "error" in hb["tables"]["web_pages"]
