@@ -371,11 +371,41 @@ class LakeTable:
     def _bucket_expr(self, snap: Snapshot):
         return F.pmod(F.xxhash64(F.col(snap.key)), F.lit(snap.n_buckets)).cast("int")
 
-    def _stage_files(self, df: DataFrame, snap: Snapshot, commit_version: int, bucketed: bool) -> list[dict]:
+    @staticmethod
+    def _zorder_expr(ranges: list[tuple[str, float, float]], bits: int = 16):
+        """Morton z-value over numeric/timestamp columns: each column is
+        min-max normalized to ``bits`` bits (ranges come from one tiny agg),
+        then the bit planes are interleaved so proximity in ANY dimension
+        maps to proximity in the sort order. Pure JVM shift/mask expressions
+        (whole-stage codegen), no UDF — the Delta OPTIMIZE ZORDER analog."""
+        n = len(ranges)
+        z = F.lit(0).cast("long")
+        for ci, (name, lo, hi) in enumerate(ranges):
+            span = (hi - lo) or 1.0
+            norm = (
+                ((F.col(name).cast("double") - F.lit(float(lo))) / F.lit(float(span)))
+                * F.lit(float((1 << bits) - 1))
+            ).cast("long")
+            norm = F.greatest(F.lit(0), F.least(norm, F.lit((1 << bits) - 1)))
+            for i in range(bits):
+                z = z + F.shiftleft(F.shiftright(norm, i).bitwiseAND(F.lit(1)), i * n + ci)
+        return z
+
+    def _stage_files(
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        commit_version: int,
+        bucketed: bool,
+        sort_within: list | None = None,
+        write_options: dict | None = None,
+    ) -> list[dict]:
         """Write parquet to a per-commit staging dir; return manifest entries.
 
         Files land under data/commit-<v>-<uuid>/; a crash before the snapshot
         link leaves only orphans that no manifest references (Iceberg-style).
+        ``sort_within`` overrides the intra-bucket clustering order (default:
+        the merge key, tightening row-group min/max for point reads).
         """
         rel = os.path.join(_DATA_DIR, f"commit-{commit_version:08d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel)
@@ -385,11 +415,21 @@ class LakeTable:
             # batch_bytes/target_file_size), BUCKET_COL) — file count stays
             # proportional to data, never tasks x buckets.)
             df = df.repartition(snap.n_buckets, F.col(BUCKET_COL))
+            order = sort_within if sort_within is not None else (
+                [F.col(snap.key)] if snap.key else []
+            )
+            if order:
+                df = df.sortWithinPartitions(F.col(BUCKET_COL), *order)
+            # clustering-only helper columns (e.g. the z-value) are dropped
+            # after the partition-local sort — projection preserves row order
+            df = df.drop(*[c for c in df.columns if c.startswith("_cluster_")])
             writer = df.write.mode("overwrite").partitionBy(BUCKET_COL)
         else:
             # control-plane appends (dead_letter / lineage) are tiny: 1 file
             df = df.repartition(1)
             writer = df.write.mode("overwrite")
+        if write_options:
+            writer = writer.options(**write_options)
         writer.parquet(out)
         entries: list[dict] = []
         for root, _dirs, names in os.walk(out):
@@ -672,7 +712,12 @@ class LakeTable:
             return {"version": new.version, "rolled_back_to": version}
         raise RuntimeError(f"rollback contention exhausted retries on {self.path}")
 
-    def compact(self, buckets: list[int] | None = None) -> dict:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        cluster_by: list[str] | None = None,
+        write_options: dict | None = None,
+    ) -> dict:
         """Materialize the resolved state into fresh base files (bucketed),
         dropping tombstones and superseded row versions.
 
@@ -680,7 +725,14 @@ class LakeTable:
         compacts ONLY those buckets — O(selected buckets), not O(table) —
         which is how a 100 TB table compacts incrementally: pick the buckets
         with the worst delta amplification (see ``bucket_delta_stats``) each
-        maintenance cycle. Untouched buckets keep their existing files."""
+        maintenance cycle. Untouched buckets keep their existing files.
+
+        ``cluster_by=[colA, colB]`` Z-ORDERS rows within each bucket by the
+        interleaved bits of the named numeric/timestamp columns, so parquet
+        row-group min/max stats prune range predicates on EITHER column —
+        multi-dimensional data skipping (Delta OPTIMIZE ZORDER analog).
+        With one column it degenerates to a linear cluster sort. The column
+        ranges cost one tiny extra aggregation over the selected data."""
         snap = self.snapshot()
         if snap.key is None:
             return {"skipped": True}
@@ -705,7 +757,24 @@ class LakeTable:
         # tombstones must survive in the base files so read-time resolution
         # still beats them. The next full compact reclaims everything.
         out = self._align(resolved, snap.schema()).withColumn(BUCKET_COL, self._bucket_expr(snap))
-        files = self._stage_files(out, snap, snap.version + 1, bucketed=True)
+        sort_within = None
+        if cluster_by:
+            aggs = []
+            for c in cluster_by:
+                aggs += [
+                    F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+                ]
+            stats = out.agg(*aggs).collect()[0]
+            ranges = [
+                (c, stats[f"lo_{c}"] or 0.0, stats[f"hi_{c}"] or 0.0) for c in cluster_by
+            ]
+            out = out.withColumn("_cluster_z", self._zorder_expr(ranges))
+            sort_within = [F.col("_cluster_z")]
+        files = self._stage_files(
+            out, snap, snap.version + 1, bucketed=True,
+            sort_within=sort_within, write_options=write_options,
+        )
         for f in files:
             f["kind"] = "base"
         kept = [f for f in snap.files if f["bucket"] not in selected]

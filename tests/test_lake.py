@@ -484,3 +484,78 @@ def test_manifest_segmentation_rolls_and_stays_correct(spark, tmpdir_path, monke
     res = t.expire_snapshots(keep_last=1)
     assert res["removed_segments"] >= 1
     assert sorted(r["url"] for r in t.read().collect()) == before
+
+
+def test_zorder_compaction_improves_rowgroup_skipping(spark, tmpdir_path):
+    """compact(cluster_by=[ts, v]) must z-order rows inside each bucket so a
+    range predicate on EITHER dimension overlaps fewer parquet row groups
+    than the default key-clustered layout — measured from the real footer
+    min/max stats — while the resolved state stays identical."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    import datetime as dt
+
+    # INT96 (legacy default) timestamps carry no row-group stats; micros do
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), schema, key="url", n_buckets=2)
+    base = dt.datetime(2024, 1, 1)
+    # v deliberately uncorrelated with both url and time
+    rows = [
+        (f"u{i}", base + dt.timedelta(minutes=i % 977), (i * 7919) % 10000, i, False)
+        for i in range(40000)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v int, _lsn long, _deleted boolean")
+    t.merge_cdc(df, epoch_id=0, source="cdc")
+    before = t.read().count()
+    small_rg = {"parquet.block.size": str(48 * 1024)}
+
+    def overlap_fraction() -> float:
+        snap = t.snapshot()
+        total = hit = 0
+        for f in snap.files:
+            md = pq.ParquetFile(os.path.join(t.path, f["path"])).metadata
+            vi = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "v"
+            )
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(vi).statistics
+                total += 1
+                if s.min <= 5200 and s.max >= 4800:  # narrow v-band predicate
+                    hit += 1
+        assert total >= 16, f"need many row groups to measure skipping, got {total}"
+        return hit / total
+
+    t.compact(write_options=small_rg)  # key-clustered baseline
+    frac_key = overlap_fraction()
+    t.compact(cluster_by=["warc_ts", "v"], write_options=small_rg)
+    frac_z = overlap_fraction()
+    assert t.read().count() == before
+    assert frac_z < 0.6 * frac_key, f"z-order did not prune: {frac_z:.2f} vs {frac_key:.2f}"
+    # and time-range predicates still prune too (z-order serves BOTH dims)
+    snap = t.snapshot()
+    ts_hit = ts_total = 0
+    lo = base + dt.timedelta(minutes=100)
+    hi = base + dt.timedelta(minutes=200)
+    for f in snap.files:
+        md = pq.ParquetFile(os.path.join(t.path, f["path"])).metadata
+        ti = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "warc_ts"
+        )
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(ti).statistics
+            ts_total += 1
+            smin = s.min.replace(tzinfo=None) if s.min.tzinfo else s.min
+            smax = s.max.replace(tzinfo=None) if s.max.tzinfo else s.max
+            if smin <= hi and smax >= lo:
+                ts_hit += 1
+    assert ts_hit < ts_total  # some groups skipped on the time dimension too
