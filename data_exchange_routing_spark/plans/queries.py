@@ -1847,3 +1847,72 @@ def _simhash_pairs_sql(max_hamming: int = 3, bits: int = 32, bands: int = 4) -> 
 
 
 ORACLE["doc_simhash_pairs"] = _simhash_pairs_sql()
+
+
+@q(
+    "doc_top_terms_per_lang",
+    # corpus vocabulary profile: top-5 tokens per language by document
+    # frequency (explode -> two-level agg -> windowed top-k, deterministic ties)
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lang, tok
+      FROM documents,
+           UNNEST(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS t(tok)
+      WHERE tok <> ''
+    ),
+    freq AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY lang, tok)
+    SELECT lang, tok, df FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, tok) AS rk
+      FROM freq
+    ) WHERE rk <= 5
+    """,
+)
+def doc_top_terms_per_lang(spark, sf_dir):
+    from data_exchange_routing_spark.functions.textstats import normalize_text
+
+    d = ld(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("tok"))
+    return freq.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).drop("rk")
+
+
+@q(
+    "events_weekly_retention",
+    # cohort retention: users active in week W who are active again in W+1
+    # (self-join on user at an offset — the classic retention shape)
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT) AS week
+      FROM events
+    )
+    SELECT a.week,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(count(b.user_id) AS BIGINT) AS retained_next_week
+    FROM wk a LEFT JOIN wk b ON a.user_id = b.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    """,
+)
+def events_weekly_retention(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7)
+        .cast("int")
+        .alias("week"),
+    ).distinct()
+    a = wk.alias("a")
+    b = wk.select(F.col("user_id").alias("b_user"), (F.col("week") - 1).alias("b_prev"))
+    return (
+        a.join(b, (F.col("a.user_id") == F.col("b_user")) & (F.col("a.week") == F.col("b_prev")), "left")
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("b_user").alias("retained_next_week"),
+        )
+    )
