@@ -1737,22 +1737,19 @@ def sole_late_supplier_orders(spark, sf_dir):
             ).alias("is_late")
         )
     )
-    l1 = ship.filter(F.col("is_late") == 1).alias("l1")
-    others = ship.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"), "is_late"
-    )
-    with_other = l1.join(
-        others.select("o_key", "o_supp").distinct(),
-        (F.col("l1.l_orderkey") == F.col("o_key")) & (F.col("l1.l_suppkey") != F.col("o_supp")),
-        "left_semi",
-    )
-    no_other_late = with_other.join(
-        others.filter(F.col("is_late") == 1).select("o_key", "o_supp"),
-        (F.col("l1.l_orderkey") == F.col("o_key")) & (F.col("l1.l_suppkey") != F.col("o_supp")),
-        "left_anti",
+    # decorrelate BOTH subqueries into per-order WINDOW aggregates over the
+    # single ship relation: "some other supplier exists" == n_supp >= 2,
+    # "no other supplier late" == n_late == 1 (this row being the late one).
+    # ONE scan of lineitem and one window shuffle — not three correlated
+    # re-scans as the naive EXISTS/NOT EXISTS form would plan.
+    w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        ship.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
-        no_other_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

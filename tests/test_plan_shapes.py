@@ -52,7 +52,12 @@ def test_q8_dims_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_sole_late_supplier_semi_anti_shapes(spark):
+def test_sole_late_supplier_single_pass_decorrelation(spark):
+    """EXISTS + NOT EXISTS decorrelate to ONE per-order aggregate joined
+    back — not three correlated re-scans of the ship relation."""
     plan = _plan(spark, "sole_late_supplier_orders")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # exactly one lineitem + one orders + one supplier scan: the window
+    # form reads ship ONCE (the naive correlated form plans it three times)
+    assert plan.count("Scan parquet") == 3
