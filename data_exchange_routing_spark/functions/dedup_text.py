@@ -80,19 +80,27 @@ def jaccard_pairs(
     n: int = SHINGLE_N,
 ) -> DataFrame:
     """All pairs (a < b) with n-gram Jaccard >= threshold (exact, quadratic in
-    co-shingled docs; use minhash_lsh_candidates at scale)."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    co-shingled docs; use minhash_lsh_candidates at scale).
+
+    Per-doc set sizes ride along as a window count over the SAME shingle
+    relation, so the plan scans/shingles ``documents`` exactly twice (the
+    unavoidable self-join sides) — not four times as separate size
+    aggregations re-joined would."""
+    from pyspark.sql import Window as W
+
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a, b = sh.alias("a"), sh.alias("b")
     out = (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),

@@ -1631,13 +1631,10 @@ def events_interval_join(spark, sf_dir):
     v = e.filter(F.col("event_type") == "view").selectExpr(
         "event_id AS view_event_id", "user_id", "ts"
     )
-    joined = interval_join(p, v, on="user_id", left_ts="ts", right_ts="ts")
-    matched = joined.groupBy("event_id").agg(F.count("view_event_id").alias("n_views_before"))
-    return (
-        p.select("event_id")
-        .join(matched, "event_id", "left")
-        .select("event_id", F.coalesce("n_views_before", F.lit(0)).alias("n_views_before"))
-    )
+    # left-outer interval join keeps zero-view purchases in the SAME pass —
+    # two events scans total, not a third re-scan of p for the backfill join
+    joined = interval_join(p, v, on="user_id", left_ts="ts", right_ts="ts", how="left_outer")
+    return joined.groupBy("event_id").agg(F.count("view_event_id").alias("n_views_before"))
 
 
 # =====================================================================
