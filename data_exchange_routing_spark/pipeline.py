@@ -419,3 +419,35 @@ def warehouse_health(wh: Warehouse) -> dict:
             out["ok"] = False
             out["tables"][name] = {"error": str(e)}
     return out
+
+
+def maintain(
+    wh: Warehouse,
+    max_buckets_per_table: int = 4,
+    min_delta_rows: int = 1,
+    expire_keep_last: int | None = None,
+) -> dict:
+    """One incremental maintenance cycle — the ops loop a 100 TB deployment
+    runs between (or concurrently with) epochs. Per destination table: rank
+    buckets by delta amplification (manifest-only, no scan), compact only the
+    worst ``max_buckets_per_table`` — O(selected buckets), never O(table) —
+    and optionally expire old snapshots + vacuum orphaned files. Repeated
+    cycles converge every bucket; steady-state per-cycle cost is bounded
+    regardless of table size."""
+    report: dict = {}
+    for dest in sorted(set(DESTINATION_TABLES)):
+        t = wh.table(dest)
+        stats = t.bucket_delta_stats()
+        worst = [
+            b
+            for b, s in sorted(stats.items(), key=lambda kv: -kv[1]["delta_rows"])
+            if b >= 0 and s["n_delta_files"] > 0 and s["delta_rows"] >= min_delta_rows
+        ][:max_buckets_per_table]
+        entry: dict = {"compacted_buckets": worst}
+        if worst:
+            entry["compact"] = t.compact(buckets=worst)
+        if expire_keep_last is not None:
+            entry["expire"] = t.expire_snapshots(keep_last=expire_keep_last)
+            entry["vacuum"] = t.vacuum_orphans()
+        report[dest] = entry
+    return report

@@ -154,3 +154,34 @@ def test_warehouse_health_probe(spark, tmpdir_path):
     broken = Warehouse(spark, tmpdir_path + "/nope", n_buckets=4)
     hb = warehouse_health(broken)
     assert not hb["ok"] and "error" in hb["tables"]["web_pages"]
+
+
+def test_incremental_maintenance_bounds_work(spark, events_dir, events_pdf, tmpdir_path):
+    """maintain() compacts only the worst-K buckets per cycle (manifest-only
+    selection, untouched buckets keep their exact files) and repeated cycles
+    converge the whole table — the O(selected), never O(table), ops loop."""
+    from data_exchange_routing_spark.pipeline import Warehouse, maintain, replay
+
+    wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=8)
+    replay(wh, events_dir)
+    t = wh.table("web_pages")
+    before_stats = t.bucket_delta_stats()
+    dirty = [b for b, s in before_stats.items() if s["n_delta_files"] > 0]
+    assert len(dirty) > 2
+    before_files = {f["path"]: f for f in t.snapshot().files}
+
+    rep = maintain(wh, max_buckets_per_table=2)
+    done = rep["web_pages"]["compacted_buckets"]
+    assert len(done) == 2
+    after_stats = t.bucket_delta_stats()
+    for b in done:
+        assert after_stats[b]["n_delta_files"] == 0
+    # untouched buckets keep their exact files (no O(table) rewrite)
+    for f in t.snapshot().files:
+        if f["bucket"] not in done:
+            assert before_files[f["path"]] == f
+    # cycles converge; state stays equal to the oracle throughout
+    for _ in range(6):
+        maintain(wh, max_buckets_per_table=2)
+    assert all(s["n_delta_files"] == 0 for b, s in t.bucket_delta_stats().items() if b >= 0)
+    _assert_state_equal(spark, wh, events_pdf)
