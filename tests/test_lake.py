@@ -559,3 +559,97 @@ def test_zorder_compaction_improves_rowgroup_skipping(spark, tmpdir_path):
             if smin <= hi and smax >= lo:
                 ts_hit += 1
     assert ts_hit < ts_total  # some groups skipped on the time dimension too
+
+
+
+
+# ---- property-based lake state machine -----------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_merge_row = st.tuples(
+    st.integers(0, 7),      # url id (small domain -> plenty of key collisions)
+    st.integers(0, 20),     # ts offset hours (ties + out-of-order arrivals)
+    st.integers(0, 50),     # lsn (ties broken by (ts, lsn))
+    st.integers(0, 99),     # value
+    st.booleans(),          # tombstone
+)
+_op = st.one_of(
+    st.tuples(st.just("merge"), st.lists(_merge_row, min_size=1, max_size=6)),
+    st.tuples(st.just("compact_full")),
+    st.tuples(st.just("compact_buckets"), st.sets(st.integers(0, 3), min_size=1, max_size=2)),
+    st.tuples(st.just("rollback"), st.integers(0, 100)),
+)
+settings_lake = lambda f: settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)(given(ops=st.lists(_op, min_size=3, max_size=10))(f))
+
+
+@settings_lake
+def test_lake_random_operation_sequences_match_oracle(spark, tmp_path_factory, ops):
+    """Property test: any interleaving of CDC merges (with out-of-order
+    timestamps, duplicate lsns across epochs, tombstones), full/selective
+    compactions and rollbacks must leave read() equal to a pure-Python
+    last-writer-wins oracle replay of the same committed operations."""
+    import datetime as dt
+
+    tmpdir = str(tmp_path_factory.mktemp("lakeprop"))
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(tmpdir, "t"), schema, key="url", n_buckets=4)
+    base = dt.datetime(2024, 1, 1)
+
+    oracle: dict[str, tuple] = {}  # url -> (ts, lsn, v, deleted)
+    history: list[tuple[int, dict]] = [(t.current_version(), dict(oracle))]
+    epoch = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "merge":
+            rows = []
+            per_key: dict[str, tuple] = {}
+            for url_i, ts_off, lsn, v, deleted in op[1]:
+                url = f"u{url_i}"
+                ts = base + dt.timedelta(hours=ts_off)
+                rec = (ts, lsn, v, deleted)
+                # delta contract: one row per key per epoch (pre-deduped);
+                # keep the CDC-greatest row like dedup_last_writer would
+                cur = per_key.get(url)
+                if cur is None or (rec[0], rec[1]) > (cur[0], cur[1]):
+                    per_key[url] = rec
+            for url, (ts, lsn, v, deleted) in per_key.items():
+                rows.append((url, ts, v, lsn, deleted))
+            df = spark.createDataFrame(
+                rows, "url string, warc_ts timestamp, v int, _lsn long, _deleted boolean"
+            )
+            t.merge_cdc(df, epoch_id=epoch, source="prop")
+            epoch += 1
+            for url, (ts, lsn, v, deleted) in per_key.items():
+                cur = oracle.get(url)
+                if cur is None or (ts, lsn) > (cur[0], cur[1]):
+                    oracle[url] = (ts, lsn, v, deleted)
+            history.append((t.current_version(), dict(oracle)))
+        elif kind == "compact_full":
+            t.compact()
+            history.append((t.current_version(), dict(oracle)))
+        elif kind == "compact_buckets":
+            t.compact(buckets=list(op[1]))
+            history.append((t.current_version(), dict(oracle)))
+        elif kind == "rollback":
+            idx = op[1] % len(history)
+            version, state = history[idx]
+            t.rollback(version)
+            oracle = dict(state)
+            history.append((t.current_version(), dict(oracle)))
+
+    got = {
+        r["url"]: (r["warc_ts"], r["v"]) for r in t.read().collect()
+    }
+    exp = {
+        url: (ts, v) for url, (ts, lsn, v, deleted) in oracle.items() if not deleted
+    }
+    assert got == exp
