@@ -195,7 +195,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
     bands: int = 4,
 ) -> DataFrame:
     """All pairs (a < b) with SimHash hamming distance <= max_hamming.
@@ -204,30 +204,36 @@ def simhash_near_dup_pairs(
     the distance bound must agree exactly on >= 1 band (pigeonhole), so the
     candidate join runs per (band, band_bits) bucket — never all-pairs — and
     the exact hamming filter then prunes false candidates. The classical
-    SimHash dedup join (Manku et al., WWW'07, public algorithm)."""
+    SimHash dedup join (Manku et al., WWW'07, public algorithm).
+
+    Default fingerprint width is 60 bits (32-bit simhashes have too little
+    entropy on a same-vocabulary corpus and band buckets degenerate toward
+    all-pairs — the reason production SimHash uses 64-bit fingerprints).
+    The fingerprint is carried as ONE long: band keys are shift/mask
+    extractions and the per-candidate hamming distance is a single
+    bit_count(xor(a, b)) — a 60-term per-character comparison was measured
+    falling out of whole-stage codegen and costing 100x on the join."""
     assert bands > max_hamming, "pigeonhole exactness needs bands > max_hamming"
     width = bits // bands
-    sh = simhash(df, id_col, text_col, bits)
+    sh = simhash(df, id_col, text_col, bits).withColumn(
+        "sh_num", F.conv(F.col("simhash"), 2, 10).cast("long")
+    )
     banded = sh.select(
         "doc_id",
-        "simhash",
+        "sh_num",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("band"),
-                    F.substring("simhash", j * width + 1, width).alias("band_bits"),
+                    F.shiftright(F.col("sh_num"), j * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("band_bits"),
                 )
                 for j in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"))
+    ).select("doc_id", "sh_num", F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"))
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = sum(
-        F.when(
-            F.substring(F.col("a.simhash"), i, 1) != F.substring(F.col("b.simhash"), i, 1), 1
-        ).otherwise(0)
-        for i in range(1, bits + 1)
-    )
     return (
         a.join(
             b,
@@ -238,7 +244,7 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.bit_count(F.col("a.sh_num").bitwiseXOR(F.col("b.sh_num"))).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -246,13 +252,22 @@ def simhash_near_dup_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash over word tokens as a bit string: bit_j = 1 iff
-    sum over distinct tokens of (2*((md5_int32(token)>>j)&1)-1) > 0."""
+    """SimHash over word tokens as a bit string: bit_j = 1 iff
+    sum over distinct tokens of (2*((md5_int(token)>>j)&1)-1) > 0.
+    Token hash width follows ``bits``: up to 60 bits from the md5 prefix
+    (15 hex chars keeps the value inside a signed 64-bit long in both
+    engines)."""
+    assert bits <= 60, "token hash draws at most 60 bits from the md5 prefix"
+    tok_hash = (
+        md5_int32(F.col("tok"))
+        if bits <= 32
+        else F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    )
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
-        .withColumn("h", md5_int32(F.col("tok")))
+        .withColumn("h", tok_hash)
     )
     aggs = [
         F.sum(((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"s{j}")

@@ -25,11 +25,24 @@ def _dvec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
 def cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def cosine_prenorm(a, b, na, nb):
+    """Cosine with HOISTED norms: the join-side norm is computed once per ROW
+    and carried as a column, so each candidate pair evaluates one dot product
+    instead of dot + two norms (3x less lambda work on quadratic/candidate
+    joins; float-identical to cosine() — same expressions, just factored)."""
+    return dot(a, b) / (na * nb)
 
 
 def brute_force_topk(
@@ -41,12 +54,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query id (self-match excluded)."""
     base = df.select(F.col(id_col).alias("nn_id"), _dvec(F.col(vec_col)).alias("nn_vec"))
+    base = base.withColumn("nn_norm", vec_norm(F.col("nn_vec")))
     queries = (
         df.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("q_vec"))
+        .withColumn("q_norm", vec_norm(F.col("q_vec")))
     )
     scored = base.join(F.broadcast(queries), F.col("nn_id") != F.col("query_id")).withColumn(
-        "sim", F.round(cosine(F.col("q_vec"), F.col("nn_vec")), 6)
+        "sim",
+        F.round(cosine_prenorm(F.col("q_vec"), F.col("nn_vec"), F.col("q_norm"), F.col("nn_norm")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nn_id"))
     return (
@@ -139,13 +155,21 @@ def ivf_assign(
     centroids. The centroid set is folded into the expression tree as
     literals, so assignment is a pure map-side projection — zero shuffles,
     zero joins, no window — regardless of corpus size."""
+    import math
+
     if centroids is None:
         centroids = ivf_train_centroids(df, n_centroids, id_col, vec_col)
     v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+    v = v.withColumn("vnorm", vec_norm(F.col("vec")))
+    # centroid norms are Python-side constants — the row evaluates ONE vector
+    # norm plus n_centroids dot products, not n_centroids full cosines
     sims = F.array(
         *[
             F.struct(
-                cosine(F.col("vec"), F.array(*[F.lit(x) for x in c])).alias("c_sim"),
+                (
+                    dot(F.col("vec"), F.array(*[F.lit(x) for x in c]))
+                    / (F.col("vnorm") * F.lit(math.sqrt(sum(x * x for x in c)) or 1.0))
+                ).alias("c_sim"),
                 F.lit(j).alias("centroid_id"),
             )
             for j, c in enumerate(centroids)
@@ -155,10 +179,11 @@ def ivf_assign(
     # toward the larger centroid id, deterministically.
     probes = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
     return v.select(
-        "vid", "vec", F.posexplode(probes).alias("pr", "probe")
+        "vid", "vec", "vnorm", F.posexplode(probes).alias("pr", "probe")
     ).select(
         "vid",
         "vec",
+        "vnorm",
         F.col("probe.centroid_id").alias("centroid_id"),
         (F.col("pr") + 1).cast("int").alias("probe_rank"),
     )
@@ -188,7 +213,9 @@ def ivf_ann_topk(
     ).select(
         F.col("a.vid").alias("query_id"),
         F.col("b.vid").alias("nn_id"),
-        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+        F.round(
+            cosine_prenorm(F.col("a.vec"), F.col("b.vec"), F.col("a.vnorm"), F.col("b.vnorm")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nn_id"))
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
@@ -206,8 +233,10 @@ def lsh_ann_topk(
     vectors the bucket join replaces the full cross product; recall is tuned
     by n_planes (fewer planes -> bigger buckets -> higher recall & cost)."""
     planes = _hyperplanes(dim, n_planes)
-    v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec")).withColumn(
-        "bucket", lsh_bucket(F.col("vec"), planes)
+    v = (
+        df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        .withColumn("vnorm", vec_norm(F.col("vec")))
     )
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
@@ -215,7 +244,9 @@ def lsh_ann_topk(
     ).select(
         F.col("a.vid").alias("query_id"),
         F.col("b.vid").alias("nn_id"),
-        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+        F.round(
+            cosine_prenorm(F.col("a.vec"), F.col("b.vec"), F.col("a.vnorm"), F.col("b.vnorm")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nn_id"))
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -746,6 +746,7 @@ def doc_simhash(spark, sf_dir):
 
 def _simhash_sql(bits: int = 32) -> str:
     norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    hex_chars = 8 if bits <= 32 else 15  # 60-bit hash stays inside BIGINT
     sums = ", ".join(
         f"sum(((h // {1 << j}) % 2) * 2 - 1) AS s{j}" for j in range(bits)
     )
@@ -759,7 +760,7 @@ def _simhash_sql(bits: int = 32) -> str:
       WHERE tok <> ''
     ),
     hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, {hex_chars}))::BIGINT AS h FROM toks
     ),
     sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
     SELECT doc_id, {concat} AS simhash FROM sums
@@ -767,6 +768,30 @@ def _simhash_sql(bits: int = 32) -> str:
 
 
 ORACLE["doc_simhash"] = _simhash_sql()
+
+
+def _simhash_num_sql(bits: int) -> str:
+    """Numeric-fingerprint variant (doc_id, sh_num) of the simhash twin."""
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    hex_chars = 8 if bits <= 32 else 15
+    sums = ", ".join(
+        f"sum(((h // {1 << j}) % 2) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    num = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM documents, UNNEST(string_split({norm}, ' ')) AS t(tok)
+      WHERE tok <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, {hex_chars}))::BIGINT AS h FROM toks
+    ),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({num} AS BIGINT) AS sh_num FROM sums
+    """
 
 
 # =====================================================================
@@ -848,11 +873,13 @@ def emb_ivf_ann(spark, sf_dir):
 )
 def emb_near_dup_pairs(spark, sf_dir):
     e = ld(spark, sf_dir, "embeddings")
-    from data_exchange_routing_spark.functions.similarity import _dvec, cosine
+    from data_exchange_routing_spark.functions.similarity import _dvec, cosine_prenorm, vec_norm
 
     a = e.select(F.col("vec_id").alias("id_a"), _dvec(F.col("embedding")).alias("va"))
+    a = a.withColumn("na", vec_norm(F.col("va")))
     b = e.select(F.col("vec_id").alias("id_b"), _dvec(F.col("embedding")).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    b = b.withColumn("nb", vec_norm(F.col("vb")))
+    sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .filter(sim >= 0.42)
@@ -1817,23 +1844,21 @@ def doc_simhash_pairs(spark, sf_dir):
     return DT.simhash_near_dup_pairs(ld(spark, sf_dir, "documents"), max_hamming=3)
 
 
-def _simhash_pairs_sql(max_hamming: int = 3, bits: int = 32, bands: int = 4) -> str:
+def _simhash_pairs_sql(max_hamming: int = 3, bits: int = 60, bands: int = 4) -> str:
     """Banded SimHash near-dup join: candidates share >= 1 exact band
-    (pigeonhole-exact for hamming <= bands-1), hamming filter per pair."""
+    (pigeonhole-exact for hamming <= bands-1); band keys via shift/mask,
+    hamming via one bit_count(xor(...)) — same numeric plan as Spark."""
     width = bits // bands
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {j} AS band, substr(simhash, {j * width + 1}, {width}) AS band_bits FROM sh"
+        f"SELECT doc_id, sh_num, {j} AS band, (sh_num // {1 << (j * width)}) % {1 << width} AS band_bits FROM sh"
         for j in range(bands)
     )
-    hamming = " + ".join(
-        f"(CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1) THEN 1 ELSE 0 END)"
-        for i in range(1, bits + 1)
-    )
     return f"""
-    WITH sh AS ({_simhash_sql(bits)}),
+    WITH sh AS ({_simhash_num_sql(bits)}),
     banded AS ({band_rows})
     SELECT DISTINCT doc_a, doc_b, hamming FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {hamming} AS hamming
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sh_num, b.sh_num)) AS INT) AS hamming
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
     ) WHERE hamming <= {max_hamming}

@@ -404,7 +404,8 @@ def test_simhash_pairs_exact_vs_brute_force(spark):
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    # same fingerprint width as the pairs operator's default (60-bit)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=60).collect()}
     ham = lambda a, b: sum(x != y for x, y in zip(sh[a], sh[b]))
     ids = sorted(sh)
     expected = sorted(
