@@ -29,6 +29,7 @@ def stage_multicast_delta(
     staging_dir: str,
     n_buckets: int,
     ts_col: str = "warc_ts",
+    key_col: str = "url",
 ) -> dict[str, list[dict]]:
     """Write the combined delta partitioned by (destination, bucket); return
     {destination: [manifest entries with absolute paths + footer stats]}.
@@ -69,16 +70,24 @@ def stage_multicast_delta(
     def stat_one(item: tuple[str, int, str]) -> tuple[str, dict]:
         dest, bucket, full = item
         md = pq.ParquetFile(full).metadata
-        tmin = tmax = None
-        # column stats from row-group footers (ts watermark for lineage)
+        tmin = tmax = kmin = kmax = None
+        # column stats from row-group footers: ts watermark for lineage plus
+        # the merge-key range for manifest-level file pruning (point reads
+        # skip files whose [key_min, key_max] cannot contain the key)
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
                 col = md.row_group(rg).column(ci)
-                if col.path_in_schema == ts_col and col.statistics is not None:
-                    s = col.statistics
-                    if s.has_min_max:
-                        tmin = s.min if tmin is None else min(tmin, s.min)
-                        tmax = s.max if tmax is None else max(tmax, s.max)
+                if col.statistics is None or not col.statistics.has_min_max:
+                    continue
+                s = col.statistics
+                if col.path_in_schema == ts_col:
+                    tmin = s.min if tmin is None else min(tmin, s.min)
+                    tmax = s.max if tmax is None else max(tmax, s.max)
+                elif col.path_in_schema == key_col:
+                    lo = s.min.decode("utf-8", "replace") if isinstance(s.min, bytes) else s.min
+                    hi = s.max.decode("utf-8", "replace") if isinstance(s.max, bytes) else s.max
+                    kmin = lo if kmin is None else min(kmin, lo)
+                    kmax = hi if kmax is None else max(kmax, hi)
         return dest, {
             "path": full,
             "bucket": bucket,
@@ -87,6 +96,8 @@ def stage_multicast_delta(
             "bytes": os.path.getsize(full),
             "ts_min": tmin.isoformat() if tmin is not None else None,
             "ts_max": tmax.isoformat() if tmax is not None else None,
+            "key_min": kmin,
+            "key_max": kmax,
         }
 
     from concurrent.futures import ThreadPoolExecutor

@@ -444,15 +444,38 @@ class LakeTable:
                         bucket = int(part[len(marker):])
                 import pyarrow.parquet as pq
 
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, self.path),
-                        "bucket": bucket,
-                        "kind": "delta",
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
-                        "bytes": os.path.getsize(full),
-                    }
-                )
+                md = pq.ParquetFile(full).metadata
+                entry = {
+                    "path": os.path.relpath(full, self.path),
+                    "bucket": bucket,
+                    "kind": "delta",
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(full),
+                }
+                # merge-key range from the footers: manifest-level file
+                # pruning for point reads (Iceberg column-stats analog)
+                if snap.key is not None:
+                    kmin = kmax = None
+                    complete = True
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            col = md.row_group(rg).column(ci)
+                            if col.path_in_schema != snap.key:
+                                continue
+                            s = col.statistics
+                            if s is None or not s.has_min_max:
+                                complete = False
+                                break
+                            lo = s.min.decode("utf-8", "replace") if isinstance(s.min, bytes) else s.min
+                            hi = s.max.decode("utf-8", "replace") if isinstance(s.max, bytes) else s.max
+                            kmin = lo if kmin is None else min(kmin, lo)
+                            kmax = hi if kmax is None else max(kmax, hi)
+                        if not complete:
+                            break
+                    if complete and kmin is not None:
+                        entry["key_min"] = kmin
+                        entry["key_max"] = kmax
+                entries.append(entry)
         return entries
 
     def _evolved_schema(self, snap: Snapshot, df: DataFrame) -> str | None:
@@ -849,7 +872,6 @@ class LakeTable:
         snap = self.snapshot()
         if snap.key is None:
             raise ValueError("point_read requires a keyed table")
-        bucket = None
         # compute the bucket exactly as the write path does (xxhash64 in JVM)
         bucket = (
             self.spark.range(1)
@@ -858,7 +880,25 @@ class LakeTable:
             )
             .collect()[0]["b"]
         )
-        return self.read(buckets=[bucket]).filter(F.col(snap.key) == key_value)
+        # manifest-level file pruning inside the bucket: a file whose
+        # [key_min, key_max] footer range cannot contain the key is skipped
+        # before Spark lists it (files without recorded ranges are kept)
+        files = [
+            f
+            for f in snap.files
+            if f["bucket"] in (bucket, -1)
+            and (
+                f.get("key_min") is None
+                or f.get("key_max") is None
+                or f["key_min"] <= key_value <= f["key_max"]
+            )
+        ]
+        df = self._read_files(snap, files, with_internal=True)
+        if any(f["kind"] == "delta" for f in files):
+            df = self._resolve(df, snap.key)
+        df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
+        return df.filter(F.col(snap.key) == key_value)
 
     def bucket_delta_stats(self) -> dict[int, dict]:
         """Per-bucket delta amplification from the manifest alone (no scan):

@@ -653,3 +653,46 @@ def test_lake_random_operation_sequences_match_oracle(spark, tmp_path_factory, o
         url: (ts, v) for url, (ts, lsn, v, deleted) in oracle.items() if not deleted
     }
     assert got == exp
+
+
+def test_point_read_prunes_files_by_key_range(spark, tmpdir_path):
+    """Manifest entries record the merge-key min/max from parquet footers;
+    point_read must skip files in the key's bucket whose range cannot
+    contain the key (observed via DataFrame.inputFiles), and still return
+    the exact resolved row."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), schema, key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    # many commits, each covering a narrow disjoint key range -> files with
+    # narrow [key_min, key_max] windows inside each bucket
+    for epoch in range(8):
+        rows = [
+            (f"k{epoch:02d}{i:03d}", ts + dt.timedelta(hours=epoch), epoch * 1000 + i, epoch * 1000 + i, False)
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, v int, _lsn long, _deleted boolean")
+        t.merge_cdc(df, epoch_id=epoch, source="cdc")
+    snap = t.snapshot()
+    assert all("key_min" in f and "key_max" in f for f in snap.files)
+
+    key = "k03007"
+    got = t.point_read(key)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 3007
+    read_files = {os.path.relpath(p.replace("file:", ""), t.path) for p in got.inputFiles()}
+    bucket_files = {f["path"] for f in snap.files}
+    assert read_files <= bucket_files
+    # pruning really happened: far fewer files read than the table holds
+    # (the key's bucket holds ~8 files; its range matches only ~1)
+    assert len(read_files) <= 2, f"read {len(read_files)} files: {read_files}"
+    assert t.point_read("no-such-key").count() == 0
