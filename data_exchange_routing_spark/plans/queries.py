@@ -1935,3 +1935,44 @@ def events_weekly_retention(spark, sf_dir):
             F.count("b_user").alias("retained_next_week"),
         )
     )
+
+
+@q(
+    "events_rollup_view",
+    # incremental rollup view (hypertable continuous-aggregate analog): the
+    # events stream is folded day-by-day into per-epoch PARTIAL aggregates
+    # and the view's merge-on-read combine must equal the plain GROUP BY
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def events_rollup_view(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.rollup import RollupView
+
+    e = ld(spark, sf_dir, "events")
+    view = RollupView.create(
+        spark,
+        tempfile.mkdtemp(prefix="rollup_entry_") + "/v",
+        ["event_type"],
+        {"n": ("count", None), "total": ("sum", "value"), "vmin": ("min", "value"), "vmax": ("max", "value")},
+        e.select("event_type", "user_id", "value").schema,
+    )
+    days = sorted(
+        r["d"] for r in e.select(F.dayofyear("ts").alias("d")).distinct().collect()
+    )
+    for day in days:  # one micro-batch per day — the incremental fold
+        view.apply_epoch(e.filter(F.dayofyear("ts") == day), epoch_id=int(day))
+    return view.read().select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
