@@ -911,6 +911,124 @@ def cdc_replay_web_pages(spark, sf_dir):
     return wp.select(*cols)
 
 
+@q(
+    "cdc_replay_from_events",
+    # FULL CDC replay under the hard driver oracle. Both engines derive the
+    # SAME change-event stream from the shared `events` table with exact-twin
+    # expressions (sources/datagen.py:derive_change_events_from_events — keep
+    # in lockstep); Spark actually REPLAYS it through the warehouse engine
+    # (validate split -> broadcast route join -> multicast -> LWW dedup ->
+    # text extraction -> epoch-guarded merge commits -> merge-on-read read
+    # back), while DuckDB computes the expected final state in closed form:
+    # global last-writer-wins per (dest, url) by (warc_ts DESC, lsn DESC),
+    # tombstone winners dropped, dead-letter/unrouted rows excluded, the
+    # extracted text and payload md5 reconstructed from the fixed template,
+    # and the additively-evolved `charset` column null-backfilled.
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    typed AS (
+      SELECT lsn, warc_ts, user_id, event_type,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op,
+        CASE WHEN lsn % 29 = 0 THEN 'application/octet-stream'
+             WHEN lsn % 29 = 1 THEN 'application/xml'
+             WHEN lsn % 4 = 0 THEN 'text/html'
+             WHEN lsn % 4 = 1 THEN 'application/pdf'
+             WHEN lsn % 4 = 2 THEN 'text/plain'
+             ELSE 'application/json' END AS content_type
+      FROM ev
+    ),
+    valid AS (
+      SELECT *,
+        CASE content_type
+          WHEN 'text/html' THEN 'web_pages'
+          WHEN 'application/pdf' THEN 'web_pages_pdf'
+          WHEN 'text/plain' THEN 'web_pages_plain'
+          ELSE 'web_pages_json' END AS dest
+      FROM typed
+      WHERE lsn % 43 <> 0 AND lsn % 41 <> 0
+        AND content_type IN
+            ('text/html','application/pdf','text/plain','application/json')
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY dest, user_id ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM valid
+    )
+    SELECT dest,
+      'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+        || CAST(user_id AS VARCHAR) AS url,
+      warc_ts,
+      'T P ' || CAST(user_id AS VARCHAR) || ' rev ' || CAST(lsn AS VARCHAR)
+        || ' & type ' || event_type AS text,
+      CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+        WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang,
+      CASE WHEN lsn % 4 >= 2 THEN
+        (CASE WHEN user_id % 2 = 0 THEN 'utf-8' ELSE 'latin-1' END)
+      END AS charset,
+      md5('<html><!-- cdc fixture --><head><title>T</title>'
+          || '<script>var x=1;</script></head><body><h1>P '
+          || CAST(user_id AS VARCHAR) || '</h1><p>rev ' || CAST(lsn AS VARCHAR)
+          || ' &amp; type ' || event_type || '</p></body></html>') AS html_md5,
+      lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_replay_from_events(spark, sf_dir):
+    """Driver-oracle-checked end-to-end CDC replay (the flagship path).
+
+    Derives a portable change stream from `events`, writes it as a
+    binlog-segment directory, replays it through the REAL warehouse engine
+    (pipeline.py), then reads back all four destination tables' resolved
+    state. The DuckDB twin recomputes that state independently — so the
+    hash compare covers dedup ordering, validation, routing, tombstones,
+    byte-level payloads (md5), extracted text, and schema evolution."""
+    import tempfile
+
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.sources.datagen import (
+        PORTABLE_ROUTES,
+        derive_change_events_from_events,
+    )
+
+    events = derive_change_events_from_events(ld(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="cdc_oracle_")
+    events.write.mode("overwrite").partitionBy("epoch_hint").parquet(f"{root}/events")
+    wh = Warehouse(spark, f"{root}/wh", n_buckets=8)
+    replay(wh, f"{root}/events")
+    parts = []
+    for _ct, tbl in PORTABLE_ROUTES:
+        t = wh.table(tbl).read(with_internal=True)
+        charset = (
+            F.col("charset") if "charset" in t.columns
+            else F.lit(None).cast("string")
+        )
+        parts.append(
+            t.select(
+                F.lit(tbl).alias("dest"),
+                F.col("url"),
+                F.col("warc_ts"),
+                F.col("text"),
+                F.col("lang"),
+                charset.alias("charset"),
+                F.md5(F.col("html")).alias("html_md5"),
+                F.col("_lsn").alias("lsn"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed

@@ -199,3 +199,121 @@ def write_change_events(
         .partitionBy("epoch_hint")
         .parquet(out_dir)
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle-portable change-event derivation (driver-checkable CDC replay).
+#
+# generate_change_events above is the full-fidelity fixture (xxhash64
+# randomness, non-UTF8 bytes, verbatim dup sampling) — its replay gate is the
+# pure-pandas oracle in tests/test_replay_e2e.py. xxhash64 does not exist in
+# DuckDB, so that path can never be driver-oracle-checked.
+#
+# derive_change_events_from_events instead derives a change stream from the
+# shared `events` parquet table using ONLY expressions with exact DuckDB
+# twins (integer modulus, string concat of bigints, fixed templates). Both
+# engines therefore reconstruct byte-identical event logs independently, and
+# the driver can hash-compare the engine's REPLAYED final table state —
+# dedup, validation split, routing multicast, tombstones, text extraction
+# and additive schema evolution all under the hard oracle gate.
+# --------------------------------------------------------------------------
+
+# content_type -> destination table, in lsn%4 derivation order
+PORTABLE_ROUTES = [
+    ("text/html", "web_pages"),
+    ("application/pdf", "web_pages_pdf"),
+    ("text/plain", "web_pages_plain"),
+    ("application/json", "web_pages_json"),
+]
+
+
+def derive_change_events_from_events(ev: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, event_type) -> CDC change-event stream.
+
+    Every derivation rule is mirrored verbatim in the DuckDB oracle of the
+    `cdc_replay_from_events` registry query (plans/queries.py) — keep the two
+    in lockstep:
+      lsn        = event_id                      (unique log sequence)
+      url        = keyed by user_id              (LWW key; ~N events/url)
+      op         = D if lsn%37=0, I if lsn%11=0, else U
+      dup        = rows with lsn%53=0 re-delivered verbatim (at-least-once)
+      dead       = lsn%43=0 empty meta; lsn%41=0 missing data_stream_id
+      unrouted   = lsn%29=0 octet-stream (no route), =1 xml (invalid route)
+      charset    = present for epochs>=2 (additive schema evolution)
+      html       = fixed ASCII template (comment+script+entity) so the
+                   extracted text is a closed-form string both engines know
+    """
+    lsn = F.col("event_id")
+    uid = F.col("user_id")
+    op = (
+        F.when(lsn % 37 == 0, F.lit("D"))
+        .when(lsn % 11 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    content_type = (
+        F.when(lsn % 29 == 0, F.lit(UNROUTED_CONTENT_TYPE))
+        .when(lsn % 29 == 1, F.lit(INVALID_ROUTE_CONTENT_TYPE))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(ct) for ct, _ in PORTABLE_ROUTES]),
+                (lsn % 4 + 1).cast("int"),
+            )
+        )
+    )
+    url = F.concat(
+        F.lit("https://site-"),
+        (uid % 97).cast("string"),
+        F.lit(".example/p/"),
+        uid.cast("string"),
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]), (lsn % 5 + 1).cast("int")
+    )
+    body = F.concat(
+        F.lit("<html><!-- cdc fixture --><head><title>T</title>"
+              "<script>var x=1;</script></head><body><h1>P "),
+        uid.cast("string"),
+        F.lit("</h1><p>rev "),
+        lsn.cast("string"),
+        F.lit(" &amp; type "),
+        F.col("event_type"),
+        F.lit("</p></body></html>"),
+    )
+    html = F.when(op == F.lit("D"), F.lit(None).cast("binary")).otherwise(
+        F.encode(body, "UTF-8")
+    )
+    base_meta = F.create_map(
+        F.lit("data_stream_id"),
+        F.concat(F.lit("stream-"), (uid % 4).cast("string")),
+        F.lit("data_stream_route"),
+        F.concat(F.lit("route-"), (uid % 3).cast("string")),
+    )
+    charset_meta = F.map_concat(
+        base_meta,
+        F.create_map(
+            F.lit("charset"),
+            F.when(uid % 2 == 0, F.lit("utf-8")).otherwise(F.lit("latin-1")),
+        ),
+    )
+    missing_id_meta = F.create_map(
+        F.lit("data_stream_route"),
+        F.concat(F.lit("route-"), (uid % 3).cast("string")),
+    )
+    meta = (
+        F.when(lsn % 43 == 0, F.create_map().cast("map<string,string>"))
+        .when(lsn % 41 == 0, missing_id_meta)
+        .otherwise(F.when(lsn % 4 >= 2, charset_meta).otherwise(base_meta))
+    )
+    base = ev.filter(F.col("ts").isNotNull()).select(
+        lsn.alias("lsn"),
+        op.alias("op"),
+        url.alias("url"),
+        F.col("ts").alias("warc_ts"),
+        html.alias("html"),
+        lang.alias("lang"),
+        content_type.alias("content_type"),
+        meta.alias("meta"),
+        (lsn % 4).cast("int").alias("epoch_hint"),
+    )
+    dups = base.filter(F.col("lsn") % 53 == 0)
+    return base.unionAll(dups)
