@@ -294,3 +294,124 @@ def generate_media(spark, n: int = 200) -> DataFrame:
         F.create_map(F.lit("source"), F.concat(F.lit("cam-"), F.pmod(F.col("id"), F.lit(7)).cast("string"))).alias("meta"),
     )
     return df
+
+
+# ------------------------------------------------------------- WAV codec
+# Real, dependency-free codec for canonical RIFF/WAVE PCM (16-bit little-
+# endian, the format's public spec: 44-byte header = RIFF chunk + fmt chunk
+# + data chunk header). Un-stubs the AUDIO modality the same way the BMP
+# codec un-stubbed images: encode -> Spark binary column -> mapInPandas
+# decode of the actual bytes, with an exact closed-form oracle.
+
+_WAV_HEADER = 44
+
+
+def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """int16 numpy array (n_samples * n_channels interleaved) -> WAV bytes."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate, block_align, 16
+        )
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes):
+    """WAV bytes -> (sample_rate, n_channels, int16 numpy array). Raises
+    ValueError on anything but canonical 16-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < _WAV_HEADER or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt_tag, n_channels, sample_rate = struct.unpack_from("<HHI", b, 20)
+    bits = struct.unpack_from("<H", b, 34)[0]
+    if fmt_tag != 1 or bits != 16 or b[36:40] != b"data":
+        raise ValueError(f"unsupported WAV variant (fmt={fmt_tag}, bits={bits})")
+    n_bytes = struct.unpack_from("<I", b, 40)[0]
+    pcm = np.frombuffer(b, dtype="<i2", count=n_bytes // 2, offset=_WAV_HEADER)
+    return sample_rate, n_channels, pcm.copy()
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction over REAL decoded PCM — partition-
+    parallel, no shuffle, one Python call per Arrow batch. ``peak`` is
+    max(sample) over the decoded data chunk, so the gate proves the engine
+    parsed actual sample bytes, not just the header."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    row = (int(aid), None, None, None, None, None, None)
+                else:
+                    rate, ch, pcm = decode_wav(payload)
+                    frames = len(pcm) // ch
+                    row = (
+                        int(aid),
+                        len(bytes(payload)),
+                        rate,
+                        ch,
+                        frames,
+                        frames * 1000 // rate,
+                        int(pcm.max()) if len(pcm) else None,
+                    )
+                for k, v in zip(out, row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, AUDIO_FEATURE_SCHEMA)
+
+
+def generate_wav_media(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """REAL 16-bit PCM WAV payloads with closed-form structure:
+      sample_rate = 8000 * (1 + id % 2); n_channels = 1 + id % 2;
+      frames = 800 + id % 1600; samples[j] = ((j % 256) - 128) * (1 + id % 32)
+    so n_bytes = 44 + 2 * n_channels * frames and (frames >= 256) the peak is
+    exactly 127 * (1 + id % 32) — pure arithmetic a SQL oracle can state."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict = {"asset_id": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                rate = 8000 * (1 + i % 2)
+                ch = 1 + i % 2
+                frames = 800 + i % 1600
+                amp = 1 + i % 32
+                j = np.arange(frames * ch, dtype=np.int64)
+                samples = ((j % 256) - 128) * amp
+                rows["asset_id"].append(i)
+                rows["kind"].append("audio")
+                rows["payload"].append(encode_wav(samples.astype("<i2"), rate, ch))
+                rows["meta"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, MEDIA_SCHEMA)

@@ -1060,6 +1060,35 @@ def multimodal_bmp_features(spark, sf_dir):
     return feats.select("asset_id", "n_bytes", "width", "height", "n_frames")
 
 
+@q(
+    "multimodal_wav_features",
+    # REAL audio path with an exact closed-form oracle: payloads are genuine
+    # 16-bit PCM RIFF/WAVE files (structure derived from vec_id), the Spark
+    # side DECODES the actual bytes (functions/multimodal.py WAV codec) —
+    # `peak` comes from max() over the decoded sample data, so the gate
+    # proves real PCM parsing, not just header arithmetic.
+    """
+    SELECT CAST(vec_id AS BIGINT) AS asset_id,
+           CAST(44 + 2 * (1 + vec_id % 2) * (800 + vec_id % 1600) AS BIGINT) AS n_bytes,
+           CAST(8000 * (1 + vec_id % 2) AS INT) AS sample_rate,
+           CAST(1 + vec_id % 2 AS INT) AS n_channels,
+           CAST(800 + vec_id % 1600 AS BIGINT) AS n_samples,
+           CAST((800 + vec_id % 1600) * 1000 // (8000 * (1 + vec_id % 2)) AS BIGINT)
+             AS duration_ms,
+           CAST(127 * (1 + vec_id % 32) AS INT) AS peak
+    FROM embeddings
+    """,
+)
+def multimodal_wav_features(spark, sf_dir):
+    from data_exchange_routing_spark.functions.multimodal import (
+        extract_audio_features,
+        generate_wav_media,
+    )
+
+    media = generate_wav_media(ld(spark, sf_dir, "embeddings").select("vec_id"))
+    return extract_audio_features(media)
+
+
 # =====================================================================
 # 5. Relational breadth: subqueries, cube/grouping sets, set ops,
 #    analytic windows, as-of + range joins (beyond-reference per brief)

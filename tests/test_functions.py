@@ -419,3 +419,55 @@ def test_simhash_pairs_exact_vs_brute_force(spark):
         for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
     )
     assert got == expected and expected  # exact, and non-trivial on this data
+
+
+def test_wav_codec_roundtrip_and_real_decode():
+    import numpy as np
+
+    from data_exchange_routing_spark.functions.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(7)
+    for rate, ch, frames in [(8000, 1, 1), (16000, 2, 500), (44100, 1, 2048)]:
+        samples = rng.randint(-32768, 32768, size=frames * ch, dtype=np.int16)
+        payload = encode_wav(samples, rate, ch)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        assert len(payload) == 44 + 2 * frames * ch
+        rate2, ch2, pcm = decode_wav(payload)
+        assert (rate2, ch2) == (rate, ch)
+        assert np.array_equal(pcm, samples)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"notawav" * 20)
+    # stdlib `wave` agrees with our header layout (independent decoder)
+    import io
+    import wave
+
+    samples = rng.randint(-32768, 32768, size=300, dtype=np.int16)
+    wav = encode_wav(samples, 8000, 1)
+    with wave.open(io.BytesIO(wav)) as r:
+        assert (r.getframerate(), r.getnchannels(), r.getsampwidth()) == (8000, 1, 2)
+        assert np.array_equal(np.frombuffer(r.readframes(300), dtype="<i2"), samples)
+
+
+def test_real_wav_feature_pipeline(spark):
+    """Un-stubbed audio path end-to-end: encode real PCM WAVs in Spark,
+    decode the actual bytes in extract_audio_features, and check every
+    feature against the closed-form structure (peak proves sample parsing)."""
+    from data_exchange_routing_spark.functions.multimodal import (
+        extract_audio_features,
+        generate_wav_media,
+    )
+
+    ids = spark.range(40).withColumnRenamed("id", "vec_id")
+    feats = extract_audio_features(generate_wav_media(ids)).collect()
+    assert len(feats) == 40
+    for r in feats:
+        i = r.asset_id
+        ch, frames = 1 + i % 2, 800 + i % 1600
+        assert r.n_bytes == 44 + 2 * ch * frames
+        assert r.sample_rate == 8000 * (1 + i % 2)
+        assert r.n_channels == ch
+        assert r.n_samples == frames
+        assert r.duration_ms == frames * 1000 // r.sample_rate
+        assert r.peak == 127 * (1 + i % 32)
