@@ -2123,3 +2123,84 @@ def events_rollup_view(spark, sf_dir):
         F.round("vmin", 6).alias("vmin"),
         F.round("vmax", 6).alias("vmax"),
     )
+
+
+@q(
+    "q2_min_cost_supplier",
+    # TPC-H q2 SHAPE over the available columns (no partsupp table in the
+    # fixture): correlated min-subquery — per part, keep the supplier(s)
+    # offering the minimum observed unit cost. Decorrelated in Spark as a
+    # window min over one aggregation (no double scan).
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           round(c.unit_cost, 2) AS unit_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+      AND p.p_size < 15
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    p = ld(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    s = ld(spark, sf_dir, "supplier")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("_min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("_min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.round(F.col("unit_cost"), 2).alias("unit_cost"),
+        )
+    )
+
+
+@q(
+    "q20_excess_shipments_suppliers",
+    # TPC-H q20 SHAPE: semi-join against an aggregated correlated subquery —
+    # suppliers that shipped > 50 units of any small part in 1995-1996.
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 15)
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 50
+    )
+    """,
+)
+def q20_excess_shipments_suppliers(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    p = ld(spark, sf_dir, "part").filter(F.col("p_size") < 15).select("p_partkey")
+    s = ld(spark, sf_dir, "supplier")
+    heavy = (
+        l.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
