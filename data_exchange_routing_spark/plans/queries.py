@@ -1089,6 +1089,41 @@ def multimodal_wav_features(spark, sf_dir):
     return extract_audio_features(media)
 
 
+@q(
+    "multimodal_gif_frames",
+    # REAL video path with an exact closed-form oracle: payloads are genuine
+    # animated GIF89a containers (variable-width LSB-first LZW, 255-byte
+    # sub-blocks — functions/multimodal.py codec). The Spark side DECODES the
+    # compressed frames, samples every 2nd, re-encodes each as BMP, then
+    # decodes THAT — `px00` is the decoded top-left pixel, so the gate proves
+    # the whole GIF-LZW -> sample -> BMP round trip against pure arithmetic:
+    # pixels[f, y, x] = (x*3 + y*5 + f*7 + id) % 256 on a grayscale palette.
+    """
+    SELECT asset_id, frame_index,
+           CAST(4 + asset_id % 16 AS INT) AS width,
+           CAST(4 + asset_id % 8 AS INT) AS height,
+           CAST(54 + ((3 * (4 + asset_id % 16) + 3) // 4) * 4 * (4 + asset_id % 8)
+                AS BIGINT) AS n_bytes,
+           CAST((7 * frame_index + asset_id) % 256 AS INT) AS px00
+    FROM (
+      SELECT CAST(vec_id AS BIGINT) AS asset_id,
+             CAST(unnest(generate_series(0, CAST(vec_id % 8 AS BIGINT), 2)) AS INT)
+               AS frame_index
+      FROM embeddings
+    )
+    """,
+)
+def multimodal_gif_frames(spark, sf_dir):
+    from data_exchange_routing_spark.functions.multimodal import (
+        generate_gif_media,
+        gif_frame_stats,
+        sample_gif_frames,
+    )
+
+    media = generate_gif_media(ld(spark, sf_dir, "embeddings").select("vec_id"))
+    return gif_frame_stats(sample_gif_frames(media, every_nth=2))
+
+
 # =====================================================================
 # 5. Relational breadth: subqueries, cube/grouping sets, set ops,
 #    analytic windows, as-of + range joins (beyond-reference per brief)
