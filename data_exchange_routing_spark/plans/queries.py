@@ -859,6 +859,33 @@ def emb_ivf_ann(spark, sf_dir):
 
 
 @q(
+    "emb_ivf_ann_exhaustive",
+    # Exact driver gate for the IVF code path: with n_probe == n_centroids
+    # every query probes every inverted list, so the k-means routing, list
+    # join, and in-list scoring must reproduce brute-force cosine top-k
+    # bit-for-bit — the same invariant FAISS uses to validate IVF indexes.
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM v a JOIN v b ON b.vec_id <> a.vec_id
+    )
+    SELECT query_id, nn_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def emb_ivf_ann_exhaustive(spark, sf_dir):
+    return SIM.ivf_ann_topk(
+        ld(spark, sf_dir, "embeddings"), k=3, n_centroids=16, n_probe=16
+    )
+
+
+@q(
     "emb_near_dup_pairs",
     # embedding-cosine near-duplicate detection (dedup family, exact variant)
     """
