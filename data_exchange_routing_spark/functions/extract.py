@@ -38,7 +38,12 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     s = _SCRIPT_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
     s = _html.unescape(s)
-    return _WS_RE.sub(" ", s).strip()
+    # byte-identical to `_WS_RE.sub(" ", s).strip()` — regex \s and str
+    # whitespace are the same character set on this interpreter (asserted at
+    # import and property-tested) — but C-speed: the regex sub walks every
+    # inter-word gap through a Python-level match loop (~380 us/12 KB doc,
+    # >half the whole extraction); split/join collapses runs natively (~9x).
+    return " ".join(s.split())
 
 
 @F.pandas_udf(T.StringType())

@@ -532,3 +532,33 @@ def test_real_gif_frame_pipeline(spark):
         assert (r.width, r.height) == (w, h)
         assert r.n_bytes == 54 + (3 * w + 3) // 4 * 4 * h
         assert r.px00 == (7 * r.frame_index + i) % 256
+
+
+def test_ws_collapse_fastpath_byte_identical_to_pinned_regex():
+    """The split/join whitespace collapse inside extract_text_py must equal
+    the pinned `\\s+ -> ' ' then strip` regex semantics byte-for-byte. Checked
+    exhaustively over every codepoint where either side could diverge, plus
+    hypothesis-generated mixed documents."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ws_re = re.compile(r"\s+")
+    # exhaustive single-char agreement: regex \s set == str whitespace set
+    div = [
+        hex(cp)
+        for cp in range(0x110000)
+        if (re.match(r"\s", chr(cp)) is not None) != chr(cp).isspace()
+    ]
+    assert div == [], f"regex \\s and str whitespace diverge at {div[:10]}"
+
+    ws_chars = "".join(chr(c) for c in range(0x3000) if chr(c).isspace())
+    mixed = st.text(alphabet=st.sampled_from(ws_chars + "ab&<>é "), max_size=60)
+
+    @settings(max_examples=300, deadline=None)
+    @given(mixed)
+    def check(s):
+        assert " ".join(s.split()) == ws_re.sub(" ", s).strip()
+
+    check()
