@@ -30,6 +30,7 @@ def stage_multicast_delta(
     n_buckets: int,
     ts_col: str = "warc_ts",
     key_col: str = "url",
+    pre_partitioned: bool = False,
 ) -> dict[str, list[dict]]:
     """Write the combined delta partitioned by (destination, bucket); return
     {destination: [manifest entries with absolute paths + footer stats]}.
@@ -37,20 +38,31 @@ def stage_multicast_delta(
     The repartition keys on (destination, bucket) so each write task owns one
     output directory -> file count is O(destinations x buckets) per epoch,
     independent of shuffle width.
+
+    ``pre_partitioned``: the caller already holds the data hash-distributed
+    by (destination, bucket) and url-sorted (the fused "local" dedup path) —
+    write directly; each (destination, bucket) group still lives wholly in
+    one task, so the one-file-per-group property is preserved without a
+    second shuffle.
     """
-    out = delta.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"))
-    # shuffle keyed on (destination, bucket); partition COUNT is left to
-    # spark.sql.shuffle.partitions + AQE coalescing so task sizes track the
-    # batch volume. partitionBy still yields exactly one file per
-    # (destination, bucket) per writing task -> file count stays
-    # O(destinations x buckets), not O(tasks x buckets).
-    (
-        out.repartition(F.col(DEST_COL), F.col(BUCKET_COL))
+    if pre_partitioned:
+        out = delta
+    else:
+        out = delta.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+        )
+        # shuffle keyed on (destination, bucket); partition COUNT is left to
+        # spark.sql.shuffle.partitions + AQE coalescing so task sizes track
+        # the batch volume. partitionBy still yields exactly one file per
+        # (destination, bucket) per writing task -> file count stays
+        # O(destinations x buckets), not O(tasks x buckets).
+        out = out.repartition(F.col(DEST_COL), F.col(BUCKET_COL))
         # cluster by url inside each (destination, bucket) file: a
         # partition-local sort (no extra shuffle) that tightens parquet
         # row-group min/max on the key -> point reads skip row groups
-        .sortWithinPartitions(DEST_COL, BUCKET_COL, "url")
-        .write.mode("overwrite")
+        out = out.sortWithinPartitions(DEST_COL, BUCKET_COL, "url")
+    (
+        out.write.mode("overwrite")
         .partitionBy(DEST_COL, BUCKET_COL)
         .parquet(staging_dir)
     )

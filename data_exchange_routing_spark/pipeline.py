@@ -17,11 +17,15 @@ routeSourceBlobToDestination -> sendProcessingStatus
 Error rows never abort the batch (F12, CHANGELOG 0.0.40) — they divert to the
 dead_letter table with exact error strings.
 
-Scale shape per epoch: one scan of the batch (cached), one broadcast join
-(config ~5 rows), one hash aggregation per destination (map-side combined, so
-Zipf-hot urls pre-reduce before the shuffle), extraction only on the deduped
-survivors, and O(batch)-sized delta file writes — per-epoch cost is O(batch),
-independent of table size (merge-on-read lake layer).
+Scale shape per epoch (default dedup_strategy="local"): one scan of the
+batch, one broadcast join (config ~5 rows), then ONE shuffle keyed
+(destination, bucket) whose partition-local sort makes last-writer-wins
+dedup an adjacency filter inside the same Arrow pass as text extraction,
+and O(batch)-sized delta file writes — per-epoch cost is O(batch),
+independent of table size (merge-on-read lake layer). The "agg" strategy
+(map-side-combined max_by, two shuffles) remains selectable for
+pathological duplicate rates; "window_salted" demonstrates explicit
+salting. All three are final-state-equivalence gated.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_exchange_routing_spark import __version__
 from data_exchange_routing_spark.functions.extract import extract_text
@@ -155,7 +160,7 @@ def apply_epoch(
     wh: Warehouse,
     events: DataFrame,
     epoch_id: int,
-    dedup_strategy: str = "agg",
+    dedup_strategy: str = "local",
 ) -> dict:
     """Apply one micro-batch of change events. Idempotent: re-running any
     epoch (crash replay, at-least-once redelivery of the whole batch) is a
@@ -246,6 +251,73 @@ def apply_epoch(
                 raw = detect_promotable_meta_keys(batch)
             observed = sorted(k for k in raw if k not in STANDARD_META_KEYS)
             return delta_schema, entries, observed, staging
+
+        def build_and_stage_local(promote: list[str], attempt: int):
+            """Fused one-shuffle variant (dedup_strategy="local"): ONE
+            (dest, bucket) exchange + partition-local sort; last-writer-wins
+            dedup and text extraction happen together in a single Arrow pass
+            (operators/dedup.py:fused_local_dedup_extract); the write needs
+            no second repartition. Halves per-epoch shuffle bytes vs agg."""
+            from data_exchange_routing_spark.lake.table import BUCKET_COL
+            from data_exchange_routing_spark.operators.dedup import (
+                fused_local_dedup_extract,
+            )
+
+            obs = Observation(f"meta-keys-{epoch_id}-{attempt}-{_uuid.uuid4().hex[:6]}")
+            cols = [
+                F.col(DEST_COL),
+                F.col("url"),
+                F.col("warc_ts"),
+                F.col("html"),
+                F.col("lang"),
+                F.col("lsn").alias(LSN_COL),
+                (F.col("op") == "D").alias(DELETED_COL),
+            ]
+            for k in promote:
+                cols.append(F.col("meta").getItem(k).alias(k))
+            # meta rides along for the observation + dead-letter rows; the
+            # fused op nulls it for delta rows (agg-path parity)
+            cols.append(F.col("meta"))
+            delta0 = routed.select(*cols)
+            staged_input = delta0.unionByName(dead_all, allowMissingColumns=True)
+            # observed pre-dedup here (vs post-dedup in the agg path): a
+            # superset only when a dropped duplicate carried a key its
+            # surviving revision lacks — harmless (extra all-null column)
+            staged_input = staged_input.observe(
+                obs,
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(
+                                F.col(DEST_COL) != "dead_letter",
+                                F.map_keys(F.col("meta")),
+                            )
+                        )
+                    )
+                ).alias("keys"),
+            )
+            fused = fused_local_dedup_extract(
+                staged_input, wh.n_buckets, dest_col=DEST_COL, bucket_col=BUCKET_COL
+            )
+            keep = {"url", "warc_ts", "html", "text", "lang", LSN_COL, DELETED_COL} | set(
+                promote
+            )
+            delta_schema = T.StructType([f for f in fused.schema.fields if f.name in keep])
+            staging = os.path.join(
+                wh.root, "_staging", f"epoch-{epoch_id:08d}-{_uuid.uuid4().hex[:8]}"
+            )
+            entries = stage_multicast_delta(
+                fused, staging, wh.n_buckets, pre_partitioned=True
+            )
+            try:
+                raw = obs.get["keys"] or []
+            except Exception:
+                raw = detect_promotable_meta_keys(batch)
+            observed = sorted(k for k in raw if k not in STANDARD_META_KEYS)
+            return delta_schema, entries, observed, staging
+
+        if dedup_strategy == "local":
+            build_and_stage = build_and_stage_local
 
         promote = wh.known_promote_keys()
         delta_schema, entries_by_dest, observed, staging = build_and_stage(promote, 0)
@@ -341,7 +413,7 @@ def apply_epoch(
 def replay(
     wh: Warehouse,
     events_dir: str,
-    dedup_strategy: str = "agg",
+    dedup_strategy: str = "local",
     stop_after_epoch: int | None = None,
     compact_every: int | None = None,
     max_concurrent_epochs: int = 4,

@@ -62,7 +62,7 @@ def stream_ingest(
     wh: Warehouse,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
-    dedup_strategy: str = "agg",
+    dedup_strategy: str = "local",
     suppress_redelivery_watermark: str | None = None,
 ) -> StreamingQuery:
     """Start an availableNow streaming ingest of the event log into the

