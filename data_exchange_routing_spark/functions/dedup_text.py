@@ -64,10 +64,13 @@ def shingles(
         F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
     )
     tk = F.col("_toks")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0))),
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark — a doc shorter
+    # than n tokens would otherwise emit slices at indices 1 and 0 (the
+    # latter an invalid-start error) instead of no shingles
+    sh = F.when(F.size(tk) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     out = toked.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 

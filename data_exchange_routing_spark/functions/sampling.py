@@ -1,0 +1,157 @@
+"""Corpus curation operators: deterministic splits, stratified sampling,
+repetition quality stats, and cross-document boilerplate detection.
+
+These are the selection/quality half of a web-scale training-data pipeline
+(the dedup half lives in functions/dedup_text.py): C4/Gopher/RefinedWeb-style
+corpora are hash-split into train/validation, capped per language, filtered
+on within-document repetition, and scrubbed of boilerplate n-grams that
+appear across many pages. All four are pure DataFrame compositions — hash
+and window work stays JVM-side; nothing leaves whole-stage codegen except
+the documented higher-order-function projections.
+
+Determinism contract: every sampling decision derives from md5 of stable row
+identity (never rand()), so re-runs, retries, and different cluster sizes
+produce the identical corpus — the same reason the reference keys idempotent
+uploads off content identity (RouteIngestedFile.kt:543-545).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.functions.textstats import normalize_text
+
+# fraction resolution: first 8 hex chars of md5 -> uniform in [0, 1)
+_HASH_SPACE = float(1 << 32)
+
+
+def _hash_frac(col) -> "F.Column":
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(_HASH_SPACE)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed identity.
+
+    Unlike randomSplit, membership is a pure function of (id, salt): stable
+    under retries, resumable replays, and any partitioning — a given doc_id
+    lands in the same split on 1 executor or 1000. Weights are normalized;
+    assignment picks the first cumulative bucket containing the hash
+    fraction. Adds a ``split`` column; no shuffle at all.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    frac = _hash_frac(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(items[0][0]) if expr is None else expr.otherwise(F.lit(items[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-group cap: keep the ``quota`` docs with the smallest
+    hash rank inside each group — the language-rebalancing primitive of
+    multilingual corpus builds (hot languages down-sampled to a cap, rare
+    languages kept whole).
+
+    One shuffle on group_col. Per-group state is a heap of ``quota`` ranks,
+    not the group's rows: Spark plans row_number over a group-sorted window,
+    and with quota << group size the post-filter drops rows immediately.
+    Group skew (one giant language) is bounded by the window sort, which
+    spills; for quota in the millions switch to an approximate threshold on
+    the hash fraction instead (quantile cut), which needs no window.
+    """
+    rank_key = _hash_frac(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher/RefinedWeb
+    repetition rules): duplicate-word fraction and the fraction of all word
+    n-grams taken by the single most frequent n-gram.
+
+    Shape: tokens and n-grams are built per row with higher-order functions
+    (no explode of the corpus), then ONE map-side-combined aggregation keyed
+    (doc_id, gram) and a second tiny one keyed doc_id — both partial-agg
+    friendly, so a hot document pre-reduces before the shuffle.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    tk = F.col("_toks")
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a doc shorter
+    # than n tokens must short-circuit to an empty gram array
+    grams = F.when(F.size(tk) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    base = toked.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct_tokens"),
+        F.explode(grams).alias("gram"),
+    )
+    per_gram = base.groupBy("doc_id", "n_tokens", "n_distinct_tokens", "gram").agg(
+        F.count(F.lit(1)).alias("gram_n")
+    )
+    return per_gram.groupBy("doc_id", "n_tokens", "n_distinct_tokens").agg(
+        F.sum("gram_n").alias("n_grams"),
+        F.max("gram_n").alias("top_gram_n"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"), 4
+        ).alias("dup_word_frac"),
+        "n_grams",
+        F.round(F.col("top_gram_n") / F.col("n_grams"), 4).alias("top_gram_frac"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    min_docs: int = 3,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection: word n-grams appearing in at
+    least ``min_docs`` distinct documents (headers, footers, templates — the
+    spans C4-style pipelines scrub). Set-semantics shingles per doc, then one
+    map-side-combined count per shingle; output is tiny (only shared spans
+    survive), so the shuffle carries counts, not the corpus.
+    """
+    from data_exchange_routing_spark.functions.dedup_text import shingles
+
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n, distinct=True)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

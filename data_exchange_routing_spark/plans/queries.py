@@ -794,6 +794,112 @@ def _simhash_num_sql(bits: int) -> str:
     """
 
 
+# ------------------------------------------------- corpus curation ops
+# functions/sampling.py: deterministic splits, per-language caps,
+# repetition quality, cross-doc boilerplate — the selection half of a
+# training-data build (dedup is the other half).
+
+_NORM_SQL = (
+    "string_split(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"
+)
+
+
+@q(
+    "doc_hash_split",
+    # deterministic train/val/test by hashed identity (never rand()):
+    # identical membership under retries, replays, and any cluster size.
+    # Weights 0.5/0.25/0.25 -> cumulative cuts 0.5/0.75 are exact binary
+    # fractions, so the float thresholds agree bit-for-bit across engines.
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8)) AS UINTEGER)::DOUBLE
+               / 4294967296.0 AS frac
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN frac < 0.5 THEN 'train'
+                WHEN frac < 0.75 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def doc_hash_split(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import hash_split
+
+    d = ld(spark, sf_dir, "documents")
+    return hash_split(d, {"train": 0.5, "val": 0.25, "test": 0.25}).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@q(
+    "doc_stratified_sample",
+    # per-language cap: the 30 smallest hash ranks per lang (multilingual
+    # rebalancing primitive — hot languages down-sampled, rare kept whole)
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8)) AS UINTEGER)::DOUBLE
+               / 4294967296.0 AS rk
+      FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, lang FROM r WHERE rn <= 30
+    """,
+)
+def doc_stratified_sample(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import stratified_sample
+
+    d = ld(spark, sf_dir, "documents")
+    return stratified_sample(d, quota=30).select("doc_id", "lang")
+
+
+@q(
+    "doc_repetition_stats",
+    # Gopher/RefinedWeb repetition rules: duplicate-word fraction and the
+    # share of all 2-grams taken by the most frequent 2-gram
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t),
+    pg AS (SELECT doc_id, n_tokens, n_distinct, gram, count(*) AS gram_n
+           FROM g GROUP BY ALL)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           round(1.0 - n_distinct / n_tokens, 4) AS dup_word_frac,
+           CAST(sum(gram_n) AS BIGINT) AS n_grams,
+           round(max(gram_n) * 1.0 / sum(gram_n), 4) AS top_gram_frac
+    FROM pg GROUP BY doc_id, n_tokens, n_distinct
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import repetition_stats
+
+    return repetition_stats(ld(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_boilerplate_ngrams",
+    # cross-document boilerplate: word 3-grams in >= 3 distinct docs
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM t)
+    SELECT gram AS shingle, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM g GROUP BY 1 HAVING count(*) >= 3
+    """,
+)
+def doc_boilerplate_ngrams(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import boilerplate_ngrams
+
+    return boilerplate_ngrams(ld(spark, sf_dir, "documents"), min_docs=3, n=3)
+
+
 # =====================================================================
 # 4. Similarity search: embeddings
 # =====================================================================

@@ -562,3 +562,51 @@ def test_ws_collapse_fastpath_byte_identical_to_pinned_regex():
         assert " ".join(s.split()) == ws_re.sub(" ", s).strip()
 
     check()
+
+
+def test_sampling_ops_determinism_and_edges(spark):
+    """Corpus curation ops (functions/sampling.py): hash_split is a pure
+    function of (id, salt); stratified_sample keeps whole groups under
+    quota; repetition/boilerplate gram builders handle docs shorter than n
+    (Spark's sequence(1,0) is DESCENDING — the guard must yield no grams)."""
+    from data_exchange_routing_spark.functions.sampling import (
+        boilerplate_ngrams,
+        hash_split,
+        repetition_stats,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "en"),
+            (2, "x", "en"),           # shorter than n=2: zero grams
+            (3, "", "de"),            # empty text
+            (4, "q w e r t y", "de"),
+            (5, "a b a b c d", "fr"), # rare group, under quota
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    # determinism: two invocations and a repartitioned twin agree exactly
+    s1 = {(r.doc_id, r.split) for r in hash_split(docs).collect()}
+    s2 = {(r.doc_id, r.split) for r in hash_split(docs.repartition(7)).collect()}
+    assert s1 == s2 and len(s1) == 5
+    # weights normalize; single bucket puts everything in it
+    assert {r.split for r in hash_split(docs, {"all": 3.0}).collect()} == {"all"}
+
+    samp = stratified_sample(docs, quota=1, group_col="lang")
+    got = samp.groupBy("lang").count().collect()
+    assert {(r.lang, r["count"]) for r in got} == {("en", 1), ("de", 1), ("fr", 1)}
+    # under-quota groups are kept whole
+    assert stratified_sample(docs, quota=10).count() == 5
+
+    reps = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: 6 tokens, 2 distinct -> dup 0.6667; grams: 'a b' x3, 'b a' x2
+    assert reps[1].n_tokens == 6 and float(reps[1].dup_word_frac) == 0.6667
+    assert reps[1].n_grams == 5 and float(reps[1].top_gram_frac) == 0.6
+    # short/empty docs produce no grams, hence no row (grouped on grams)
+    assert 2 not in reps and 3 not in reps
+
+    bp = {r.shingle: r.n_docs for r in boilerplate_ngrams(docs, min_docs=2, n=2).collect()}
+    # docs 1 and 5 both contain 'a b' and 'b a' (set semantics per doc:
+    # repeats within one doc count once)
+    assert bp == {"a b": 2, "b a": 2}
