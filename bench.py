@@ -110,9 +110,36 @@ def ensure_events(spark, events_dir: str, n_events: int, n_urls: int, n_epochs: 
     return events_dir
 
 
+def _cpu_sample() -> tuple[int, int, int] | None:
+    """(user+nice+system, idle+iowait, steal) jiffies from /proc/stat."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return (v[0] + v[1] + v[2], v[3] + v[4], v[7] if len(v) > 7 else 0)
+    except Exception:
+        return None
+
+
+def _host_noise(before, after) -> dict:
+    """Hypervisor-noise disclosure for this record: fraction of CPU time
+    stolen by the host and fraction actually spent in user+sys during the
+    measurement. This sandbox swings multi-x between windows (see
+    BENCH/BASELINE.md) — readers should weight records by steal_frac."""
+    if not before or not after:
+        return {}
+    busy = after[0] - before[0]
+    idle = after[1] - before[1]
+    steal = after[2] - before[2]
+    tot = busy + idle + steal
+    if tot <= 0:
+        return {}
+    return {"host_steal_frac": round(steal / tot, 4), "host_busy_frac": round(busy / tot, 4)}
+
+
 def main_default() -> None:
     from data_exchange_routing_spark.plans.queries import QUERIES
 
+    _cpu0 = _cpu_sample()
     _use_tmpfs_scratch()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -174,6 +201,7 @@ def main_default() -> None:
                 "cdc_events": cdc["events"],
                 "cdc_all_secs": [r["sec"] for r in cdc_runs],
                 "cores": cores,
+                **_host_noise(_cpu0, _cpu_sample()),
             }
         )
     )
@@ -182,6 +210,7 @@ def main_default() -> None:
 def main_cdc_only(cores: int, events_dir: str, json_out: str | None, repeats: int = int(os.environ.get("BENCH_REPEATS", "3"))) -> None:
     """Min of `repeats` replays in one JVM (early runs additionally pay
     python-worker/JIT warmup; min reports sustained steady state)."""
+    _cpu0 = _cpu_sample()
     _use_tmpfs_scratch()
     spark = _spark(cores)
     ensure_events(spark, events_dir, CDC_EVENTS, CDC_URLS, CDC_EPOCHS)
@@ -194,6 +223,7 @@ def main_cdc_only(cores: int, events_dir: str, json_out: str | None, repeats: in
     res["cores"] = cores
     res["all_secs"] = [r["sec"] for r in runs]
     res["sec_median"] = runs[len(runs) // 2]["sec"]
+    res.update(_host_noise(_cpu0, _cpu_sample()))
     line = json.dumps(res)
     print(line)
     if json_out:
@@ -246,6 +276,9 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
         "speedup": round(hi["events_per_sec"] / lo["events_per_sec"], 3),
         "scaling_efficiency_per_core": round(eff, 3),
         "passes_0.8": eff >= 0.8,
+        # per-level noise disclosure (from the child runs' /proc/stat deltas)
+        "host_steal_frac_n": lo.get("host_steal_frac"),
+        "host_steal_frac_4n": hi.get("host_steal_frac"),
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
