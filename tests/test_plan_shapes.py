@@ -61,3 +61,34 @@ def test_sole_late_supplier_single_pass_decorrelation(spark):
     # exactly one lineitem + one orders + one supplier scan: the window
     # form reads ship ONCE (the naive correlated form plans it three times)
     assert plan.count("Scan parquet") == 3
+
+
+def test_fused_local_path_has_exactly_one_exchange(spark):
+    """The fused replay path's core promise: dedup + staging share ONE
+    shuffle. The physical plan of the fused DataFrame must contain exactly
+    one Exchange (the (dest,bucket) repartition) — a second one means the
+    dedup or the write re-introduced its own shuffle and the strategy's
+    reason to exist is gone."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_routing_spark.operators.dedup import fused_local_dedup_extract
+
+    df = (
+        spark.range(100)
+        .select(
+            F.lit("web_pages").alias("destination_table"),
+            F.concat(F.lit("https://u/"), F.col("id")).alias("url"),
+            F.current_timestamp().alias("warc_ts"),
+            F.encode(F.lit("<p>x</p>"), "UTF-8").alias("html"),
+            F.lit("en").alias("lang"),
+            F.col("id").alias("_lsn"),
+            F.lit(False).alias("_deleted"),
+            F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+        )
+    )
+    fused = fused_local_dedup_extract(df, n_buckets=8)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges == 1, plan
