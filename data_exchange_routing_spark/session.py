@@ -33,8 +33,14 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle = shuffle_partitions or max(cores * 2, 8)
+    # SPARK_GRAFT_MASTER overrides the default local[N] — used by the
+    # multi-executor scaling evidence (local-cluster[N,C,M]: separate
+    # executor JVMs, real serialization + shuffle fetch across them) and by
+    # real cluster deploys (spark://... / yarn), where `cores` then only
+    # sizes shuffle parallelism defaults.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cores))
