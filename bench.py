@@ -50,6 +50,35 @@ CDC_EPOCHS = int(os.environ.get("BENCH_CDC_EPOCHS", "4"))
 CDC_FILLER = int(os.environ.get("BENCH_CDC_FILLER", "1500"))
 
 
+def _page_touch_gbps(mb: int = 64) -> float:
+    """Fresh-page fault bandwidth probe (GB/s). This sandbox's hypervisor
+    intermittently degrades page faults ~1000x (measured 0.004 GB/s vs ~5
+    healthy) while cached CPU work stays full speed — steal_frac does NOT
+    see it, so every record carries this instead. Anything touching new
+    memory (JVM heap growth, Arrow buffers, shuffle) serializes on host
+    paging during those windows."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.ones(mb << 20, dtype=np.uint8)  # allocate AND touch every page
+    dt = time.perf_counter() - t0
+    del a
+    return round((mb / 1024.0) / dt, 3)
+
+
+def _wait_healthy_host(min_gbps: float = 0.5, timeout_s: float = 1800) -> float:
+    """Block until the page-fault probe clears min_gbps (or timeout); used
+    by the scaling protocols so timed runs don't straddle degraded windows.
+    Returns the last probe value."""
+    t0 = time.time()
+    g = _page_touch_gbps()
+    while g < min_gbps and time.time() - t0 < timeout_s:
+        print(f"# host degraded (page-touch {g} GB/s < {min_gbps}); waiting 60s", file=sys.stderr)
+        time.sleep(60)
+        g = _page_touch_gbps()
+    return g
+
+
 def _use_tmpfs_scratch() -> None:
     """Warehouse/event scratch on tmpfs when available — the single-host
     stand-in for executor-local NVMe. Opt out with SPARK_GRAFT_NO_TMPFS=1."""
@@ -140,6 +169,7 @@ def main_default() -> None:
     from data_exchange_routing_spark.plans.queries import QUERIES
 
     _cpu0 = _cpu_sample()
+    _gbps0 = _page_touch_gbps()
     _use_tmpfs_scratch()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -202,6 +232,8 @@ def main_default() -> None:
                 "cdc_all_secs": [r["sec"] for r in cdc_runs],
                 "cores": cores,
                 **_host_noise(_cpu0, _cpu_sample()),
+                "host_mem_gbps_start": _gbps0,
+                "host_mem_gbps_end": _page_touch_gbps(),
             }
         )
     )
@@ -211,6 +243,7 @@ def main_cdc_only(cores: int, events_dir: str, json_out: str | None, repeats: in
     """Min of `repeats` replays in one JVM (early runs additionally pay
     python-worker/JIT warmup; min reports sustained steady state)."""
     _cpu0 = _cpu_sample()
+    _gbps0 = _page_touch_gbps()
     _use_tmpfs_scratch()
     spark = _spark(cores)
     ensure_events(spark, events_dir, CDC_EVENTS, CDC_URLS, CDC_EPOCHS)
@@ -224,6 +257,8 @@ def main_cdc_only(cores: int, events_dir: str, json_out: str | None, repeats: in
     res["all_secs"] = [r["sec"] for r in runs]
     res["sec_median"] = runs[len(runs) // 2]["sec"]
     res.update(_host_noise(_cpu0, _cpu_sample()))
+    res["host_mem_gbps_before"] = _gbps0
+    res["host_mem_gbps_after"] = _page_touch_gbps()
     line = json.dumps(res)
     print(line)
     if json_out:
@@ -246,8 +281,19 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
     all_runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for _p in range(pairs):
         for cores in (n_lo, n_hi):
+            # don't start a timed child inside a degraded-paging window
+            _wait_healthy_host()
             out = tempfile.mktemp(suffix=".json")
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cores),
+                # modest fixed pre-touched heap: page faults land at JVM
+                # start, not inside the timed runs (this host's paging
+                # intermittently degrades ~1000x)
+                SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+                SPARK_GRAFT_DRIVER_XMS=os.environ.get("SPARK_GRAFT_DRIVER_XMS", "12g"),
+                SPARK_GRAFT_JAVA_OPTS=os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+AlwaysPreTouch"),
+            )
             subprocess.run(
                 [sys.executable, __file__, "--cdc-only", "--cores", str(cores), "--events-dir", events_dir, "--json-out", out],
                 check=True,
@@ -276,9 +322,12 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
         "speedup": round(hi["events_per_sec"] / lo["events_per_sec"], 3),
         "scaling_efficiency_per_core": round(eff, 3),
         "passes_0.8": eff >= 0.8,
-        # per-level noise disclosure (from the child runs' /proc/stat deltas)
+        # per-level noise disclosure (from the child runs' /proc/stat deltas
+        # + page-fault bandwidth probes around each best child)
         "host_steal_frac_n": lo.get("host_steal_frac"),
         "host_steal_frac_4n": hi.get("host_steal_frac"),
+        "host_mem_gbps_n": [lo.get("host_mem_gbps_before"), lo.get("host_mem_gbps_after")],
+        "host_mem_gbps_4n": [hi.get("host_mem_gbps_before"), hi.get("host_mem_gbps_after")],
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
@@ -295,7 +344,10 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
             f"| {n_lo} | {lo['events']} | {lo['sec']} | {lo['events_per_sec']} | {round(per_core_lo,1)} | {lo['all_secs']} |\n"
             f"| {n_hi} | {hi['events']} | {hi['sec']} | {hi['events_per_sec']} | {round(per_core_hi,1)} | {hi['all_secs']} |\n\n"
             f"**Speedup {n_lo}->{n_hi} cores: {report['speedup']}x; per-core scaling efficiency: "
-            f"{report['scaling_efficiency_per_core']} (target >= 0.8: {'PASS' if report['passes_0.8'] else 'FAIL'})**\n"
+            f"{report['scaling_efficiency_per_core']} (target >= 0.8: {'PASS' if report['passes_0.8'] else 'FAIL'})**\n\n"
+            f"Host-noise probes around best runs (page-touch GB/s before/after; healthy ~5, degraded ~0.004): "
+            f"N={report['host_mem_gbps_n']}, 4N={report['host_mem_gbps_4n']}; "
+            f"steal_frac N={report['host_steal_frac_n']}, 4N={report['host_steal_frac_4n']}.\n"
         )
 
 
@@ -321,6 +373,7 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
     all_runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for _p in range(pairs):
         for n_exec in (n_lo, n_hi):
+            _wait_healthy_host()
             out = tempfile.mktemp(suffix=".json")
             total_cores = n_exec * exec_cores
             env = dict(
@@ -328,6 +381,8 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
                 SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},{exec_cores},6144]",
                 SPARK_GRAFT_CPUS=str(total_cores),
                 SPARK_GRAFT_DRIVER_MEM="8g",
+                SPARK_GRAFT_DRIVER_XMS="8g",
+                SPARK_GRAFT_JAVA_OPTS="-XX:+AlwaysPreTouch",
             )
             subprocess.run(
                 [
@@ -336,6 +391,9 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
                     "--py-files", zip_path,
                     "--driver-memory", "8g",
                     "--conf", "spark.executor.memory=6g",
+                    # executor JVMs pre-touch their full heap at launch so
+                    # the degraded-paging tax lands outside timed runs
+                    "--conf", "spark.executor.extraJavaOptions=-Xms5g -XX:+AlwaysPreTouch",
                     __file__,
                     "--cdc-only", "--cores", str(total_cores),
                     "--events-dir", events_dir, "--json-out", out,
@@ -369,6 +427,8 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
         "passes_0.8": eff >= 0.8,
         "host_steal_frac_n": lo.get("host_steal_frac"),
         "host_steal_frac_4n": hi.get("host_steal_frac"),
+        "host_mem_gbps_n": [lo.get("host_mem_gbps_before"), lo.get("host_mem_gbps_after")],
+        "host_mem_gbps_4n": [hi.get("host_mem_gbps_before"), hi.get("host_mem_gbps_after")],
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
@@ -387,7 +447,9 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
             f"| {n_hi} | {exec_cores} | {hi['events']} | {hi['sec']} | {hi['events_per_sec']} | {round(per_exec_hi,1)} | {hi['all_secs']} |\n\n"
             f"**Speedup {n_lo}->{n_hi} executors: {report['speedup']}x; per-executor scaling efficiency: "
             f"{report['scaling_efficiency_per_executor']} (target >= 0.8: {'PASS' if report['passes_0.8'] else 'FAIL'})**\n\n"
-            f"Noise during best runs: steal_frac N={lo.get('host_steal_frac')}, 4N={hi.get('host_steal_frac')}.\n"
+            f"Noise during best runs: steal_frac N={lo.get('host_steal_frac')}, 4N={hi.get('host_steal_frac')}; "
+            f"page-touch GB/s (before/after; healthy ~5, degraded ~0.004) "
+            f"N={report['host_mem_gbps_n']}, 4N={report['host_mem_gbps_4n']}.\n"
         )
 
 

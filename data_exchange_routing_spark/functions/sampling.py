@@ -134,6 +134,42 @@ def repetition_stats(
     )
 
 
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the number of
+    distinct word ``n``-grams it shares with ANY benchmark document — the
+    train/test-overlap scrub every LLM data pipeline runs before training
+    (GPT-3 App. C / PaLM-style 13-gram rule; ``n`` is caller-tunable and the
+    small-SF oracle pins n=5).
+
+    Shape at 100 TB: the benchmark side is tiny relative to the corpus
+    (eval suites are MBs), so its distinct shingle set is broadcast — the
+    corpus never shuffles before the join; each corpus partition streams its
+    shingles past the in-memory benchmark set and only the (doc_id, shingle)
+    HITS reach the one count-distinct aggregation (distinct applied after
+    the filter, so a repeated gram can't double-count but non-hits never
+    shuffle at all).
+    """
+    from data_exchange_routing_spark.functions.dedup_text import shingles
+
+    corpus_sh = shingles(corpus, id_col=id_col, text_col=text_col, n=n, distinct=False)
+    bench_sh = (
+        shingles(benchmark, id_col=id_col, text_col=text_col, n=n, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_contaminated_grams"))
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     min_docs: int = 3,

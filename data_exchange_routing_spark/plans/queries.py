@@ -900,6 +900,105 @@ def doc_boilerplate_ngrams(spark, sf_dir):
     return boilerplate_ngrams(ld(spark, sf_dir, "documents"), min_docs=3, n=3)
 
 
+_SPLIT_FRAC_SQL = (
+    "CAST(('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8)) AS UINTEGER)::DOUBLE"
+    " / 4294967296.0"
+)
+_SHUF_FRAC_SQL = (
+    "CAST(('0x' || substr(md5(doc_id::VARCHAR || ':shuffle'), 1, 8)) AS UINTEGER)::DOUBLE"
+    " / 4294967296.0"
+)
+_GRAM3_SQL = (
+    "unnest(list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@q(
+    "doc_contamination",
+    # benchmark decontamination (GPT-3 App. C shape): per train-split doc,
+    # the count of distinct word 3-grams shared with ANY test-split doc.
+    # Benchmark shingle set broadcasts; corpus never shuffles pre-join.
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SPLIT_FRAC_SQL} < 0.5 THEN 'train'
+                  WHEN {_SPLIT_FRAC_SQL} < 0.75 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    ct AS (SELECT doc_id, {_NORM_SQL} AS toks FROM s WHERE split = 'train'),
+    cg AS (SELECT doc_id, {_GRAM3_SQL} AS shingle FROM ct),
+    bt AS (SELECT {_NORM_SQL} AS toks FROM s WHERE split = 'test'),
+    bg AS (SELECT DISTINCT {_GRAM3_SQL} AS shingle FROM bt)
+    SELECT cg.doc_id, count(DISTINCT cg.shingle) AS n_contaminated_grams
+    FROM cg JOIN bg USING (shingle)
+    GROUP BY 1
+    """,
+)
+def doc_contamination(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import contamination_hits, hash_split
+
+    d = hash_split(
+        ld(spark, sf_dir, "documents"), {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    return contamination_hits(
+        d.filter(F.col("split") == "train"), d.filter(F.col("split") == "test"), n=3
+    )
+
+
+@q(
+    "doc_global_shuffle",
+    # deterministic epoch shuffle: contiguous 0-based global rank in md5
+    # order — bucketed two-pass prefix sum in Spark, bit-identical to the
+    # single total order the oracle computes directly.
+    f"""
+    WITH h AS (SELECT doc_id, {_SHUF_FRAC_SQL} AS frac FROM documents)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY frac, doc_id) - 1 AS BIGINT) AS global_rank
+    FROM h
+    """,
+)
+def doc_global_shuffle(spark, sf_dir):
+    from data_exchange_routing_spark.functions.assembly import global_index
+
+    return global_index(ld(spark, sf_dir, "documents")).select("doc_id", "global_rank")
+
+
+@q(
+    "doc_pack_sequences",
+    # concatenated-stream packing: docs laid out in shuffle order, token
+    # stream cropped into 256-token training sequences; start/seq/straddle
+    # bookkeeping per doc.
+    f"""
+    WITH h AS (
+      SELECT doc_id, len({_NORM_SQL}) AS n_tokens, {_SHUF_FRAC_SQL} AS frac
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY frac, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM h)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 256 AS BIGINT) AS seq_id,
+           CAST(start_offset % 256 AS BIGINT) AS seq_pos,
+           CAST((start_offset + greatest(n_tokens - 1, 0)) // 256 AS BIGINT) AS end_seq_id,
+           (start_offset + greatest(n_tokens - 1, 0)) // 256 > start_offset // 256 AS straddles
+    FROM o
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    from data_exchange_routing_spark.functions.assembly import pack_sequences
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(TS.normalize_text(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(d, max_tokens=256).select(
+        "doc_id", "n_tokens", "start_offset", "seq_id", "seq_pos", "end_seq_id", "straddles"
+    )
+
+
 # =====================================================================
 # 4. Similarity search: embeddings
 # =====================================================================

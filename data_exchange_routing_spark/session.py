@@ -58,9 +58,14 @@ def get_spark(
         # a replay run GC-thrash while the heap grows toward -Xmx (measured
         # 3x wall-clock on repeated replays at local[16]); real clusters set
         # executor memory = a fixed heap, which this mirrors
+        # SPARK_GRAFT_JAVA_OPTS appends extras (e.g. -XX:+AlwaysPreTouch so
+        # heap page faults land at JVM start instead of inside timed runs —
+        # this sandbox's hypervisor intermittently degrades fresh-page
+        # faults ~1000x, see BENCH/BASELINE.md host-noise section)
         .config(
             "spark.driver.defaultJavaOptions",
-            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_XMS', '16g')} -XX:+UseG1GC",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_XMS', '16g')} -XX:+UseG1GC "
+            + os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
         )
         # partition-size policy: split size is FIXED (identical at every
         # parallelism level — the scaling protocol's "same partitioning

@@ -610,3 +610,67 @@ def test_sampling_ops_determinism_and_edges(spark):
     # docs 1 and 5 both contain 'a b' and 'b a' (set semantics per doc:
     # repeats within one doc count once)
     assert bp == {"a b": 2, "b a": 2}
+
+
+def test_contamination_hits(spark):
+    """Decontamination: distinct shared n-grams per corpus doc; repeats in
+    the corpus doc or across benchmark docs never double-count, and clean
+    docs simply have no row (inner join)."""
+    from data_exchange_routing_spark.functions.sampling import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown fox"),  # repeated grams
+            (2, "totally clean document here"),
+            (3, "quick brown fox jumps"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "quick brown fox again")],
+        ["doc_id", "text"],
+    )
+    hits = {r.doc_id: r.n_contaminated_grams for r in contamination_hits(corpus, bench, n=3).collect()}
+    # bench 3-gram set: {the quick brown, quick brown fox, brown fox again}
+    # doc 1 shares 2 distinct grams (each appears twice in-doc: counted once)
+    # doc 3 shares 1 ('quick brown fox'); doc 2 shares none -> absent
+    assert hits == {1: 2, 3: 1}
+
+
+def test_assembly_global_index_and_packing(spark):
+    """Assembly ops (functions/assembly.py): global_index is a permutation
+    of 0..n-1 whose order is invariant to bucket count and input
+    partitioning (the determinism-at-any-parallelism contract); packing
+    offsets are the exclusive prefix sum of lengths in that same order."""
+    from data_exchange_routing_spark.functions.assembly import global_index, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], ["doc_id", "text"]
+    ).withColumn("n_tokens", (F.col("doc_id") % 7 + 1).cast("bigint"))
+
+    r1 = {r.doc_id: r.global_rank for r in global_index(docs).collect()}
+    assert sorted(r1.values()) == list(range(50))
+    # invariant to bucket count AND physical partitioning
+    r2 = {r.doc_id: r.global_rank for r in global_index(docs.repartition(11), n_buckets=3).collect()}
+    r3 = {r.doc_id: r.global_rank for r in global_index(docs, n_buckets=1).collect()}
+    assert r1 == r2 == r3
+    # a different salt is a different permutation of the same ranks
+    r4 = {r.doc_id: r.global_rank for r in global_index(docs, salt="epoch2").collect()}
+    assert r4 != r1 and sorted(r4.values()) == list(range(50))
+
+    packed = pack_sequences(docs, max_tokens=10).collect()
+    by_start = sorted(packed, key=lambda r: r.start_offset)
+    # offsets are the exclusive running sum of lengths in shuffle order
+    run = 0
+    for row in by_start:
+        assert row.start_offset == run
+        assert row.seq_id == row.start_offset // 10
+        assert row.seq_pos == row.start_offset % 10
+        last = row.start_offset + max(row.n_tokens - 1, 0)
+        assert row.end_seq_id == last // 10
+        assert row.straddles == (row.end_seq_id > row.seq_id)
+        run += row.n_tokens
+    # shuffle order of packing == global_index order
+    order_pack = [r.doc_id for r in by_start]
+    order_rank = [d for d, _ in sorted(r1.items(), key=lambda kv: kv[1])]
+    assert order_pack == order_rank
