@@ -279,3 +279,58 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     sums = toks.groupBy("doc_id").agg(*aggs)
     bit_chars = [F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits - 1, -1, -1)]
     return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Line-level exact dedup (RefinedWeb/CCNet-style boilerplate removal):
+    drop every line that appears verbatim in >= ``min_docs`` DISTINCT
+    documents (nav bars, cookie banners, footers), re-assembling each doc's
+    remaining lines in their original order. ``sep`` is the line separator —
+    '\\n' for real web text; the oracle demo uses ' ' (token granularity)
+    because the synthetic corpus is single-line.
+
+    Shape at 100 TB: lines never carry the full doc — the explode emits
+    (id, pos, line); doc-frequency is a two-step agg on the line VALUE
+    (per-doc distinct map-side, then count) so a line repeated within one doc
+    counts once; the frequent set (count >= min_docs) is by construction the
+    boilerplate TAIL — tiny relative to the corpus — and is broadcast to a
+    left-anti join, so surviving lines shuffle exactly once (by id, for the
+    ordered re-concat). Docs losing every line survive as empty strings
+    (left join from the original ids, never an inner-join drop).
+    """
+    import re as _re
+
+    # F.split takes a REGEX; sep is a literal separator (matching the
+    # literal concat_ws on re-assembly and DuckDB's string_split oracle)
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    frequent = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep, F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"])
+        ).alias(out_col)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

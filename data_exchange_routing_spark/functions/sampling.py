@@ -191,3 +191,58 @@ def boilerplate_ngrams(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def mixing_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture reweighting (the Pile/DoReMi-style recipe): given
+    target corpus proportions per domain, attach to every document its
+    domain's up/down-sampling weight so a loader can hit the target mix.
+
+    Per domain: ``corpus_share`` (observed), ``target_share`` (requested,
+    renormalized over the domains present; absent domains get 0),
+    ``weight`` = target_share / corpus_share, ``sample_prob`` = weight /
+    max(weight) (kept <= 1: the most-upweighted domain is sampled at 1.0 and
+    every other domain Bernoulli-thins relative to it), and ``n_repeats`` =
+    ceil(weight) (epoch-repetition hint for upsampling loaders).
+
+    Shape at 100 TB: ONE map-side-combined count keyed by domain (the only
+    corpus-wide action), window math on the driver-sized domain table, then
+    a broadcast join back — documents never shuffle.
+    """
+    from pyspark.sql import Window
+
+    tot = sum(targets.values())
+    norm = {k: v / tot for k, v in targets.items()}
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in norm.items()], f"{domain_col} string, _target double"
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    # domain table is driver-sized (#domains rows): unpartitioned windows
+    # here are control-plane work, never corpus work
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dom = (
+        counts.join(tgt, domain_col, "left")
+        .withColumn("_target", F.coalesce(F.col("_target"), F.lit(0.0)))
+        .withColumn("corpus_share", F.col("_n") / F.sum("_n").over(w))
+        .withColumn("weight", F.col("_target") / F.col("corpus_share"))
+        .withColumn("sample_prob", F.col("weight") / F.max("weight").over(w))
+        .select(
+            domain_col,
+            F.round("corpus_share", 6).alias("corpus_share"),
+            F.round(F.col("_target"), 6).alias("target_share"),
+            F.round("weight", 6).alias("weight"),
+            F.round("sample_prob", 6).alias("sample_prob"),
+            F.ceil("weight").cast("bigint").alias("n_repeats"),
+        )
+    )
+    return df.select(F.col(id_col).alias("doc_id"), domain_col).join(
+        F.broadcast(dom), domain_col
+    )

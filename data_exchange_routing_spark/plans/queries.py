@@ -999,6 +999,120 @@ def doc_pack_sequences(spark, sf_dir):
     )
 
 
+@q(
+    "doc_dedup_lines",
+    # RefinedWeb-style line-level boilerplate removal; the synthetic corpus
+    # is single-line so the demo runs at token granularity (sep=' ') with a
+    # high doc-frequency bar — only truly ubiquitous tokens are dropped.
+    """
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents),
+    freq AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+      WHERE df >= 390),
+    kept AS (SELECT doc_id, pos, line FROM l ANTI JOIN freq USING (line)),
+    built AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_deduped
+      FROM kept GROUP BY 1)
+    SELECT d.doc_id, coalesce(b.text_deduped, '') AS text_deduped
+    FROM documents d LEFT JOIN built b USING (doc_id)
+    """,
+)
+def doc_dedup_lines(spark, sf_dir):
+    from data_exchange_routing_spark.functions.dedup_text import dedup_lines
+
+    return dedup_lines(ld(spark, sf_dir, "documents"), min_docs=390, sep=" ")
+
+
+# deterministic PII injection shared by the Spark query and the oracle: the
+# synthetic corpus carries no PII, so both engines append the same typed
+# instances and the redactor must strip exactly those.
+_PII_SUFFIX_SPARK = (
+    "concat(' contact user', doc_id, '@example.com ip 10.', doc_id % 256,"
+    " '.0.1 tel +1 555 01', lpad(cast(doc_id % 100 as string), 2, '0'),"
+    " ' ssn 123-45-6789')"
+)
+_PII_SUFFIX_SQL = (
+    "concat(' contact user', doc_id, '@example.com ip 10.', doc_id % 256,"
+    " '.0.1 tel +1 555 01', lpad((doc_id % 100)::VARCHAR, 2, '0'),"
+    " ' ssn 123-45-6789')"
+)
+_PII_RE = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}(?:[ -]?\d{2,4}){2,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+@q(
+    "doc_redact_pii",
+    # C4/Dolma-style PII scrub: typed placeholders + per-kind match counts.
+    # Patterns live in the Java∩RE2 regex subset so both engines agree.
+    f"""
+    WITH t AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_RE["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{_PII_RE["ip"]}')) AS n_ip,
+           len(regexp_extract_all(text, '{_PII_RE["phone"]}')) AS n_phone,
+           len(regexp_extract_all(text, '{_PII_RE["ssn"]}')) AS n_ssn,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_RE["email"]}', '<EMAIL>', 'g'),
+             '{_PII_RE["ip"]}', '<IP>', 'g'),
+             '{_PII_RE["phone"]}', '<PHONE>', 'g'),
+             '{_PII_RE["ssn"]}', '<SSN>', 'g') AS text_redacted
+    FROM t
+    """,
+)
+def doc_redact_pii(spark, sf_dir):
+    from data_exchange_routing_spark.functions.redact import redact_pii
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.expr(_PII_SUFFIX_SPARK)).alias("text")
+    )
+    return redact_pii(d).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "n_ssn", "text_redacted"
+    )
+
+
+@q(
+    "doc_mixing_weights",
+    # Pile/DoReMi-style domain reweighting: per-doc up/down-sampling weight
+    # from target vs observed domain shares; ONE tiny domain agg + broadcast
+    # join back — documents never shuffle.
+    """
+    WITH tgt(source, _target) AS (VALUES ('src0', 0.4), ('src1', 0.4), ('src2', 0.2)),
+    counts AS (SELECT source, count(*) AS _n FROM documents GROUP BY 1),
+    dom AS (
+      SELECT c.source,
+             _n / (sum(_n) OVER ()) AS _cs,
+             coalesce(t._target, 0.0) AS _ts
+      FROM counts c LEFT JOIN tgt t USING (source)),
+    dom2 AS (
+      SELECT source, _cs, _ts, _ts / _cs AS _w,
+             (_ts / _cs) / max(_ts / _cs) OVER () AS _sp
+      FROM dom)
+    SELECT d.doc_id, d.source,
+           round(_cs, 6) AS corpus_share, round(_ts, 6) AS target_share,
+           round(_w, 6) AS weight, round(_sp, 6) AS sample_prob,
+           CAST(ceil(_w) AS BIGINT) AS n_repeats
+    FROM documents d JOIN dom2 USING (source)
+    """,
+)
+def doc_mixing_weights(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import mixing_weights
+
+    return mixing_weights(
+        ld(spark, sf_dir, "documents"), {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+    ).select(
+        "doc_id", "source", "corpus_share", "target_share", "weight",
+        "sample_prob", "n_repeats",
+    )
+
+
 # =====================================================================
 # 4. Similarity search: embeddings
 # =====================================================================

@@ -674,3 +674,87 @@ def test_assembly_global_index_and_packing(spark):
     order_pack = [r.doc_id for r in by_start]
     order_rank = [d for d, _ in sorted(r1.items(), key=lambda kv: kv[1])]
     assert order_pack == order_rank
+
+
+def test_dedup_lines_removes_frequent_lines(spark):
+    """Line-level boilerplate removal: lines in >= min_docs DISTINCT docs
+    vanish, order of survivors is preserved, a doc losing all lines becomes
+    the empty string (never dropped), within-doc repeats count once."""
+    from data_exchange_routing_spark.functions.dedup_text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\ncookie banner"),  # repeat in-doc
+            (2, "cookie banner\nreal content two"),
+            (3, "cookie banner\nfooter"),
+            (4, "footer\nunique line"),
+            (5, "cookie banner"),  # loses everything
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text_deduped for r in dedup_lines(docs, min_docs=3).collect()}
+    # 'cookie banner' in docs 1,2,3,5 (4 distinct >= 3) -> removed;
+    # 'footer' in docs 3,4 (2 < 3) -> kept
+    assert out == {
+        1: "real content one",
+        2: "real content two",
+        3: "footer",
+        4: "footer\nunique line",
+        5: "",
+    }
+    # regex-special separator is treated literally
+    docs2 = spark.createDataFrame(
+        [(1, "a.b.a"), (2, "a.c"), (3, "a.d")], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id: r.text_deduped for r in dedup_lines(docs2, min_docs=3, sep=".").collect()}
+    assert out2 == {1: "b", 2: "c", 3: "d"}
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from data_exchange_routing_spark.functions.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@sub.example.org and b@c.io end"),
+            (2, "server at 192.168.0.1 port"),
+            (3, "call +44 20 7946 0958 or +1 555 0100 now"),
+            (4, "ssn 123-45-6789 file"),
+            (5, "clean text 1.2 not-an-ip 12345"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[1].text_redacted == "mail <EMAIL> and <EMAIL> end"
+    assert rows[1].n_email == 2
+    assert rows[2].text_redacted == "server at <IP> port"
+    assert rows[2].n_ip == 1
+    assert rows[3].text_redacted == "call <PHONE> or <PHONE> now"
+    assert rows[3].n_phone == 2
+    assert rows[4].text_redacted == "ssn <SSN> file"
+    assert rows[4].n_ssn == 1
+    r5 = rows[5]
+    assert r5.text_redacted == r5.text
+    assert (r5.n_email, r5.n_ip, r5.n_phone, r5.n_ssn) == (0, 0, 0, 0)
+
+
+def test_mixing_weights_shares_and_probs(spark):
+    """Weights follow target/corpus shares; absent domains weight 0; the
+    most-upweighted domain samples at 1.0; targets renormalize."""
+    from data_exchange_routing_spark.functions.sampling import mixing_weights
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 6 else ("code" if i < 9 else "wiki")) for i in range(10)],
+        ["doc_id", "source"],
+    )
+    # targets sum to 2.0 -> renormalized to {web: .25, code: .75, wiki: 0}
+    out = mixing_weights(docs, {"web": 0.5, "code": 1.5}, domain_col="source")
+    rows = {r.source: r for r in out.collect() if True}
+    assert out.count() == 10
+    web, code, wiki = rows["web"], rows["code"], rows["wiki"]
+    assert (web.corpus_share, code.corpus_share, wiki.corpus_share) == (0.6, 0.3, 0.1)
+    assert (web.target_share, code.target_share, wiki.target_share) == (0.25, 0.75, 0.0)
+    assert abs(web.weight - 0.25 / 0.6) < 1e-6
+    assert abs(code.weight - 2.5) < 1e-6 and wiki.weight == 0.0
+    assert code.sample_prob == 1.0 and wiki.sample_prob == 0.0
+    assert abs(web.sample_prob - (0.25 / 0.6) / 2.5) < 1e-6
+    assert (web.n_repeats, code.n_repeats, wiki.n_repeats) == (1, 3, 0)
