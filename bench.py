@@ -331,6 +331,8 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(report, f)
     with open("BENCH/SCALING_RUN.md", "w") as f:
         f.write(
             "# BENCH — CDC replay scaling evidence (north rule)\n\n"
@@ -432,6 +434,8 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "scaling_executors.json"), "w") as f:
+        json.dump(report, f)
     with open(os.path.join(repo, "BENCH", "SCALING_EXECUTORS.md"), "w") as f:
         f.write(
             "# BENCH — multi-executor CDC replay scaling (north rule, executor form)\n\n"

@@ -92,3 +92,53 @@ def test_fused_local_path_has_exactly_one_exchange(spark):
         1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line
     )
     assert n_exchanges == 1, plan
+
+
+def test_dedup_lines_broadcasts_frequent_set(spark):
+    """The frequent-line set joins as a broadcast LeftAnti — surviving
+    lines shuffle once (for the ordered re-concat), never for the filter."""
+    plan = _plan(spark, "doc_dedup_lines")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_redact_pii_is_shuffle_free_codegen(spark):
+    """PII redaction is a pure narrow map: no exchange anywhere, regexp
+    runs inside whole-stage codegen."""
+    plan = _plan(spark, "doc_redact_pii")
+    assert "Exchange" not in plan
+    # codegen stages print as '*(n)' in executedPlan().toString()
+    assert "*(1)" in plan
+
+
+def test_mixing_weights_broadcasts_domain_table(spark):
+    """Documents join the per-domain weight table via broadcast — the
+    corpus never shuffles; the only exchanges feed the tiny domain agg."""
+    plan = _plan(spark, "doc_mixing_weights")
+    assert "BroadcastHashJoin" in plan
+    # corpus-side shuffle would appear as an Exchange hashpartitioning on
+    # doc_id; the only hash exchange allowed is the domain-count agg
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    plan = _plan(spark, "doc_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_index_no_single_partition_sort(spark):
+    """The global total order must come from the bucketed two-pass prefix
+    sum: no global Sort/Exchange SinglePartition on the corpus side (the
+    only singlepartition exchange allowed is the n_buckets-row offsets
+    table)."""
+    plan = _plan(spark, "doc_global_shuffle")
+    # a naive Window.orderBy with no partitionBy plans as
+    # 'Exchange SinglePartition' feeding a global Sort over the corpus scan;
+    # our plan's SinglePartition exchanges consume the bucket-total AGGREGATE
+    # (post-groupBy), never the raw scan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            tail = "\n".join(lines[i : i + 8])
+            assert "HashAggregate" in tail or "Aggregate" in tail, (
+                f"corpus-wide single-partition exchange:\n{tail}"
+            )
