@@ -41,6 +41,51 @@ def decompose_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|gclid|fbclid)="
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
+) -> DataFrame:
+    """Web-page URL canonicalization — the key-normalization prestep for
+    url-keyed dedup/merge (two crawls of ``HTTP://X.COM:80/a?b=2&a=1`` and
+    ``http://x.com/a?a=1&b=2`` must land on the same CDC merge key):
+
+    1. strip the fragment,
+    2. lowercase scheme+authority (path/query case is preserved),
+    3. drop default ports (``:80`` http, ``:443`` https),
+    4. remove tracking params (``utm_*``/``gclid``/``fbclid``) and sort the
+       survivors byte-wise,
+    5. drop an empty trailing ``?``.
+
+    Pure narrow map built from regexp/array built-ins (no parse_url — the
+    same regex steps run verbatim in the DuckDB oracle) — codegen-friendly,
+    shuffle-free, so it composes with the CDC pipeline at scan speed.
+    """
+    c = F.col(url_col)
+    base = F.regexp_replace(c, "#.*$", "")
+    prefix = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = base.substr(F.length(prefix) + 1, F.length(base))
+    auth = F.regexp_replace(
+        F.regexp_replace(F.lower(prefix), "^(http://.*):80$", "$1"),
+        "^(https://.*):443$",
+        "$1",
+    )
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q2 = F.array_join(kept, "&")
+    return df.withColumn(
+        out_col,
+        F.concat(auth, path, F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit(""))),
+    )
+
+
 def normalize_meta_keys(df: DataFrame, meta_col: str = "meta") -> DataFrame:
     """P3: lowercase all metadata keys (RouteIngestedFile.kt:116)."""
     return df.withColumn(

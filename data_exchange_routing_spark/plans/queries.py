@@ -1078,6 +1078,64 @@ def doc_redact_pii(spark, sf_dir):
     )
 
 
+# deterministic messy-URL synthesis shared by the Spark query and the
+# oracle: mixed case, default ports, tracking params, fragments
+_URL_SYNTH_SPARK = (
+    "concat('HTTP://Example', doc_id % 5, '.COM',"
+    " CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,"
+    " '/Path/', doc_id,"
+    " CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'"
+    "      WHEN doc_id % 3 = 1 THEN '?z=9&gclid=abc#frag'"
+    "      ELSE '' END)"
+)
+_URL_SYNTH_SQL = _URL_SYNTH_SPARK  # same expression is valid DuckDB SQL
+
+
+@q(
+    "doc_canonical_urls",
+    # URL canonicalization for url-keyed CDC dedup: strip fragment,
+    # lowercase scheme+authority, drop default ports + tracking params,
+    # sort surviving query params. Same regex steps in both engines.
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    s AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS base
+      FROM u),
+    p AS (
+      SELECT doc_id, url, base,
+             regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+      FROM s),
+    r AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(lower(prefix), '^(http://.*):80$', '\\1'),
+                            '^(https://.*):443$', '\\1') AS auth,
+             substr(base, length(prefix) + 1) AS rest
+      FROM p),
+    x AS (
+      SELECT doc_id, url, auth,
+             regexp_extract(rest, '^([^?]*)', 1) AS path,
+             regexp_extract(rest, '\\?(.*)$', 1) AS query
+      FROM r),
+    k AS (
+      SELECT doc_id, url, auth, path,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               y -> y <> '' AND NOT regexp_matches(y, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') AS q2
+      FROM x)
+    SELECT doc_id, url,
+           auth || path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS url_canonical
+    FROM k
+    """,
+)
+def doc_canonical_urls(spark, sf_dir):
+    from data_exchange_routing_spark.operators.parse import canonicalize_url
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    return canonicalize_url(d).select("doc_id", "url", "url_canonical")
+
+
 @q(
     "doc_mixing_weights",
     # Pile/DoReMi-style domain reweighting: per-doc up/down-sampling weight

@@ -248,3 +248,25 @@ def test_dedup_extreme_hot_key(spark):
         # max warc_ts is base+999s; among those, max lsn = 99999
         assert winner["warc_ts"] == base + timedelta(seconds=999)
         assert winner["lsn"] == 99999, strat
+
+
+def test_canonicalize_url_edges(spark):
+    """Canonicalization: fragment stripped, scheme+host lowercased (path
+    case kept), default ports dropped (https:443 too, but not :8080),
+    tracking params removed, query sorted, empty query leaves no '?'."""
+    from data_exchange_routing_spark.operators.parse import canonicalize_url
+
+    cases = [
+        ("HTTPS://A.Com:443/P?utm_campaign=c", "https://a.com/P"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),
+        ("http://A.COM:8080/x?b=1&a=2", "http://a.com:8080/x?a=2&b=1"),
+        ("http://a.com/x#only-frag", "http://a.com/x"),
+        ("http://a.com/CaseKept/Path", "http://a.com/CaseKept/Path"),
+        ("http://a.com/x?gclid=1&fbclid=2&utm_x=3", "http://a.com/x"),
+        ("http://a.com/x?", "http://a.com/x"),
+        ("http://a.com:80/", "http://a.com/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {r.i: r.url_canonical for r in canonicalize_url(df).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u}: {got[i]} != {want}"
