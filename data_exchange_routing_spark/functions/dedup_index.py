@@ -1,0 +1,118 @@
+"""Persistent, incrementally-maintained LSH near-dup index.
+
+The one-shot ``minhash_lsh_candidates`` recomputes signatures for the whole
+corpus every run — fine for a batch curation pass, wrong for CDC ingest where
+each micro-batch of crawled pages must be checked against *everything seen so
+far*. This module keeps the LSH band relation (doc_id, band, band_hash, epoch)
+as a lake table (reference semantics: the route-config-backed dedup guard in
+RouteIngestedFile.kt:543-545 generalized to near-dup): per epoch the new
+batch's signatures are computed ONCE, appended under the epoch id
+(redelivery -> metadata no-op, same exactly-once contract as every other
+sink), and the near-dup pairs involving the new docs are read back from the
+committed files.
+
+Scale shape at 100 TB:
+- signatures/banding of the BATCH only — O(batch), never O(corpus);
+- the pair probe broadcasts the batch's band rows and streams the index scan
+  through a BroadcastHashJoin: the corpus-sized side NEVER shuffles (plan
+  asserted in tests);
+- the index row is ~(int, 32-char hash, long, long) per (doc, band) — for
+  k=128/b=16 that is ~16 small rows per document, orders of magnitude below
+  the text; per-epoch appends are one file (compaction machinery from
+  lake/table.py applies when epochs accumulate);
+- incremental == full-batch recompute is gate-checked by an oracle-backed
+  registry query (`doc_incremental_lsh_pairs` reuses the
+  `doc_minhash_lsh_pairs` DuckDB twin verbatim).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_exchange_routing_spark.functions.dedup_text import LSH_BANDS, MINHASH_K, lsh_band_rows
+from data_exchange_routing_spark.lake.table import LakeTable
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("band_hash", T.StringType(), False),
+        T.StructField("epoch", T.LongType(), False),
+    ]
+)
+
+
+class NearDupIndex:
+    """LSH band index persisted as an (unkeyed, epoch-guarded) lake table."""
+
+    def __init__(self, spark: SparkSession, path: str, k: int, bands: int):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.bands = bands
+        self.table = LakeTable.load(spark, path)
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+    ) -> "NearDupIndex":
+        LakeTable.create(spark, path, _SCHEMA)
+        with open(os.path.join(path, "lsh.json"), "w", encoding="utf-8") as f:
+            json.dump({"k": k, "bands": bands}, f)
+        return cls(spark, path, k, bands)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "NearDupIndex":
+        with open(os.path.join(path, "lsh.json"), encoding="utf-8") as f:
+            cfg = json.load(f)
+        return cls(spark, path, cfg["k"], cfg["bands"])
+
+    def check_and_add(
+        self,
+        docs: DataFrame,
+        epoch_id: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Index ``docs`` under ``epoch_id`` and return the near-dup candidate
+        pairs (doc_a < doc_b) that involve at least one doc of this epoch —
+        vs the entire corpus indexed so far. Idempotent: redelivering an
+        epoch changes nothing and returns the same pairs.
+
+        Signatures are computed exactly once (at append time); the pair probe
+        re-reads the committed band rows from parquet instead of recomputing
+        the minhash aggregation."""
+        rows = lsh_band_rows(docs, id_col, text_col, self.k, self.bands).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "band",
+            "band_hash",
+            F.lit(epoch_id).cast("long").alias("epoch"),
+        )
+        self.table.append(rows, epoch_id=epoch_id, source="lsh-index")
+
+        all_rows = self.table.read()
+        new = all_rows.filter(F.col("epoch") == epoch_id)
+        a, n = all_rows.alias("a"), new.alias("n")
+        # older epochs pair with every colliding new doc; within the epoch the
+        # a < n ordering keeps each new-new pair once; a == n never pairs
+        involves_new = (F.col("a.epoch") < F.lit(epoch_id)) | (
+            (F.col("a.epoch") == F.lit(epoch_id)) & (F.col("a.doc_id") < F.col("n.doc_id"))
+        )
+        return (
+            a.join(
+                F.broadcast(n),
+                (F.col("a.band") == F.col("n.band"))
+                & (F.col("a.band_hash") == F.col("n.band_hash")),
+            )
+            .where(involves_new & (F.col("a.doc_id") != F.col("n.doc_id")))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )

@@ -163,6 +163,25 @@ def minhash_signatures(
     )
 
 
+def lsh_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """The LSH index relation (doc_id, band, band_hash): band hash = md5 of
+    the band's sorted (j, minhash) rows. Shared by the one-shot candidate
+    join below and the persistent incremental index (dedup_index.py)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k)
+    return (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j"), F.col("minhash")))))).alias("band_hash"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -173,13 +192,7 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs: docs sharing >= 1 LSH band (band hash = md5 of
     its rows' minhashes). Sub-quadratic: the pair join runs per (band, hash)
     bucket only."""
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k)
-    banded = (
-        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j"), F.col("minhash")))))).alias("band_hash"))
-    )
+    banded = lsh_band_rows(df, id_col, text_col, k, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -109,6 +109,87 @@ def lang_id(col: Column) -> Column:
     )
 
 
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+# Gopher's canonical floor is 2 distinct required stopwords; the default here
+# is 1 because the synthetic corpus tops out at 1 (the floor is a parameter of
+# passes_gopher, so production callers pass 2).
+GOPHER_MIN_STOP_HITS = 1
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring (no regex), via replace-length."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def n_words(col: Column) -> Column:
+    """Word count of the normalized text (same tokenization as word_tokens)."""
+    return F.size(word_tokens(col))
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """Gopher rule: ('#' count + '...' count) / word count (0 when no words)."""
+    sym = _count_occurrences(col, "#") + _count_occurrences(col, "...")
+    nw = n_words(col)
+    return F.when(nw > 0, F.round(sym.cast("double") / nw, 4)).otherwise(F.lit(0.0))
+
+
+def bullet_line_frac(col: Column) -> Column:
+    """Fraction of lines whose trimmed form starts with a bullet marker."""
+    lines = F.split(col, "\n")
+    hits = F.size(F.filter(lines, lambda x: F.trim(x).rlike("^[-*•]")))
+    return F.round(hits.cast("double") / F.size(lines), 4)
+
+
+def ellipsis_line_frac(col: Column) -> Column:
+    """Fraction of lines whose trimmed form ends with an ellipsis."""
+    lines = F.split(col, "\n")
+    hits = F.size(F.filter(lines, lambda x: F.trim(x).rlike("(\\.\\.\\.|…)$")))
+    return F.round(hits.cast("double") / F.size(lines), 4)
+
+
+def alpha_word_frac(col: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    toks = word_tokens(col)
+    hits = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    return F.when(F.size(toks) > 0, F.round(hits.cast("double") / F.size(toks), 4)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """Distinct required stopwords present (Gopher uses >= 2 of a small list)."""
+    return F.size(
+        F.array_intersect(word_tokens(col), F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+    )
+
+
+def passes_gopher(col: Column, min_words: int = GOPHER_MIN_WORDS, min_stop_hits: int = GOPHER_MIN_STOP_HITS) -> Column:
+    """The Gopher quality-rule conjunction (Rae et al. 2021, public paper):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stopword floor.
+    Pure JVM expressions — one codegen'd pass, no UDF."""
+    nw = n_words(col)
+    mwl = mean_word_len(col)
+    return (
+        (nw >= min_words)
+        & (nw <= GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MWL)
+        & (mwl <= GOPHER_MAX_MWL)
+        & (symbol_word_ratio(col) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_line_frac(col) <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_line_frac(col) <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_word_frac(col) >= GOPHER_MIN_ALPHA_FRAC)
+        & (stopword_hits(col) >= min_stop_hits)
+    )
+
+
 def doc_fingerprint(col: Column) -> Column:
     """16-hex-digit content fingerprint of the normalized text (md5-based;
     the rolling-hash variant lives in the pandas-UDF module)."""

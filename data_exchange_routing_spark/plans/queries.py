@@ -637,6 +637,79 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @q(
+    "doc_gopher_filters",
+    None,  # SQL twin built programmatically below
+)
+def doc_gopher_filters(spark, sf_dir):
+    """Gopher quality-rule bundle (Rae et al. 2021): one codegen'd pass
+    computing every rule metric plus the conjunction flag. No UDF, no
+    shuffle — a pure projection that scales linearly with the scan."""
+    d = ld(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.n_words(t).alias("n_words"),
+        F.round(TS.mean_word_len(t), 4).alias("mean_word_len"),
+        TS.symbol_word_ratio(t).alias("symbol_word_ratio"),
+        TS.bullet_line_frac(t).alias("bullet_line_frac"),
+        TS.ellipsis_line_frac(t).alias("ellipsis_line_frac"),
+        TS.alpha_word_frac(t).alias("alpha_word_frac"),
+        TS.stopword_hits(t).alias("stop_hits"),
+        TS.passes_gopher(t).alias("passes_gopher"),
+    )
+
+
+def _gopher_sql() -> str:
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    words = f"string_split({norm}, ' ')"
+    nw = f"len({words})"
+    mwl = f"(length(replace({norm}, ' ', '')) * 1.0 / {nw})"
+    sym = (
+        "((length(text) - length(replace(text, '#', ''))) "
+        "+ (length(text) - length(replace(text, '...', ''))) / 3)"
+    )
+    sym_ratio = f"(CASE WHEN {nw} > 0 THEN round({sym} * 1.0 / {nw}, 4) ELSE 0.0 END)"
+    lines = "string_split(text, chr(10))"
+    bullet = (
+        f"round(len(list_filter({lines}, x -> regexp_matches(trim(x), '^[-*•]'))) "
+        f"* 1.0 / len({lines}), 4)"
+    )
+    ellipsis = (
+        f"round(len(list_filter({lines}, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) "
+        f"* 1.0 / len({lines}), 4)"
+    )
+    alpha = (
+        f"(CASE WHEN {nw} > 0 THEN round(len(list_filter({words}, "
+        f"w -> regexp_matches(w, '[a-z]'))) * 1.0 / {nw}, 4) ELSE 0.0 END)"
+    )
+    stops = f"len(list_intersect({words}, {TS.STOPWORDS['en']}))"
+    passes = (
+        f"({nw} >= {TS.GOPHER_MIN_WORDS} AND {nw} <= {TS.GOPHER_MAX_WORDS} "
+        f"AND {mwl} >= {TS.GOPHER_MIN_MWL} AND {mwl} <= {TS.GOPHER_MAX_MWL} "
+        f"AND {sym_ratio} <= {TS.GOPHER_MAX_SYMBOL_RATIO} "
+        f"AND {bullet} <= {TS.GOPHER_MAX_BULLET_FRAC} "
+        f"AND {ellipsis} <= {TS.GOPHER_MAX_ELLIPSIS_FRAC} "
+        f"AND {alpha} >= {TS.GOPHER_MIN_ALPHA_FRAC} "
+        f"AND {stops} >= {TS.GOPHER_MIN_STOP_HITS})"
+    )
+    return f"""
+    SELECT doc_id,
+           {nw} AS n_words,
+           round({mwl}, 4) AS mean_word_len,
+           {sym_ratio} AS symbol_word_ratio,
+           {bullet} AS bullet_line_frac,
+           {ellipsis} AS ellipsis_line_frac,
+           {alpha} AS alpha_word_frac,
+           {stops} AS stop_hits,
+           {passes} AS passes_gopher
+    FROM documents
+    """
+
+
+ORACLE["doc_gopher_filters"] = _gopher_sql()
+
+
+@q(
     "doc_jaccard_pairs",
     None,  # SQL twin below
 )
@@ -734,6 +807,31 @@ def _lsh_pairs_sql(k: int = DT.MINHASH_K, bands: int = DT.LSH_BANDS) -> str:
 
 
 ORACLE["doc_minhash_lsh_pairs"] = _lsh_pairs_sql()
+
+
+@q("doc_incremental_lsh_pairs", None)  # oracle: identical to the one-shot twin
+def doc_incremental_lsh_pairs(spark, sf_dir):
+    """Persistent LSH index fed in three CDC epochs; the union of each
+    epoch's new-vs-corpus pairs must equal the one-shot full-batch candidates
+    — so this reuses the `doc_minhash_lsh_pairs` DuckDB twin verbatim as a
+    hard gate on the incremental path."""
+    import tempfile
+
+    from data_exchange_routing_spark.functions.dedup_index import NearDupIndex
+
+    docs = ld(spark, sf_dir, "documents")
+    idx = NearDupIndex.create(spark, tempfile.mkdtemp(prefix="lshidx-"))
+    parts = [
+        idx.check_and_add(docs.filter(F.col("doc_id") % 3 == e), epoch_id=e)
+        for e in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+ORACLE["doc_incremental_lsh_pairs"] = _lsh_pairs_sql()
 
 
 @q(

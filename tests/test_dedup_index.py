@@ -1,0 +1,73 @@
+"""Persistent incremental LSH near-dup index: idempotency, plan shape,
+reload. (Incremental == full-batch equivalence is gate-checked by the
+oracle-backed `doc_incremental_lsh_pairs` registry query.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.functions.dedup_index import NearDupIndex
+from data_exchange_routing_spark.functions.dedup_text import minhash_lsh_candidates
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _pairs(df) -> set[tuple]:
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_incremental_matches_full_batch(spark, tmp_path):
+    docs = _docs(spark)
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"))
+    got = set()
+    for e in range(3):
+        got |= _pairs(idx.check_and_add(docs.filter(F.col("doc_id") % 3 == e), epoch_id=e))
+    want = _pairs(minhash_lsh_candidates(docs))
+    assert got == want
+
+
+def test_redelivery_is_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"))
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    first = _pairs(idx.check_and_add(half, epoch_id=7))
+    n_rows = idx.table.read().count()
+    version = idx.table.current_version()
+    # redelivery: same epoch id — no new files, no new version, same pairs
+    again = _pairs(idx.check_and_add(half, epoch_id=7))
+    assert again == first
+    assert idx.table.read().count() == n_rows
+    assert idx.table.current_version() == version
+
+
+def test_corpus_side_never_shuffles(spark, tmp_path):
+    docs = _docs(spark)
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"))
+    idx.check_and_add(docs.filter(F.col("doc_id") < 100), epoch_id=0).count()
+    pairs = idx.check_and_add(docs.filter(F.col("doc_id") >= 100), epoch_id=1)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus scan feeds the probe side straight from parquet: no Exchange
+    # may sit between the index FileScan and the broadcast join
+    probe_side = plan.split("BroadcastHashJoin")[1]
+    scan_half = probe_side.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in scan_half
+
+
+def test_reload_and_continue(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    NearDupIndex.create(spark, path, k=8, bands=4).check_and_add(
+        docs.filter(F.col("doc_id") % 2 == 0), epoch_id=0
+    ).count()
+    idx2 = NearDupIndex.load(spark, path)
+    assert (idx2.k, idx2.bands) == (8, 4)
+    got = _pairs(idx2.check_and_add(docs.filter(F.col("doc_id") % 2 == 1), epoch_id=1))
+    # cross-epoch pairs exist on this corpus and every pair involves an odd id
+    full = _pairs(minhash_lsh_candidates(docs))
+    want = {p for p in full if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert got == want
