@@ -1941,6 +1941,33 @@ def supplier_part_variety(spark, sf_dir):
 
 
 @q(
+    "q16_part_supplier_variety",
+    # TPC-H q16 shape: NOT IN exclusion subquery (broadcast anti-join) feeding
+    # a per-group count(DISTINCT) with a deterministic top-N
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20
+    """,
+)
+def q16_part_supplier_variety(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    p = ld(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    blocked = ld(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(blocked), l.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+@q(
     "q18_large_volume_orders",
     """
     SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
