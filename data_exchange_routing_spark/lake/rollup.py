@@ -10,7 +10,13 @@ snapshot guard as every other table, so at-least-once redelivery of a batch
 cannot double-count.
 
 Supported aggregate kinds (all decomposable: partial per epoch, re-aggregable
-at read): count, sum, min, max — avg derives as sum/count at read time.
+at read): count, sum, min, max — avg derives as sum/count at read time — and
+approx_distinct: a mergeable DataSketches HLL sketch per epoch
+(``hll_sketch_agg``), union-folded at read (``hll_union_agg``) and finished
+to an estimate (``hll_sketch_estimate``). Sketch union is associative, so
+the incrementally-maintained estimate is bit-identical to a one-shot sketch
+over the full history (asserted in tests) while each epoch still appends
+only O(#groups) rows.
 """
 
 from __future__ import annotations
@@ -21,8 +27,14 @@ from pyspark.sql import types as T
 
 from data_exchange_routing_spark.lake.table import LakeTable
 
-_KINDS = {"count", "sum", "min", "max"}
-_REAGG = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_KINDS = {"count", "sum", "min", "max", "approx_distinct"}
+_REAGG = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "approx_distinct": F.hll_union_agg,
+}
 
 
 class RollupView:
@@ -60,6 +72,8 @@ class RollupView:
         for name, (kind, col) in self.aggs.items():
             if kind == "count":
                 out.append(F.count(F.lit(1)).alias(name))
+            elif kind == "approx_distinct":
+                out.append(F.hll_sketch_agg(F.col(col)).alias(name))
             else:
                 out.append(getattr(F, kind)(F.col(col)).alias(name))
         return out
@@ -72,20 +86,34 @@ class RollupView:
         one appended delta of #groups rows. Idempotent per (source, epoch)."""
         return self.table.append(self._partials(batch), epoch_id=epoch_id, source=source)
 
-    def read(self) -> DataFrame:
-        """The finished aggregate: re-aggregate stored partials (count and
-        sum re-fold with sum; min/max with min/max)."""
+    def _folded_partials(self) -> DataFrame:
+        """Stored partials folded to one row per group, KEEPING the partial
+        representation (sketches stay binary/mergeable) — the compaction
+        form, not the user-facing finished aggregate."""
         parts = self.table.read()
         aggs = [
             _REAGG[kind](F.col(name)).alias(name) for name, (kind, _c) in self.aggs.items()
         ]
         return parts.groupBy(*self.group_by).agg(*aggs)
 
+    def read(self) -> DataFrame:
+        """The finished aggregate: re-aggregate stored partials (count and
+        sum re-fold with sum; min/max with min/max; HLL sketches union-fold
+        and finish to a long estimate)."""
+        folded = self._folded_partials()
+        finish = [
+            F.hll_sketch_estimate(F.col(name)).alias(name)
+            if kind == "approx_distinct"
+            else F.col(name)
+            for name, (kind, _c) in self.aggs.items()
+        ]
+        return folded.select(*self.group_by, *finish)
+
     def compact(self) -> dict:
         """Merge all partials into one row per group (append-only table:
         rewrite via a fresh commit of the folded state, then vacuum via the
         usual snapshot expiry)."""
-        folded = self.read()
+        folded = self._folded_partials()
         snap = self.table.snapshot()
         staged = self.table._stage_files(
             self.table._align(folded, snap.schema()), snap, snap.version + 1, bucketed=False

@@ -89,6 +89,54 @@ def test_rollup_incremental_equals_full_recompute(spark, tmpdir_path):
     assert _got(view) == _expected(spark, batches)
 
 
+def test_rollup_hll_distinct_matches_one_shot_sketch(spark, tmpdir_path):
+    """approx_distinct partials union-fold across epochs to EXACTLY the
+    estimate of one sketch over the full history (HLL union associativity),
+    and survive redelivery + compaction like every other kind."""
+    aggs = {"users": ("approx_distinct", "user_id"), "n": ("count", None)}
+    view = RollupView.create(
+        spark, os.path.join(tmpdir_path, "v"), ["event_type"], aggs, SCHEMA
+    )
+    batches = []
+    for e in range(3):
+        # vary user ranges so epochs overlap but are not identical
+        b = _batch(spark, e, n=150 + 50 * e)
+        batches.append(b)
+        view.apply_epoch(b, epoch_id=e)
+
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionAll(b)
+    want = {
+        r["event_type"]: (r["users"], r["n"])
+        for r in full.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+
+    def got():
+        return {r["event_type"]: (r["users"], r["n"]) for r in view.read().collect()}
+
+    assert got() == want
+    # small cardinality (<= 37 users) sits in the sketch's exact regime
+    exact = {
+        r["event_type"]: r["u"]
+        for r in full.groupBy("event_type").agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    assert {k: v[0] for k, v in got().items()} == exact
+
+    dup = view.apply_epoch(_batch(spark, 1, n=200), epoch_id=1)
+    assert dup.get("skipped")
+    assert got() == want
+
+    res = view.compact()
+    assert not res.get("skipped")
+    assert got() == want
+
+
 def test_rollup_rejects_unknown_aggregate(spark, tmpdir_path):
     with pytest.raises(ValueError, match="unsupported aggregate"):
         RollupView(spark, os.path.join(tmpdir_path, "x"), ["a"], {"m": ("median", "v")})
