@@ -72,6 +72,13 @@ class NearDupIndex:
             cfg = json.load(f)
         return cls(spark, path, cfg["k"], cfg["bands"])
 
+    def compact(self, n_files: int = 1) -> dict:
+        """Fold the per-epoch band-row files into ``n_files`` base files,
+        cluster-sorted by (band, band_hash) so row-group stats tighten.
+        Run periodically (e.g. every K epochs) to keep the probe scan
+        O(n_files) instead of O(epochs)."""
+        return self.table.rewrite_files(n_files=n_files, sort_by=["band", "band_hash"])
+
     def check_and_add(
         self,
         docs: DataFrame,

@@ -399,6 +399,7 @@ class LakeTable:
         bucketed: bool,
         sort_within: list | None = None,
         write_options: dict | None = None,
+        n_files: int | None = None,
     ) -> list[dict]:
         """Write parquet to a per-commit staging dir; return manifest entries.
 
@@ -425,8 +426,11 @@ class LakeTable:
             df = df.drop(*[c for c in df.columns if c.startswith("_cluster_")])
             writer = df.write.mode("overwrite").partitionBy(BUCKET_COL)
         else:
-            # control-plane appends (dead_letter / lineage) are tiny: 1 file
-            df = df.repartition(1)
+            # control-plane appends (dead_letter / lineage) are tiny: 1 file;
+            # rewrite_files passes n_files to size compacted unkeyed tables
+            df = df.repartition(n_files or 1)
+            if sort_within:
+                df = df.sortWithinPartitions(*sort_within)
             writer = df.write.mode("overwrite")
         if write_options:
             writer = writer.options(**write_options)
@@ -815,6 +819,47 @@ class LakeTable:
         except FileExistsError:
             # a concurrent merge landed after we resolved: abort rather than
             # drop its delta (compaction retries on the next cycle)
+            return {"skipped": True, "reason": "commit-conflict"}
+        return {"skipped": False, "version": new.version, "files": len(files)}
+
+    def rewrite_files(self, n_files: int = 1, sort_by: list[str] | None = None) -> dict:
+        """Unkeyed-table compaction: fold the accumulated per-epoch append
+        files into ``n_files`` fresh base files (optionally cluster-sorted
+        within each, tightening row-group min/max skipping), replacing the
+        file list atomically. Content-preserving; the committed-epoch guard
+        set survives, so redelivery of an already-folded epoch stays a no-op.
+        The append-only analog of ``compact()`` — a stream appending one
+        file per micro-batch (lineage, dead-letter, the LSH band index)
+        stays O(n_files) to scan instead of O(epochs)."""
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError("rewrite_files is for unkeyed tables; keyed tables use compact()")
+        df = self._read_files(snap, snap.files, with_internal=True)
+        out = self._align(df, snap.schema())
+        files = self._stage_files(
+            out,
+            snap,
+            snap.version + 1,
+            bucketed=False,
+            sort_within=[F.col(c) for c in sort_by] if sort_by else None,
+            n_files=n_files,
+        )
+        for f in files:
+            f["kind"] = "base"
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=None,
+            committed_epochs=snap.committed_epochs,
+            summary={"operation": "rewrite-files", "n_files": n_files},
+        )
+        new.replace_files(files)
+        try:
+            self._write_snapshot(new)
+        except FileExistsError:
+            # a concurrent append landed after we read: abort rather than
+            # drop its rows (retry on the next maintenance cycle)
             return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}
 

@@ -58,6 +58,46 @@ def test_corpus_side_never_shuffles(spark, tmp_path):
     assert "Exchange hashpartitioning" not in scan_half
 
 
+def test_compact_preserves_state_and_epoch_guard(spark, tmp_path):
+    docs = _docs(spark)
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"))
+    got = set()
+    for e in range(2):
+        got |= _pairs(idx.check_and_add(docs.filter(F.col("doc_id") % 3 == e), epoch_id=e))
+
+    rows_before = sorted(map(tuple, idx.table.read().collect()))
+    res = idx.compact(n_files=1)
+    assert not res.get("skipped")
+    snap = idx.table.snapshot()
+    assert len(snap.files) == 1 and snap.files[0]["kind"] == "base"
+    assert sorted(map(tuple, idx.table.read().collect())) == rows_before
+
+    # the epoch guard survives the rewrite: redelivery is still a no-op
+    v = idx.table.current_version()
+    idx.check_and_add(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1)
+    assert idx.table.current_version() == v
+
+    # and later epochs still find their pairs against the folded index
+    got |= _pairs(idx.check_and_add(docs.filter(F.col("doc_id") % 3 == 2), epoch_id=2))
+    assert got == _pairs(minhash_lsh_candidates(docs))
+
+
+def test_rewrite_files_rejects_keyed_tables(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "keyed"),
+        T.StructType([T.StructField("url", T.StringType(), False)]),
+        key="url",
+    )
+    with pytest.raises(ValueError, match="unkeyed"):
+        t.rewrite_files()
+
+
 def test_reload_and_continue(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "idx")
