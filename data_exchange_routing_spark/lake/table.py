@@ -16,7 +16,7 @@ its own lake layer with the same commit semantics the reference hand-rolls:
   report-id = filename (FnStoreReportingEvent.kt:71).
 - *merge-on-read CDC*: each micro-batch appends only its (deduplicated) delta
   files; readers reconstruct the final state with a per-key window over the
-  CDC ordering (warc_ts, lsn) and drop tombstones; ``compact()`` materializes
+  CDC ordering (warc_ts, lsn) and hide tombstones; ``compact()`` materializes
   the resolved state back into base files. Per-epoch write cost is O(batch),
   never O(table) — the property that makes 10^10-event replay sustainable.
 - *bucket partition layout*: data files are hash-bucketed by the merge key
@@ -744,9 +744,23 @@ class LakeTable:
         buckets: list[int] | None = None,
         cluster_by: list[str] | None = None,
         write_options: dict | None = None,
+        tombstone_watermark: tuple | None = None,
     ) -> dict:
         """Materialize the resolved state into fresh base files (bucketed),
-        dropping tombstones and superseded row versions.
+        dropping superseded row versions.
+
+        Winning tombstones are RETAINED by default (``read()`` filters them),
+        because under out-of-order CDC delivery an event OLDER than the
+        tombstone can still arrive later — if compaction had dropped the
+        tombstone, that stale event would silently resurrect the key (found
+        by the random-interleaving property test, round 2). Pass
+        ``tombstone_watermark=(ts, lsn)`` — the source's delivery guarantee
+        that every not-yet-delivered event orders >= (ts, lsn) in the
+        (warc_ts, _lsn) CDC order (e.g. binlog low-watermark) — to reclaim
+        tombstones strictly below it, the Cassandra gc_grace analog. The
+        watermark is ignored while stray unbucketed (-1) delta files exist:
+        such a file can hold an already-delivered older row for the key, and
+        only the tombstone's presence keeps beating it at read time.
 
         ``buckets=None`` compacts the whole table; passing a bucket list
         compacts ONLY those buckets — O(selected buckets), not O(table) —
@@ -778,11 +792,14 @@ class LakeTable:
         stray_unbucketed = buckets is not None and any(
             f["bucket"] == -1 and f["kind"] == "delta" for f in snap.files
         )
-        if not stray_unbucketed:
-            resolved = resolved.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        # else: a remaining -1 delta may hold OLDER rows for these keys; the
-        # tombstones must survive in the base files so read-time resolution
-        # still beats them. The next full compact reclaims everything.
+        if tombstone_watermark is not None and not stray_unbucketed:
+            w_ts, w_lsn = tombstone_watermark
+            is_tomb = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            below = (F.col("warc_ts") < F.lit(w_ts)) | (
+                (F.col("warc_ts") == F.lit(w_ts))
+                & (F.coalesce(F.col(LSN_COL), F.lit(0)) < F.lit(w_lsn))
+            )
+            resolved = resolved.filter(~(is_tomb & below))
         out = self._align(resolved, snap.schema()).withColumn(BUCKET_COL, self._bucket_expr(snap))
         sort_within = None
         if cluster_by:

@@ -88,16 +88,41 @@ def test_concurrent_commits_all_land(spark, tmpdir_path):
     assert t.current_version() == 7  # 1 create + 6 commits, no lost updates
 
 
-def test_compact_drops_tombstones_and_preserves_state(spark, tmpdir_path):
+def test_compact_retains_tombstones_and_preserves_state(spark, tmpdir_path):
+    """Compaction keeps winning tombstones (round-2 fix): a late event OLDER
+    than the tombstone must still lose after compaction; only a delivery
+    watermark above the tombstone reclaims it."""
+    from datetime import datetime
+
     t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=4)
     t.merge_cdc(_delta(spark, [_row("a", 1, 1), _row("b", 1, 2)]), epoch_id=0)
-    t.merge_cdc(_delta(spark, [_row("b", 2, 3, deleted=True)]), epoch_id=1)
+    t.merge_cdc(_delta(spark, [_row("b", 5, 3, deleted=True)]), epoch_id=1)
     before = sorted(r["url"] for r in t.read().collect())
     res = t.compact()
     assert res["skipped"] is False
     after = sorted(r["url"] for r in t.read().collect())
     assert before == after == ["a"]
     assert all(f["kind"] == "base" for f in t.snapshot().files)
+    # the tombstone survived the rewrite (read() filters it; probe raw files)
+    def _raw(tbl):
+        snap = tbl.snapshot()
+        return tbl._read_files(snap, snap.files, with_internal=True)
+
+    assert _raw(t).filter(F.col("url") == "b").count() == 1
+    # ...so an out-of-order redelivery OLDER than the tombstone still loses
+    # (with the tombstone dropped this resurrected "b" — hypothesis-found bug)
+    t.merge_cdc(_delta(spark, [_row("b", 2, 1, text="stale")]), epoch_id=2)
+    assert sorted(r["url"] for r in t.read().collect()) == ["a"]
+
+    # a delivery watermark ABOVE the tombstone's (warc_ts, lsn) reclaims it
+    t.compact(tombstone_watermark=(datetime(2024, 1, 1, 0, 0, 59), 0))
+    assert _raw(t).filter(F.col("url") == "b").count() == 0
+    assert sorted(r["url"] for r in t.read().collect()) == ["a"]
+    # a watermark BELOW a tombstone keeps it
+    t.merge_cdc(_delta(spark, [_row("a", 9, 9, deleted=True)]), epoch_id=3)
+    t.compact(tombstone_watermark=(datetime(2024, 1, 1, 0, 0, 5), 0))
+    assert _raw(t).filter(F.col("url") == "a").count() == 1
+    assert t.read().count() == 0
 
 
 def test_append_table_no_key(spark, tmpdir_path):
