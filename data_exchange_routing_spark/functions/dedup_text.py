@@ -135,66 +135,31 @@ def mh_params(k: int) -> list[tuple[int, int]]:
     return [(_c("a", j, 1), _c("b", j, 0)) for j in range(k)]
 
 
-def minhash_wide(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
-) -> DataFrame:
-    """(doc_id, mins: array<long>[k]) with ZERO shuffle.
-
-    Round 1 exploded shingles into rows and ran a k-way ``min`` hash
-    aggregation (map-side combined — already cheap on the wire). This keeps
-    the shingles as an array column and folds them in ONE ``aggregate``
-    higher-order pass: accumulator = the running k mins, per shingle one md5
-    plus k affine updates via ``zip_with``. No row explosion, no exchange, no
-    aggregation hash table — the whole signature is a narrow projection, so
-    downstream banding/joins start from the scan partitioning. Measured ~2x
-    over the explode+agg shape at sf0.1 (see BENCH/BASELINE.md round 2).
-
-    The hashed-shingle array is referenced exactly once, so Catalyst cannot
-    duplicate the md5 work however it collapses projections. Docs with no
-    shingles (< n tokens) are dropped, matching the explode form's semantics.
-    """
-    toked = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
-    )
-    tk = F.col("_toks")
-    n = SHINGLE_N
-    sh = F.when(F.size(tk) >= n, F.transform(
-        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
-    shingled = toked.select("doc_id", sh.alias("_sh")).filter(F.size("_sh") > 0)
-    params = mh_params(k)
-    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
-    b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
-    p = F.lit(MH_MOD).cast("long")
-    init = F.array(*([F.lit(MH_MOD).cast("long")] * k))  # p > any hash value
-    # hash FIRST via transform (exactly one md5 per shingle), THEN fold the
-    # long array: inside the fold the element is a bound lambda variable, so
-    # its k references in zip_with are free — inlining md5 into the fold
-    # would instead duplicate the md5 expression into every zip_with branch
-    # (k hashes per shingle, the same re-evaluation trap shingles() documents)
-    hashed = F.transform(F.col("_sh"), lambda s: md5_int32(s) % p)
-    mins = F.aggregate(
-        hashed,
-        init,
-        lambda acc, h: F.zip_with(
-            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % p),
-            acc,
-            lambda c, m: F.least(c, m),
-        ),
-    )
-    return shingled.select("doc_id", mins.alias("mins"))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
-    """k min-hashes per doc from the affine family above, long form
-    (doc_id, j, minhash). Derived from ``minhash_wide`` by a narrow
-    posexplode — the whole computation is shuffle-free."""
-    return minhash_wide(df, id_col, text_col, k).select(
-        "doc_id", F.posexplode("mins").alias("j", "minhash")
+    """k min-hashes per doc from the affine family above.
+
+    Physical shape: ONE hash aggregation — k ``min`` aggregates over the raw
+    (non-distinct) shingle stream, partially combined map-side, so the shuffle
+    carries (doc_id, k longs) per doc rather than every exploded
+    (shingle x j) row, and each shingle is md5-hashed ONCE. The long
+    (doc_id, j, minhash) form is re-derived with a post-agg explode, which is
+    narrow (docs x k rows, no shuffle)."""
+    from data_exchange_routing_spark.functions.textstats import md5_int32
+
+    sh = shingles(df, id_col, text_col, distinct=False)
+    h = md5_int32(F.col("shingle")) % F.lit(MH_MOD)
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MH_MOD)).alias(f"m{j}")
+        for j, (a, b) in enumerate(mh_params(k))
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[F.struct(F.lit(j).alias("j"), F.col(f"m{j}").alias("minhash")) for j in range(k)]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.j").alias("j"), F.col("p.minhash").alias("minhash")
     )
 
 
@@ -209,23 +174,11 @@ def lsh_band_rows(
     the band's sorted (j, minhash) rows. Shared by the one-shot candidate
     join below and the persistent incremental index (dedup_index.py)."""
     rows_per_band = k // bands
-    wide = minhash_wide(df, id_col, text_col, k)
-    # band hash straight off the wide signature array — value-identical to
-    # round 1's groupBy(doc,band).collect_list shape (same sorted "j:minhash"
-    # string format), but a narrow projection + posexplode: the ONLY exchange
-    # left in the whole LSH path is the candidate join itself
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", F.array_sort(F.array(*[
-                F.concat_ws(":", F.lit(j), F.element_at("mins", j + 1))
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ])))).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
-    return wide.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    sig = minhash_signatures(df, id_col, text_col, k)
+    return (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j"), F.col("minhash")))))).alias("band_hash"))
     )
 
 
