@@ -688,19 +688,55 @@ class LakeTable:
         raise RuntimeError(f"commit contention exhausted retries on {self.path}")
 
     # ----------------------------------------------------------- compaction
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def added_delta_files(self, from_version: int, to_version: int | None = None) -> list[dict]:
+        """Every delta file added by commits in (from_version, to_version],
+        INCLUDING deltas a compaction inside the range has since folded away.
+
+        Diffing only the two endpoint manifests would lose exactly those
+        files (added at v+1, compacted at v+3 → absent from both endpoints),
+        silently dropping changes for any consumer lagging behind a
+        compaction — so this walks each intermediate snapshot. Cost is
+        O(versions in range) driver-side manifest reads, no data IO. Raises
+        ``ValueError`` when an intermediate snapshot has been expired: the
+        feed is no longer reconstructible and the consumer must rebuild from
+        a full read instead of silently skipping."""
+        to_v = to_version or self.current_version()
+        try:
+            seen = {f["path"] for f in self.snapshot(from_version).files}
+            out: list[dict] = []
+            for v in range(from_version + 1, to_v + 1):
+                for f in self.snapshot(v).files:
+                    if f["kind"] == "delta" and f["path"] not in seen:
+                        seen.add(f["path"])
+                        out.append(f)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"change feed ({from_version}, {to_v}] is not reconstructible: "
+                f"an intermediate snapshot was expired ({e}); rebuild the "
+                "consumer from a full table read"
+            ) from e
+        return out
+
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        with_internal: bool = False,
+    ) -> DataFrame:
         """Incremental change feed (Iceberg incremental-scan analog): the raw
         delta rows added by commits in (from_version, to_version], with a
         ``_change_type`` column ('delete' for tombstones, 'upsert' otherwise).
         Downstream consumers tail the table by remembering the last version
         they processed — the engine's own CDC output surface.
+        ``with_internal=True`` keeps (_lsn, _deleted) so a consumer can
+        re-apply the changes into another keyed table with the source's
+        exact last-writer ordering (lake/changefeed.py mirror).
 
-        Cost is O(files added in the range): the file diff comes from the two
-        manifests, no table scan and no listing."""
+        Cost is O(files added in the range) data IO plus O(versions in range)
+        manifest reads (see ``added_delta_files`` for why each intermediate
+        snapshot is consulted)."""
         to_snap = self.snapshot(to_version)
-        from_snap = self.snapshot(from_version)
-        have = {f["path"] for f in from_snap.files}
-        added = [f for f in to_snap.files if f["path"] not in have and f["kind"] == "delta"]
+        added = self.added_delta_files(from_version, to_snap.version)
         df = self._read_files(to_snap, added, with_internal=True)
         deleted = (
             F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -710,6 +746,8 @@ class LakeTable:
         df = df.withColumn(
             "_change_type", F.when(deleted, F.lit("delete")).otherwise(F.lit("upsert"))
         )
+        if with_internal:
+            return df
         return df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
 
     def rollback(self, version: int) -> dict:
@@ -838,6 +876,65 @@ class LakeTable:
             # drop its delta (compaction retries on the next cycle)
             return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}
+
+    def rebucket(self, new_n_buckets: int, tombstone_watermark: tuple | None = None) -> dict:
+        """Bucket-count evolution (Iceberg partition-spec evolution analog):
+        rewrite the table under ``pmod(xxhash64(key), new_n_buckets)`` and
+        commit a snapshot whose ``n_buckets`` is the new count.
+
+        A table created at 16 buckets caps compaction/point-read parallelism
+        and file-layout granularity forever; a 100 TB deployment grows the
+        bucket count as the table grows (16 -> 256 -> 1024) instead. One
+        atomic full rewrite: readers before the commit see the old layout,
+        readers after see the new — never a mix, because the bucket expr is
+        derived from the snapshot being read. All future merges bucket by the
+        new count (merge_cdc reads n_buckets from the current snapshot), and
+        epoch guards carry over so redelivery stays a no-op across the
+        migration. Winning tombstones are retained exactly like ``compact``
+        (same out-of-order-redelivery argument; same watermark escape hatch).
+        Aborts (skipped=True) if a concurrent commit lands first."""
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("rebucket requires a keyed table")
+        if new_n_buckets == snap.n_buckets:
+            return {"skipped": True, "reason": "same-bucket-count"}
+        files = snap.files
+        resolved = self._read_files(snap, files, with_internal=True)
+        if any(f["kind"] == "delta" for f in files):
+            resolved = self._resolve(resolved, snap.key)
+        if tombstone_watermark is not None:
+            w_ts, w_lsn = tombstone_watermark
+            is_tomb = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            below = (F.col("warc_ts") < F.lit(w_ts)) | (
+                (F.col("warc_ts") == F.lit(w_ts))
+                & (F.coalesce(F.col(LSN_COL), F.lit(0)) < F.lit(w_lsn))
+            )
+            resolved = resolved.filter(~(is_tomb & below))
+        new_snap_proto = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=new_n_buckets,
+            key=snap.key,
+            committed_epochs=snap.committed_epochs,
+            summary={"operation": "rebucket", "from": snap.n_buckets, "to": new_n_buckets},
+        )
+        out = self._align(resolved, snap.schema()).withColumn(
+            BUCKET_COL, self._bucket_expr(new_snap_proto)
+        )
+        new_files = self._stage_files(out, new_snap_proto, snap.version + 1, bucketed=True)
+        for f in new_files:
+            f["kind"] = "base"
+        new_snap_proto.replace_files(new_files)
+        try:
+            self._write_snapshot(new_snap_proto)
+        except FileExistsError:
+            return {"skipped": True, "reason": "commit-conflict"}
+        return {
+            "skipped": False,
+            "version": new_snap_proto.version,
+            "n_buckets": new_n_buckets,
+            "files": len(new_files),
+        }
 
     def rewrite_files(self, n_files: int = 1, sort_by: list[str] | None = None) -> dict:
         """Unkeyed-table compaction: fold the accumulated per-epoch append

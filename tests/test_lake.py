@@ -680,6 +680,40 @@ def test_lake_random_operation_sequences_match_oracle(spark, tmp_path_factory, o
     assert got == exp
 
 
+def test_rebucket_evolves_layout_preserving_state_and_guards(spark, tmpdir_path):
+    """Bucket-count evolution: state identical, tombstones survive, future
+    merges + point reads use the new layout, epoch guards carry over."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=2)
+    t.merge_cdc(_delta(spark, [_row(f"u{i}", 1, i) for i in range(20)]), epoch_id=0)
+    t.merge_cdc(_delta(spark, [_row("u3", 5, 100, deleted=True)]), epoch_id=1)
+    before = sorted(r["url"] for r in t.read().collect())
+
+    res = t.rebucket(8)
+    assert res["skipped"] is False and res["n_buckets"] == 8
+    assert sorted(r["url"] for r in t.read().collect()) == before
+    snap = t.snapshot()
+    assert snap.n_buckets == 8
+    # files actually span the new bucket space, all base, no -1 strays
+    got_buckets = {f["bucket"] for f in snap.files}
+    assert got_buckets <= set(range(8)) and len(got_buckets) > 2
+    assert all(f["kind"] == "base" for f in snap.files)
+    # the winning tombstone survived the rewrite: an older redelivery of u3
+    # must still lose after the migration
+    t.merge_cdc(_delta(spark, [_row("u3", 2, 1, text="stale")]), epoch_id=2)
+    assert sorted(r["url"] for r in t.read().collect()) == before
+    # epoch guard carried over: redelivering epoch 0 is a no-op
+    assert t.merge_cdc(_delta(spark, [_row("zzz", 9, 999)]), epoch_id=0)["skipped"] is True
+    # point read computes the bucket from the NEW snapshot
+    assert t.point_read("u7").count() == 1
+    # no-op / idempotent call shape
+    assert t.rebucket(8)["skipped"] is True
+    # selective compaction over the new bucket ids still works
+    t.merge_cdc(_delta(spark, [_row("u7", 9, 200, text="v2")]), epoch_id=3)
+    worst = [b for b, s in t.bucket_delta_stats().items() if s["n_delta_files"] and b >= 0]
+    assert t.compact(buckets=worst)["skipped"] is False
+    assert {r["url"]: r["text"] for r in t.read().collect()}["u7"] == "v2"
+
+
 def test_point_read_prunes_files_by_key_range(spark, tmpdir_path):
     """Manifest entries record the merge-key min/max from parquet footers;
     point_read must skip files in the key's bucket whose range cannot
