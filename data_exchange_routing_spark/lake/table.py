@@ -329,6 +329,14 @@ class LakeTable:
             df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
         return df
 
+    # Steady-state reads resolve deltas against the base WITHOUT shuffling
+    # the base side, as long as the manifest says the deltas are small enough
+    # to broadcast their key set. Above this bound (or when the table is all
+    # deltas), fall back to the full window. Tune per deployment; the rows
+    # come from parquet footers already recorded in the manifest, so the
+    # decision costs zero IO.
+    RESOLVE_BROADCAST_MAX_DELTA_ROWS = 4_000_000
+
     def read(
         self,
         buckets: list[int] | None = None,
@@ -336,7 +344,19 @@ class LakeTable:
         version: int | None = None,
     ) -> DataFrame:
         """Current resolved state. ``buckets`` prunes files from the manifest
-        before Spark ever lists them (partition pruning)."""
+        before Spark ever lists them (partition pruning).
+
+        Merge-on-read resolution picks its physical plan from manifest stats:
+        the naive shape windows over base ∪ deltas — a full shuffle of the
+        TABLE whenever one delta file exists, the classic MOR read tax. But
+        base files hold exactly ONE row per key (compact/rebucket write
+        resolved output), so only keys the deltas touch need the window:
+        broadcast the delta key set, left-semi the touched base rows into the
+        window with the deltas, and stream every untouched base row through
+        an anti join with NO exchange. Read cost becomes
+        O(scan) + O(delta-fraction shuffle) instead of O(table shuffle) —
+        at 100 TB with GB-sized uncompacted deltas that is the difference
+        between a map-side read and re-shuffling the warehouse."""
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
@@ -345,9 +365,22 @@ class LakeTable:
             # bucket-selective read / point_read silently misses live rows.
             keep = set(buckets) | {-1}
             files = [f for f in files if f["bucket"] in keep]
-        df = self._read_files(snap, files, with_internal=True)
-        if snap.key is not None and any(f["kind"] == "delta" for f in files):
-            df = self._resolve(df, snap.key)
+        base_files = [f for f in files if f["kind"] == "base"]
+        delta_files = [f for f in files if f["kind"] == "delta"]
+        delta_rows = sum(f.get("rows", 0) for f in delta_files)
+        if snap.key is None or not delta_files:
+            df = self._read_files(snap, files, with_internal=True)
+        elif base_files and delta_rows <= self.RESOLVE_BROADCAST_MAX_DELTA_ROWS:
+            base = self._read_files(snap, base_files, with_internal=True)
+            delta = self._read_files(snap, delta_files, with_internal=True)
+            keys = F.broadcast(delta.select(snap.key).distinct())
+            hot = base.join(keys, snap.key, "left_semi")
+            cold = base.join(keys, snap.key, "left_anti")
+            df = self._resolve(delta.unionByName(hot), snap.key).unionByName(cold)
+        else:
+            df = self._resolve(
+                self._read_files(snap, files, with_internal=True), snap.key
+            )
         if snap.key is not None:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not with_internal:

@@ -498,6 +498,7 @@ def maintain(
     max_buckets_per_table: int = 4,
     min_delta_rows: int = 1,
     expire_keep_last: int | None = None,
+    target_rows_per_bucket: int | None = None,
 ) -> dict:
     """One incremental maintenance cycle — the ops loop a 100 TB deployment
     runs between (or concurrently with) epochs. Per destination table: rank
@@ -505,10 +506,26 @@ def maintain(
     worst ``max_buckets_per_table`` — O(selected buckets), never O(table) —
     and optionally expire old snapshots + vacuum orphaned files. Repeated
     cycles converge every bucket; steady-state per-cycle cost is bounded
-    regardless of table size."""
+    regardless of table size.
+
+    ``target_rows_per_bucket`` enables bucket-count auto-growth: when the
+    manifest's row total (no scan) exceeds target x n_buckets, the table is
+    rebucketed to the next power of two that restores rows/bucket <= target
+    — the growth path 16 -> 256 -> 1024 as the table grows. The rebucket
+    already rewrites everything resolved, so selective compaction is skipped
+    for that table this cycle."""
     report: dict = {}
     for dest in sorted(set(DESTINATION_TABLES)):
         t = wh.table(dest)
+        if target_rows_per_bucket:
+            snap = t.snapshot()
+            total_rows = sum(f.get("rows", 0) for f in snap.files)
+            if total_rows > target_rows_per_bucket * snap.n_buckets:
+                new_n = snap.n_buckets
+                while total_rows > target_rows_per_bucket * new_n:
+                    new_n *= 2
+                report[dest] = {"rebucket": t.rebucket(new_n)}
+                continue
         stats = t.bucket_delta_stats()
         worst = [
             b

@@ -680,6 +680,60 @@ def test_lake_random_operation_sequences_match_oracle(spark, tmp_path_factory, o
     assert got == exp
 
 
+def test_broadcast_resolve_equals_window_resolve_and_skips_base_shuffle(spark, tmpdir_path):
+    """Steady-state MOR read: with a compacted base + small deltas, read()
+    must (a) return exactly what the full-window plan returns — updates,
+    inserts, deletes, out-of-order revisions — and (b) never shuffle the
+    untouched base rows (they flow through a broadcast anti join)."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=4)
+    t.merge_cdc(_delta(spark, [_row(f"u{i}", 1, i) for i in range(30)]), epoch_id=0)
+    t.compact()  # -> base files, one row per key
+    # deltas: update u1, delete u2, insert new key, stale out-of-order for u3
+    t.merge_cdc(
+        _delta(spark, [_row("u1", 7, 100, text="v2"), _row("u2", 7, 101, deleted=True)]),
+        epoch_id=1,
+    )
+    t.merge_cdc(
+        _delta(spark, [_row("brand-new", 2, 102, text="n"), _row("u3", 0, 0, text="stale")]),
+        epoch_id=2,
+    )
+
+    fast = t.read()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan and "BroadcastExchange" in plan
+    # the anti join streams the untouched base rows straight off the scan:
+    # between the LeftAnti node and its build-side BroadcastExchange sibling
+    # sits the streamed child — a bare FileScan, never an Exchange (the only
+    # hashpartitioning exchanges in the whole plan are the tiny delta-side
+    # window and the broadcast key-distinct)
+    anti_stream = plan[plan.index("LeftAnti"):]
+    anti_stream = anti_stream[: anti_stream.index("BroadcastExchange")]
+    assert "FileScan parquet" in anti_stream
+    assert "Exchange" not in anti_stream
+
+    expected = {("u1", "v2"), ("brand-new", "n")} | {
+        (f"u{i}", "t") for i in range(30) if i not in (1, 2)
+    }
+    got_fast = {(r["url"], r["text"]) for r in fast.collect()}
+    assert got_fast == expected
+
+    # exact agreement with the full-window plan (forced via the threshold)
+    old = LakeTable.RESOLVE_BROADCAST_MAX_DELTA_ROWS
+    try:
+        LakeTable.RESOLVE_BROADCAST_MAX_DELTA_ROWS = -1
+        slow = t.read()
+        assert "LeftAnti" not in slow._jdf.queryExecution().executedPlan().toString()
+        assert {(r["url"], r["text"]) for r in slow.collect()} == got_fast
+    finally:
+        LakeTable.RESOLVE_BROADCAST_MAX_DELTA_ROWS = old
+
+    # bucket-pruned reads use the same split safely
+    b = t.snapshot()
+    some_bucket = next(f["bucket"] for f in b.files if f["kind"] == "base")
+    pruned = t.read(buckets=[some_bucket]).collect()
+    assert {(r["url"], r["text"]) for r in pruned} <= expected
+
+
 def test_rebucket_evolves_layout_preserving_state_and_guards(spark, tmpdir_path):
     """Bucket-count evolution: state identical, tombstones survive, future
     merges + point reads use the new layout, epoch guards carry over."""

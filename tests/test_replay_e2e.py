@@ -203,3 +203,28 @@ def test_incremental_maintenance_bounds_work(spark, events_dir, events_pdf, tmpd
         maintain(wh, max_buckets_per_table=2)
     assert all(s["n_delta_files"] == 0 for b, s in t.bucket_delta_stats().items() if b >= 0)
     _assert_state_equal(spark, wh, events_pdf)
+
+
+def test_maintenance_auto_grows_bucket_count(spark, events_dir, events_pdf, tmpdir_path):
+    """target_rows_per_bucket triggers a rebucket to the next power of two
+    that restores rows/bucket <= target; state stays oracle-equal and the
+    next cycle (now under target) performs no further rewrite."""
+    from data_exchange_routing_spark.pipeline import Warehouse, maintain, replay
+
+    wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=2)
+    replay(wh, events_dir)
+    t = wh.table("web_pages")
+    total = sum(f.get("rows", 0) for f in t.snapshot().files)
+    target = max(1, total // 7)  # forces growth 2 -> 16 (next pow2 over 14x)
+
+    rep = maintain(wh, target_rows_per_bucket=target)
+    rb = rep["web_pages"]["rebucket"]
+    assert rb["skipped"] is False
+    new_n = t.snapshot().n_buckets
+    assert new_n >= 8 and new_n & (new_n - 1) == 0  # grew, power of two
+    assert total <= target * new_n  # target restored
+    _assert_state_equal(spark, wh, events_pdf)
+
+    # already under target -> no rebucket on the next cycle
+    rep2 = maintain(wh, target_rows_per_bucket=target)
+    assert "rebucket" not in rep2["web_pages"]
