@@ -86,6 +86,41 @@ def canonicalize_url(
     )
 
 
+# double-quoted href attributes; the Java∩RE2 subset so the DuckDB oracle
+# runs the identical pattern
+HREF_RE = 'href="([^"]+)"'
+# host component of a canonicalized URL (scheme lowercased, port excluded)
+HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = ("url",),
+    out_col: str = "dst_url",
+) -> DataFrame:
+    """Outbound links per page: decode the html bytes, pull every
+    double-quoted ``href`` target (one codegen'd regexp pass — no UDF, no
+    shuffle), explode, and canonicalize each target with the same
+    ``canonicalize_url`` steps the CDC merge key uses, so the link graph and
+    the page table share one key space. Output: id_cols + (href, dst_url).
+
+    The scan->regexp->explode pipeline is embarrassingly parallel; at 100 TB
+    the only downstream shuffle is whatever aggregation the caller adds
+    (e.g. host degrees). Extraction breadth matches the reference-style
+    tolerant parse: unquoted/single-quoted hrefs are out of scope, like the
+    text extractor's documented tag subset."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    links = F.regexp_extract_all(html_str, F.lit(HREF_RE), 1)
+    out = df.select(*[F.col(c) for c in id_cols], F.explode(links).alias("href"))
+    return canonicalize_url(out, url_col="href", out_col=out_col)
+
+
+def host_of(col) -> "F.Column":
+    """Host of a CANONICALIZED url (lowercased scheme guaranteed)."""
+    return F.regexp_extract(col, HOST_RE, 1)
+
+
 def normalize_meta_keys(df: DataFrame, meta_col: str = "meta") -> DataFrame:
     """P3: lowercase all metadata keys (RouteIngestedFile.kt:116)."""
     return df.withColumn(

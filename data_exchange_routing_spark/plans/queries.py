@@ -1234,6 +1234,100 @@ def doc_canonical_urls(spark, sf_dir):
     return canonicalize_url(d).select("doc_id", "url", "url_canonical")
 
 
+# deterministic page-HTML synthesis shared by Spark and the oracle: 1-3
+# double-quoted hrefs per doc — messy case/ports/tracking params exercising
+# canonicalization, plus a schemeless relative link edge case
+_LINK_HTML_SYNTH = (
+    "concat('<html><body><p>doc ', doc_id, '</p>',"
+    " '<a href=\"HTTP://Example', doc_id % 5, '.COM:80/Page/', doc_id % 7,"
+    " '?utm_source=z&b=2&a=1\">l1</a>',"
+    " CASE WHEN doc_id % 2 = 0 THEN concat('<a href=\"https://CDN',"
+    " doc_id % 3, '.com:443/asset/', doc_id % 11, '\">l2</a>') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN '<a href=\"relative/path\">l3</a>' ELSE '' END,"
+    " '</body></html>')"
+)
+
+# href targets canonicalized with the SAME steps as doc_canonical_urls
+_LINKS_SQL_CTE = f"""
+    h AS (SELECT doc_id, {_LINK_HTML_SYNTH} AS html FROM documents),
+    l AS (SELECT doc_id,
+                 unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+          FROM h),
+    s AS (SELECT doc_id, href, regexp_replace(href, '#.*$', '') AS base FROM l),
+    p AS (SELECT doc_id, href, base,
+                 regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+          FROM s),
+    r AS (SELECT doc_id, href,
+                 regexp_replace(regexp_replace(lower(prefix), '^(http://.*):80$', '\\1'),
+                                '^(https://.*):443$', '\\1') AS auth,
+                 substr(base, length(prefix) + 1) AS rest
+          FROM p),
+    x AS (SELECT doc_id, href, auth,
+                 regexp_extract(rest, '^([^?]*)', 1) AS path,
+                 regexp_extract(rest, '\\?(.*)$', 1) AS query
+          FROM r),
+    k AS (SELECT doc_id, href, auth, path,
+                 array_to_string(list_sort(list_filter(string_split(query, '&'),
+                   y -> y <> '' AND NOT regexp_matches(y, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') AS q2
+          FROM x),
+    links AS (
+      SELECT doc_id, href,
+             auth || path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS dst_url
+      FROM k)
+"""
+
+
+@q(
+    "web_extract_links",
+    # Outbound-link extraction: decode page bytes, pull double-quoted href
+    # targets in one codegen'd regexp pass, canonicalize onto the CDC merge
+    # key space — the link-graph feed of a web corpus.
+    f"WITH {_LINKS_SQL_CTE} SELECT doc_id, href, dst_url FROM links",
+)
+def web_extract_links(spark, sf_dir):
+    from data_exchange_routing_spark.operators.parse import extract_links
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.expr(_LINK_HTML_SYNTH), "UTF-8").alias("html")
+    )
+    return extract_links(d, html_col="html", id_cols=("doc_id",)).select(
+        "doc_id", "href", "dst_url"
+    )
+
+
+@q(
+    "web_host_in_degree",
+    # Host-level link-graph degrees: the quality/spam signal a curation
+    # pipeline ranks domains by. One narrow extraction pass, ONE shuffle
+    # (the host aggregation).
+    f"""
+    WITH {_LINKS_SQL_CTE}
+    SELECT regexp_extract(dst_url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS dst_host,
+           count(*) AS n_links,
+           count(DISTINCT doc_id) AS n_pages
+    FROM links
+    WHERE regexp_extract(dst_url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) <> ''
+    GROUP BY 1
+    """,
+)
+def web_host_in_degree(spark, sf_dir):
+    from data_exchange_routing_spark.operators.parse import extract_links, host_of
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.expr(_LINK_HTML_SYNTH), "UTF-8").alias("html")
+    )
+    links = extract_links(d, html_col="html", id_cols=("doc_id",))
+    return (
+        links.select("doc_id", host_of(F.col("dst_url")).alias("dst_host"))
+        .filter(F.col("dst_host") != "")
+        .groupBy("dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_pages"),
+        )
+    )
+
+
 @q(
     "doc_mixing_weights",
     # Pile/DoReMi-style domain reweighting: per-doc up/down-sampling weight

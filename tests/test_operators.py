@@ -270,3 +270,33 @@ def test_canonicalize_url_edges(spark):
     got = {r.i: r.url_canonical for r in canonicalize_url(df).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, f"{u}: {got[i]} != {want}"
+
+
+def test_extract_links_edge_cases(spark):
+    """Double-quoted hrefs only; canonicalization applied per target; pages
+    with no links vanish; non-UTF8-safe plumbing is out of scope (binary in,
+    decoded once)."""
+    from data_exchange_routing_spark.operators.parse import extract_links, host_of
+
+    rows = [
+        (1, b'<a href="HTTP://A.COM:80/x?utm_source=1&b=2">t</a> <a href=\'http://skip.me\'>s</a>'),
+        (2, b"<p>no links at all</p>"),
+        (3, b'<a href="https://B.com:443/y#frag">u</a><a href="rel/path">v</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {
+        (r["doc_id"], r["href"], r["dst_url"])
+        for r in extract_links(df, html_col="html", id_cols=("doc_id",)).collect()
+    }
+    assert got == {
+        (1, "HTTP://A.COM:80/x?utm_source=1&b=2", "http://a.com/x?b=2"),
+        (3, "https://B.com:443/y#frag", "https://b.com/y"),
+        (3, "rel/path", "rel/path"),
+    }
+    hosts = {
+        r["h"]
+        for r in extract_links(df, html_col="html", id_cols=("doc_id",))
+        .select(host_of(F.col("dst_url")).alias("h"))
+        .collect()
+    }
+    assert hosts == {"a.com", "b.com", ""}  # schemeless target has no host
