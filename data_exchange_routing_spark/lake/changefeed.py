@@ -99,12 +99,15 @@ class ChangeFeedConsumer:
         self,
         fn: Callable[[DataFrame, int, int], None],
         max_versions_per_batch: int | None = None,
+        head: int | None = None,
     ) -> dict:
         """Hand ``fn(changes_df, from_version, to_version)`` everything new,
         then advance the cursor. ``max_versions_per_batch`` bounds one call's
-        range (micro-batching for consumers that want smaller commits).
+        range (micro-batching for consumers that want smaller commits);
+        ``head`` caps the range at a pre-observed version (drain() passes it).
         Returns {"processed_versions", "from_version", "to_version"}."""
-        cur, head = self.pending()
+        cur = self.position()
+        head = self.table.current_version() if head is None else head
         if head <= cur:
             return {"processed_versions": 0, "from_version": cur, "to_version": cur}
         to = head if max_versions_per_batch is None else min(head, cur + max_versions_per_batch)
@@ -118,19 +121,17 @@ class ChangeFeedConsumer:
         fn: Callable[[DataFrame, int, int], None],
         max_versions_per_batch: int | None = None,
     ) -> dict:
-        """Repeat ``process_available`` until caught up with the head
-        observed at each step (availableNow drain)."""
+        """Process everything up to the head observed ONCE at drain start
+        (Structured Streaming's availableNow contract) — re-reading the head
+        per step would never return against a producer that keeps
+        committing; newer versions wait for the next drain call."""
         total = 0
         start = self.position()
-        while True:
-            res = self.process_available(fn, max_versions_per_batch)
+        target = self.table.current_version()
+        while self.position() < target:
+            res = self.process_available(fn, max_versions_per_batch, head=target)
             total += res["processed_versions"]
-            if res["processed_versions"] == 0:
-                return {
-                    "processed_versions": total,
-                    "from_version": start,
-                    "to_version": res["to_version"],
-                }
+        return {"processed_versions": total, "from_version": start, "to_version": target}
 
 
 def mirror_into_table(dest: LakeTable, consumer_id: str) -> Callable[[DataFrame, int, int], None]:
@@ -139,9 +140,28 @@ def mirror_into_table(dest: LakeTable, consumer_id: str) -> Callable[[DataFrame,
     consumer created with ``with_internal=True`` so the feed carries
     (_lsn, _deleted) and the mirror resolves last-writer-wins in the source's
     exact (warc_ts, lsn) order — it therefore converges to the source's
-    resolved state (asserted in tests)."""
+    resolved state (asserted in tests). Enforced loudly: without _deleted the
+    schema-align would null-backfill it and silently resurrect every source
+    tombstone in the mirror.
+
+    Epoch ids are table versions — contiguous cursor positions, not 0-based
+    micro-batch ids — so the commit uses the monotonic high-watermark guard
+    (``epoch_monotonic=True``); the plain encoded-set guard would grow the
+    destination snapshot by one integer per processed batch forever."""
+    from data_exchange_routing_spark.lake.table import DELETED_COL
 
     def fn(changes: DataFrame, _from_v: int, to_v: int) -> None:
-        dest.merge_cdc(changes.drop("_change_type"), epoch_id=to_v, source=consumer_id)
+        if DELETED_COL not in changes.columns:
+            raise ValueError(
+                "mirror_into_table needs the internal CDC columns; create the "
+                "ChangeFeedConsumer with with_internal=True (without _deleted "
+                "every source tombstone would silently resurrect in the mirror)"
+            )
+        dest.merge_cdc(
+            changes.drop("_change_type"),
+            epoch_id=to_v,
+            source=consumer_id,
+            epoch_monotonic=True,
+        )
 
     return fn

@@ -93,6 +93,17 @@ def _enc_add(v, epoch_id: int) -> dict:
     return {"w": w, "extra": sorted(extra)}
 
 
+def _enc_add_monotonic(v, epoch_id: int) -> dict:
+    """Advance the watermark to ``epoch_id``, claiming everything below it.
+    For sources whose epoch ids are CONTIGUOUS CURSOR POSITIONS (change-feed
+    consumers commit (prev, to] so every id <= to is by construction
+    processed) — _enc_add would park such ids in ``extra`` forever because
+    they don't start at 0, growing each snapshot by one integer per batch."""
+    enc = v if isinstance(v, dict) else _enc_epochs(set(v))
+    w = max(enc.get("w", -1), epoch_id)
+    return {"w": w, "extra": sorted(x for x in enc.get("extra", []) if x > w)}
+
+
 # manifest segmentation thresholds: the inline tail rolls into an immutable
 # segment file past TAIL_MAX entries; segments merge into one past SEG_MAX
 # refs. Commit cost is O(new entries + #segment refs) — never O(#files) —
@@ -265,7 +276,10 @@ class LakeTable:
         return max(versions, default=0)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
-        v = version or self.current_version()
+        # explicit None check: `version or ...` would silently turn the
+        # (invalid) version 0 into "current", which made read_changes(0)
+        # return a partial feed with no error
+        v = self.current_version() if version is None else version
         with open(os.path.join(self.meta_dir, f"snapshot-{v:08d}.json")) as f:
             d = json.load(f)
         snap = Snapshot(
@@ -552,6 +566,7 @@ class LakeTable:
         source: str = "default",
         summary: dict | None = None,
         kind: str = "delta",
+        epoch_monotonic: bool = False,
     ) -> dict:
         """Metadata-only commit of externally staged parquet files (paths may
         live in a shared warehouse staging area — manifest entries are paths,
@@ -580,7 +595,8 @@ class LakeTable:
             )
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
-                committed[source] = _enc_add(snap.committed_epochs.get(source, []), epoch_id)
+                add = _enc_add_monotonic if epoch_monotonic else _enc_add
+                committed[source] = add(snap.committed_epochs.get(source, []), epoch_id)
             new = Snapshot(
                 version=snap.version + 1,
                 schema_json=schema_json,
@@ -669,17 +685,23 @@ class LakeTable:
         epoch_id: int | None = None,
         source: str = "default",
         summary: dict | None = None,
+        epoch_monotonic: bool = False,
     ) -> dict:
         """Apply a deduplicated CDC delta (one row per key, tombstones carry
         ``_deleted=true``). Requires columns: key, warc_ts, _lsn, _deleted.
         MERGE INTO analog: matched-newer -> update/delete, not-matched -> insert,
-        realized lazily at read/compact time (merge-on-read)."""
+        realized lazily at read/compact time (merge-on-read).
+
+        ``epoch_monotonic=True``: epoch ids are contiguous cursor positions
+        (change-feed consumers); the guard stores only the high watermark."""
         snap = self.snapshot()
         if snap.key is None:
             raise ValueError("merge_cdc requires a table created with a merge key")
-        return self._commit(df, epoch_id, source, summary, is_cdc=True)
+        return self._commit(df, epoch_id, source, summary, is_cdc=True,
+                            epoch_monotonic=epoch_monotonic)
 
-    def _commit(self, df, epoch_id, source, summary, is_cdc: bool) -> dict:
+    def _commit(self, df, epoch_id, source, summary, is_cdc: bool,
+                epoch_monotonic: bool = False) -> dict:
         snap = self.snapshot()
         if epoch_id is not None and snap.epoch_committed(source, epoch_id):
             return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
@@ -701,7 +723,8 @@ class LakeTable:
             new_schema_json = self._evolved_schema(snap, df) or snap.schema_json
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
-                committed[source] = _enc_add(snap.committed_epochs.get(source, []), epoch_id)
+                add = _enc_add_monotonic if epoch_monotonic else _enc_add
+                committed[source] = add(snap.committed_epochs.get(source, []), epoch_id)
             new = Snapshot(
                 version=snap.version + 1,
                 schema_json=new_schema_json,
@@ -733,7 +756,11 @@ class LakeTable:
         ``ValueError`` when an intermediate snapshot has been expired: the
         feed is no longer reconstructible and the consumer must rebuild from
         a full read instead of silently skipping."""
-        to_v = to_version or self.current_version()
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version < 1:
+            raise ValueError(
+                f"from_version must be >= 1 (the create snapshot); got {from_version}"
+            )
         try:
             seen = {f["path"] for f in self.snapshot(from_version).files}
             out: list[dict] = []
@@ -810,6 +837,24 @@ class LakeTable:
             return {"version": new.version, "rolled_back_to": version}
         raise RuntimeError(f"rollback contention exhausted retries on {self.path}")
 
+    def _resolved_state(self, snap, files, tombstone_watermark, watermark_safe: bool = True):
+        """Shared rewrite prep for compact()/rebucket(): read the selected
+        files, last-writer-resolve if any delta is present, and (when the
+        caller says it is safe — see compact's stray -1-file guard) reclaim
+        winning tombstones strictly below the delivery watermark."""
+        resolved = self._read_files(snap, files, with_internal=True)
+        if any(f["kind"] == "delta" for f in files):
+            resolved = self._resolve(resolved, snap.key)
+        if tombstone_watermark is not None and watermark_safe:
+            w_ts, w_lsn = tombstone_watermark
+            is_tomb = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            below = (F.col("warc_ts") < F.lit(w_ts)) | (
+                (F.col("warc_ts") == F.lit(w_ts))
+                & (F.coalesce(F.col(LSN_COL), F.lit(0)) < F.lit(w_lsn))
+            )
+            resolved = resolved.filter(~(is_tomb & below))
+        return resolved
+
     def compact(
         self,
         buckets: list[int] | None = None,
@@ -857,20 +902,12 @@ class LakeTable:
             # drop it; it stays a delta and merge-on-read keeps resolving it.
             selected = set(buckets)
         files = [f for f in snap.files if f["bucket"] in selected]
-        resolved = self._read_files(snap, files, with_internal=True)
-        if any(f["kind"] == "delta" for f in files):
-            resolved = self._resolve(resolved, snap.key)
         stray_unbucketed = buckets is not None and any(
             f["bucket"] == -1 and f["kind"] == "delta" for f in snap.files
         )
-        if tombstone_watermark is not None and not stray_unbucketed:
-            w_ts, w_lsn = tombstone_watermark
-            is_tomb = F.coalesce(F.col(DELETED_COL), F.lit(False))
-            below = (F.col("warc_ts") < F.lit(w_ts)) | (
-                (F.col("warc_ts") == F.lit(w_ts))
-                & (F.coalesce(F.col(LSN_COL), F.lit(0)) < F.lit(w_lsn))
-            )
-            resolved = resolved.filter(~(is_tomb & below))
+        resolved = self._resolved_state(
+            snap, files, tombstone_watermark, watermark_safe=not stray_unbucketed
+        )
         out = self._align(resolved, snap.schema()).withColumn(BUCKET_COL, self._bucket_expr(snap))
         sort_within = None
         if cluster_by:
@@ -931,18 +968,9 @@ class LakeTable:
             raise ValueError("rebucket requires a keyed table")
         if new_n_buckets == snap.n_buckets:
             return {"skipped": True, "reason": "same-bucket-count"}
-        files = snap.files
-        resolved = self._read_files(snap, files, with_internal=True)
-        if any(f["kind"] == "delta" for f in files):
-            resolved = self._resolve(resolved, snap.key)
-        if tombstone_watermark is not None:
-            w_ts, w_lsn = tombstone_watermark
-            is_tomb = F.coalesce(F.col(DELETED_COL), F.lit(False))
-            below = (F.col("warc_ts") < F.lit(w_ts)) | (
-                (F.col("warc_ts") == F.lit(w_ts))
-                & (F.coalesce(F.col(LSN_COL), F.lit(0)) < F.lit(w_lsn))
-            )
-            resolved = resolved.filter(~(is_tomb & below))
+        # the full file set is rewritten, -1 strays included, so the
+        # watermark is always safe here (no older row can hide elsewhere)
+        resolved = self._resolved_state(snap, snap.files, tombstone_watermark)
         new_snap_proto = Snapshot(
             version=snap.version + 1,
             schema_json=snap.schema_json,

@@ -89,8 +89,10 @@ def canonicalize_url(
 # double-quoted href attributes; the Java∩RE2 subset so the DuckDB oracle
 # runs the identical pattern
 HREF_RE = 'href="([^"]+)"'
-# host component of a canonicalized URL (scheme lowercased, port excluded)
-HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+# host component of a canonicalized URL (scheme lowercased): skip optional
+# userinfo (user[:pw]@), stop before port/path/query — without the userinfo
+# step, 'http://user:pw@h.com/x' would yield 'user'
+HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
 
 
 def extract_links(

@@ -517,24 +517,34 @@ def maintain(
     report: dict = {}
     for dest in sorted(set(DESTINATION_TABLES)):
         t = wh.table(dest)
+        entry: dict = {"compacted_buckets": []}
+        grew = False
         if target_rows_per_bucket:
             snap = t.snapshot()
-            total_rows = sum(f.get("rows", 0) for f in snap.files)
-            if total_rows > target_rows_per_bucket * snap.n_buckets:
+            # measure LIVE rows from base files only: delta files carry
+            # superseded row versions and tombstones, so an update-churn
+            # burst would otherwise permanently over-grow the bucket count
+            # (n_buckets never shrinks). Only trust the measure while deltas
+            # are the minority — a churn-heavy table compacts this cycle and
+            # re-evaluates growth on the next one with fresh base files.
+            base_rows = sum(f.get("rows", 0) for f in snap.files if f.get("kind") == "base")
+            delta_rows = sum(f.get("rows", 0) for f in snap.files if f.get("kind") != "base")
+            if delta_rows <= base_rows and base_rows > target_rows_per_bucket * snap.n_buckets:
                 new_n = snap.n_buckets
-                while total_rows > target_rows_per_bucket * new_n:
+                while base_rows > target_rows_per_bucket * new_n:
                     new_n *= 2
-                report[dest] = {"rebucket": t.rebucket(new_n)}
-                continue
-        stats = t.bucket_delta_stats()
-        worst = [
-            b
-            for b, s in sorted(stats.items(), key=lambda kv: -kv[1]["delta_rows"])
-            if b >= 0 and s["n_delta_files"] > 0 and s["delta_rows"] >= min_delta_rows
-        ][:max_buckets_per_table]
-        entry: dict = {"compacted_buckets": worst}
-        if worst:
-            entry["compact"] = t.compact(buckets=worst)
+                entry["rebucket"] = t.rebucket(new_n)
+                grew = entry["rebucket"].get("skipped") is False
+        if not grew:  # rebucket already rewrote everything resolved
+            stats = t.bucket_delta_stats()
+            worst = [
+                b
+                for b, s in sorted(stats.items(), key=lambda kv: -kv[1]["delta_rows"])
+                if b >= 0 and s["n_delta_files"] > 0 and s["delta_rows"] >= min_delta_rows
+            ][:max_buckets_per_table]
+            entry["compacted_buckets"] = worst
+            if worst:
+                entry["compact"] = t.compact(buckets=worst)
         if expire_keep_last is not None:
             entry["expire"] = t.expire_snapshots(keep_last=expire_keep_last)
             entry["vacuum"] = t.vacuum_orphans()

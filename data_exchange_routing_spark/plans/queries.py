@@ -1247,6 +1247,8 @@ _LINK_HTML_SYNTH = (
     " '</body></html>')"
 )
 
+from data_exchange_routing_spark.operators.parse import HOST_RE as _HOST_RE  # noqa: E402
+
 # href targets canonicalized with the SAME steps as doc_canonical_urls
 _LINKS_SQL_CTE = f"""
     h AS (SELECT doc_id, {_LINK_HTML_SYNTH} AS html FROM documents),
@@ -1302,11 +1304,11 @@ def web_extract_links(spark, sf_dir):
     # (the host aggregation).
     f"""
     WITH {_LINKS_SQL_CTE}
-    SELECT regexp_extract(dst_url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS dst_host,
+    SELECT regexp_extract(dst_url, '{_HOST_RE}', 1) AS dst_host,
            count(*) AS n_links,
            count(DISTINCT doc_id) AS n_pages
     FROM links
-    WHERE regexp_extract(dst_url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) <> ''
+    WHERE regexp_extract(dst_url, '{_HOST_RE}', 1) <> ''
     GROUP BY 1
     """,
 )

@@ -117,3 +117,56 @@ def test_consumer_past_expiry_fails_loudly(spark, tmpdir_path):
     got = []
     c.process_available(lambda df, f, t_: got.append(sorted(r["url"] for r in df.collect())))
     assert got == [["fresh"]]
+
+
+def test_mirror_without_internal_columns_fails_loudly(spark, tmpdir_path):
+    """A consumer created without with_internal=True must not silently
+    resurrect source tombstones in the mirror — the callback raises."""
+    src = LakeTable.create(spark, os.path.join(tmpdir_path, "src"), WEB_PAGES, key="url", n_buckets=2)
+    dst = LakeTable.create(spark, os.path.join(tmpdir_path, "dst"), WEB_PAGES, key="url", n_buckets=2)
+    src.merge_cdc(_delta(spark, [_row("a", 1, 1)]), epoch_id=0)
+    c = ChangeFeedConsumer(spark, src.path, "bad")  # with_internal defaults False
+    with pytest.raises(ValueError, match="with_internal=True"):
+        c.drain(mirror_into_table(dst, "bad"))
+    assert c.position() == 1  # nothing advanced
+
+
+def test_mirror_epoch_guard_stays_o1_via_monotonic_watermark(spark, tmpdir_path):
+    """Version-derived epoch ids use the high-watermark guard: the
+    destination's committed-epoch encoding stays O(1) per source instead of
+    growing one integer per processed batch."""
+    src = LakeTable.create(spark, os.path.join(tmpdir_path, "src"), WEB_PAGES, key="url", n_buckets=2)
+    dst = LakeTable.create(spark, os.path.join(tmpdir_path, "dst"), WEB_PAGES, key="url", n_buckets=2)
+    c = ChangeFeedConsumer(spark, src.path, "m", with_internal=True)
+    for i in range(6):
+        src.merge_cdc(_delta(spark, [_row(f"u{i}", 1, i + 1)]), epoch_id=i)
+        c.drain(mirror_into_table(dst, "m"))
+    enc = dst.snapshot().committed_epochs["m"]
+    assert enc["extra"] == [] and enc["w"] == src.current_version()
+    # redelivery below the watermark is still a no-op
+    c.seek(1)
+    v = dst.current_version()
+    c.drain(mirror_into_table(dst, "m"))
+    assert dst.current_version() == v
+    assert sorted(r["url"] for r in dst.read().collect()) == [f"u{i}" for i in range(6)]
+
+
+def test_drain_snapshots_head_once(spark, tmpdir_path):
+    """drain() must terminate against a producer that commits during the
+    drain: it processes up to the head observed at start, leaving newer
+    versions for the next call."""
+    src = LakeTable.create(spark, os.path.join(tmpdir_path, "src"), WEB_PAGES, key="url", n_buckets=2)
+    for i in range(3):
+        src.merge_cdc(_delta(spark, [_row(f"u{i}", 1, i + 1)]), epoch_id=i)
+    c = ChangeFeedConsumer(spark, src.path, "live", with_internal=True)
+    produced = iter(range(100, 106))
+
+    def fn_and_produce(df, f, t_):
+        # a concurrent producer lands one more version during every batch
+        i = next(produced)
+        src.merge_cdc(_delta(spark, [_row(f"w{i}", 1, i)]), epoch_id=i)
+
+    res = c.drain(fn_and_produce, max_versions_per_batch=1)
+    assert res["to_version"] == 4  # the head at drain start (create + 3)
+    assert c.position() == 4
+    assert c.pending()[1] > 4  # newer commits remain for the next drain

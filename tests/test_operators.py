@@ -282,6 +282,7 @@ def test_extract_links_edge_cases(spark):
         (1, b'<a href="HTTP://A.COM:80/x?utm_source=1&b=2">t</a> <a href=\'http://skip.me\'>s</a>'),
         (2, b"<p>no links at all</p>"),
         (3, b'<a href="https://B.com:443/y#frag">u</a><a href="rel/path">v</a>'),
+        (4, b'<a href="http://user:pw@C.com:8080/z">w</a><a href="http://bob@D.com/q">x</a>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html binary")
     got = {
@@ -292,6 +293,8 @@ def test_extract_links_edge_cases(spark):
         (1, "HTTP://A.COM:80/x?utm_source=1&b=2", "http://a.com/x?b=2"),
         (3, "https://B.com:443/y#frag", "https://b.com/y"),
         (3, "rel/path", "rel/path"),
+        (4, "http://user:pw@C.com:8080/z", "http://user:pw@c.com:8080/z"),
+        (4, "http://bob@D.com/q", "http://bob@d.com/q"),
     }
     hosts = {
         r["h"]
@@ -299,4 +302,6 @@ def test_extract_links_edge_cases(spark):
         .select(host_of(F.col("dst_url")).alias("h"))
         .collect()
     }
-    assert hosts == {"a.com", "b.com", ""}  # schemeless target has no host
+    # userinfo is skipped (not mistaken for the host); port excluded;
+    # schemeless target has no host
+    assert hosts == {"a.com", "b.com", "c.com", "d.com", ""}

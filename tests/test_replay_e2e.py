@@ -214,15 +214,25 @@ def test_maintenance_auto_grows_bucket_count(spark, events_dir, events_pdf, tmpd
     wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=2)
     replay(wh, events_dir)
     t = wh.table("web_pages")
-    total = sum(f.get("rows", 0) for f in t.snapshot().files)
-    target = max(1, total // 7)  # forces growth 2 -> 16 (next pow2 over 14x)
+    live = t.read().count()
+    target = max(1, live // 7)  # forces growth 2 -> 16 (next pow2 over 14x)
 
+    # fresh replay = all delta files: growth is deferred (delta row counts
+    # include superseded versions/tombstones and must not inflate the
+    # trigger); this cycle compacts instead
+    rep0 = maintain(wh, target_rows_per_bucket=target)
+    assert "rebucket" not in rep0["web_pages"]
+    assert rep0["web_pages"]["compacted_buckets"]
+
+    # with base files measuring live rows, the next cycle grows
     rep = maintain(wh, target_rows_per_bucket=target)
     rb = rep["web_pages"]["rebucket"]
     assert rb["skipped"] is False
     new_n = t.snapshot().n_buckets
     assert new_n >= 8 and new_n & (new_n - 1) == 0  # grew, power of two
-    assert total <= target * new_n  # target restored
+    assert live <= target * new_n  # target restored
+    # report shape stays uniform for ops consumers
+    assert rep["web_pages"]["compacted_buckets"] == []
     _assert_state_equal(spark, wh, events_pdf)
 
     # already under target -> no rebucket on the next cycle
