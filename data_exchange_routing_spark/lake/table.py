@@ -766,7 +766,10 @@ class LakeTable:
             out: list[dict] = []
             for v in range(from_version + 1, to_v + 1):
                 for f in self.snapshot(v).files:
-                    if f["kind"] == "delta" and f["path"] not in seen:
+                    # folded minor-compaction outputs are data, not changes:
+                    # their rows were already emitted from the snapshots that
+                    # carried the original delta files
+                    if f["kind"] == "delta" and not f.get("folded") and f["path"] not in seen:
                         seen.add(f["path"])
                         out.append(f)
         except FileNotFoundError as e:
@@ -946,6 +949,73 @@ class LakeTable:
             # drop its delta (compaction retries on the next cycle)
             return {"skipped": True, "reason": "commit-conflict"}
         return {"skipped": False, "version": new.version, "files": len(files)}
+
+    def compact_deltas(self, buckets: list[int] | None = None) -> dict:
+        """Minor (log) compaction: fold each selected bucket's delta files
+        into ONE fresh delta file holding only the per-key winner among the
+        deltas — base files are never read or rewritten (Hudi log-compaction
+        analog; major ``compact()`` rewrites base too).
+
+        Safe because read-time resolution takes the winner over
+        (base row, delta winner) per key: a delta row superseded by another
+        delta row can never win overall. Winning tombstones among the deltas
+        survive the fold (same out-of-order-redelivery argument as
+        ``compact``).
+
+        The 100 TB steady-state companion of the broadcast-resolve read path:
+        cost is O(delta rows in selected buckets) while base bytes (the vast
+        majority) stay untouched, and read fan-in stays flat at <= 1 delta
+        file per bucket however many epochs land between major compactions.
+        Unbucketed (-1) delta files span all buckets and are left for a full
+        ``compact()``. Aborts (skipped) on concurrent-commit conflict."""
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("compact_deltas requires a keyed table")
+        selected = set(range(snap.n_buckets)) if buckets is None else set(buckets)
+        selected.discard(-1)
+        dfiles = [
+            f for f in snap.files if f["kind"] == "delta" and f["bucket"] in selected
+        ]
+        touched = {f["bucket"] for f in dfiles}
+        if len(dfiles) <= len(touched):  # already <= 1 delta file per bucket
+            return {"skipped": True, "reason": "nothing-to-fold"}
+        resolved = self._resolve(
+            self._read_files(snap, dfiles, with_internal=True), snap.key
+        )
+        out = self._align(resolved, snap.schema()).withColumn(
+            BUCKET_COL, self._bucket_expr(snap)
+        )
+        files = self._stage_files(out, snap, snap.version + 1, bucketed=True)
+        for f in files:
+            # folded files are data (read() scans them) but NOT changes: the
+            # change feed already emits the originals from the intermediate
+            # snapshots, so re-emitting the winners would duplicate-deliver
+            f["folded"] = True
+        drop = {f["path"] for f in dfiles}
+        kept = [f for f in snap.files if f["path"] not in drop]
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            committed_epochs=snap.committed_epochs,
+            summary={
+                "operation": "compact-deltas",
+                "buckets": sorted(touched),
+                "folded_files": len(dfiles),
+            },
+        )
+        new.replace_files(kept + files)
+        try:
+            self._write_snapshot(new)
+        except FileExistsError:
+            return {"skipped": True, "reason": "commit-conflict"}
+        return {
+            "skipped": False,
+            "version": new.version,
+            "folded_files": len(dfiles),
+            "files": len(files),
+        }
 
     def rebucket(self, new_n_buckets: int, tombstone_watermark: tuple | None = None) -> dict:
         """Bucket-count evolution (Iceberg partition-spec evolution analog):

@@ -734,6 +734,51 @@ def test_broadcast_resolve_equals_window_resolve_and_skips_base_shuffle(spark, t
     assert {(r["url"], r["text"]) for r in pruned} <= expected
 
 
+def test_compact_deltas_folds_logs_without_touching_base(spark, tmpdir_path):
+    """Minor compaction: per-bucket delta winner survives, base files keep
+    their exact paths, state is unchanged, tombstones keep beating
+    out-of-order redeliveries, and the change feed still reconstructs."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), WEB_PAGES, key="url", n_buckets=2)
+    t.merge_cdc(_delta(spark, [_row(f"u{i}", 1, i) for i in range(12)]), epoch_id=0)
+    t.compact()
+    base_before = sorted(f["path"] for f in t.snapshot().files if f["kind"] == "base")
+    v_before_deltas = t.current_version()
+    # several small delta epochs: supersede u1 twice, delete u2, insert new
+    t.merge_cdc(_delta(spark, [_row("u1", 3, 100, text="mid")]), epoch_id=1)
+    t.merge_cdc(_delta(spark, [_row("u1", 7, 101, text="v2"), _row("u2", 7, 102, deleted=True)]), epoch_id=2)
+    t.merge_cdc(_delta(spark, [_row("new", 2, 103, text="n")]), epoch_id=3)
+    n_delta_files = sum(1 for f in t.snapshot().files if f["kind"] == "delta")
+    assert n_delta_files > 2
+    state = sorted((r["url"], r["text"]) for r in t.read().select("url", "text").collect())
+
+    res = t.compact_deltas()
+    assert res["skipped"] is False and res["folded_files"] == n_delta_files
+    snap = t.snapshot()
+    # exactly one delta file per touched bucket; base untouched byte-for-byte
+    per_bucket = {}
+    for f in snap.files:
+        if f["kind"] == "delta":
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert per_bucket and all(v == 1 for v in per_bucket.values())
+    assert sorted(f["path"] for f in snap.files if f["kind"] == "base") == base_before
+    assert sorted((r["url"], r["text"]) for r in t.read().select("url", "text").collect()) == state
+
+    # idempotent: nothing left to fold (1 delta file per bucket)
+    assert t.compact_deltas()["skipped"] is True
+
+    # the folded winner still includes the tombstone: an OLDER redelivery of
+    # u2 must lose after the fold
+    t.merge_cdc(_delta(spark, [_row("u2", 2, 1, text="stale")]), epoch_id=4)
+    assert "u2" not in {r["url"] for r in t.read().collect()}
+    # epoch guards survive; change feed across the fold stays reconstructible
+    assert t.merge_cdc(_delta(spark, [_row("zz", 9, 999)]), epoch_id=2)["skipped"] is True
+    feed = t.read_changes(v_before_deltas).collect()
+    assert {r["url"] for r in feed} == {"u1", "u2", "new"}
+    # exactly the original deltas + the post-fold stale redelivery — the
+    # folded winners are data, not changes (no duplicate delivery)
+    assert len(feed) == 5
+
+
 def test_rebucket_evolves_layout_preserving_state_and_guards(spark, tmpdir_path):
     """Bucket-count evolution: state identical, tombstones survive, future
     merges + point reads use the new layout, epoch guards carry over."""
