@@ -85,6 +85,72 @@ def connected_components(
     return parent.select(F.col("x").alias("node"), F.col("p").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count (no float-driven
+    convergence test — deterministic plan, exact cross-engine oracle via an
+    unrolled SQL twin). Dangling nodes (no out-edges) redistribute their
+    mass uniformly, the standard normalization, so ranks sum to 1 every
+    round.
+
+    Physical shape per round: one join of edges (pre-aggregated per
+    (src, dst) by the caller — host-graph edges, typically orders of
+    magnitude smaller than the page corpus) against the current rank vector
+    + one sum by dst; ``localCheckpoint`` per round truncates lineage
+    exactly like ``connected_components``. The dangling-mass scalar is one
+    tiny aggregation over the rank vector (control plane — at 10^7 hosts
+    this is one reduced double per round, never a collect of rows)."""
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("_w"),
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow")).localCheckpoint(eager=True)
+    rank = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        dangling = (
+            rank.join(out_w, rank["node"] == out_w["_s"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(rank, e["_s"] == rank["node"])
+            .join(out_w, "_s")
+            .select(F.col("_d").alias("node"), (F.col("rank") * F.col("_w") / F.col("_ow")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank
+
+
 def dedup_cluster_survivors(
     docs: DataFrame,
     pairs: DataFrame,

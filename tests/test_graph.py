@@ -98,3 +98,34 @@ def test_cc_high_diameter_plan_stays_bounded(spark):
     # than the final select over a cached/scanned frontier.
     plan = result._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 4, f"CC plan re-grew with rounds:\n{plan}"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Exact-formula twin: fixed-iteration weighted PageRank with uniform
+    dangling redistribution vs a straightforward numpy power method."""
+    import numpy as np
+
+    from data_exchange_routing_spark.functions.graph import pagerank
+
+    # a -> b (w2), a -> c, b -> c; c dangling; d isolated-ish: d -> a
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("d", "a", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", "w", n_iter=12).collect()}
+
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    W = np.zeros((n, n))
+    for s, t, w in edges:
+        W[idx[t], idx[s]] += w
+    outw = W.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = r[outw == 0].sum()
+        contrib = np.zeros(n)
+        nz = outw > 0
+        contrib = W[:, nz] @ (r[nz] / outw[nz])
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
