@@ -137,3 +137,42 @@ def pack_sequences(
         .withColumn("straddles", F.col("end_seq_id") > F.col("seq_id"))
         .drop("_frac", "_bucket", "_cum_excl", "_row_offset", "_sum_offset")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding token-window chunking: each document becomes
+    ceil(max(n - overlap, 1) / (chunk_tokens - overlap)) chunks of up to
+    ``chunk_tokens`` normalized word tokens, consecutive chunks sharing
+    ``overlap`` tokens — the standard context-window preprocessing step
+    before packing/embedding. Output: (doc_id, chunk_id, chunk_text,
+    n_tokens); empty-after-normalization docs yield no chunks.
+
+    One narrow projection + posexplode — no shuffle, no UDF; at 100 TB the
+    op runs at scan speed and composes with pack_sequences/global_index
+    downstream."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    from data_exchange_routing_spark.functions.textstats import normalize_text
+
+    step = chunk_tokens - overlap
+    t = (
+        df.select(F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("_nm"))
+        .filter(F.col("_nm") != "")
+        .select("doc_id", F.split(F.col("_nm"), " ").alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+    )
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(step))
+    return t.select(
+        "doc_id", "_toks", "_n", F.posexplode(starts).alias("_i", "_start")
+    ).select(
+        "doc_id",
+        F.col("_i").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1).cast("long").alias("n_tokens"),
+    )

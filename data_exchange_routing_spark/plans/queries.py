@@ -1297,6 +1297,33 @@ def web_extract_links(spark, sf_dir):
     )
 
 
+@q(
+    "doc_chunks",
+    # Sliding token-window chunking (context-window preprocessing): up to 32
+    # normalized tokens per chunk, 8 shared between consecutive chunks.
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS norm
+      FROM documents),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n WHERE norm <> ''),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(generate_series(1, len(toks), 24)) AS start
+          FROM t)
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start:start + 31], ' ') AS chunk_text,
+           CAST(least(32, n - start + 1) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    from data_exchange_routing_spark.functions.assembly import chunk_documents
+
+    return chunk_documents(ld(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8)
+
+
 def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank twin: recursive CTEs disallow
     aggregation over the recursive reference, so the deterministic

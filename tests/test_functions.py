@@ -758,3 +758,33 @@ def test_mixing_weights_shares_and_probs(spark):
     assert code.sample_prob == 1.0 and wiki.sample_prob == 0.0
     assert abs(web.sample_prob - (0.25 / 0.6) / 2.5) < 1e-6
     assert (web.n_repeats, code.n_repeats, wiki.n_repeats) == (1, 3, 0)
+
+
+def test_chunk_documents_edges(spark):
+    """Window math: short doc -> one short chunk; exact multiple -> no empty
+    tail; overlap shared; empty/punct-only docs vanish; bad params raise."""
+    import pytest as _pt
+
+    from data_exchange_routing_spark.functions.assembly import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens
+            (2, "x y"),                   # shorter than one chunk
+            (3, "!!! ..."),               # empty after normalization
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    # doc 1: starts 1,3,5,7,9 (step 2)
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("c d e f", 4)
+    assert got[(1, 4)] == ("i j", 2)
+    assert got[(2, 0)] == ("x y", 2)
+    assert not any(k[0] == 3 for k in got)
+    assert len(got) == 6
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
