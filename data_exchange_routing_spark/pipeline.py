@@ -499,6 +499,7 @@ def maintain(
     min_delta_rows: int = 1,
     expire_keep_last: int | None = None,
     target_rows_per_bucket: int | None = None,
+    minor: bool = False,
 ) -> dict:
     """One incremental maintenance cycle — the ops loop a 100 TB deployment
     runs between (or concurrently with) epochs. Per destination table: rank
@@ -507,6 +508,11 @@ def maintain(
     and optionally expire old snapshots + vacuum orphaned files. Repeated
     cycles converge every bucket; steady-state per-cycle cost is bounded
     regardless of table size.
+
+    ``minor=True`` first folds every bucket's delta files into one
+    (``compact_deltas`` — O(delta rows), base untouched), keeping read
+    fan-in and the broadcast-resolve candidate set flat between the
+    worst-bucket major compactions.
 
     ``target_rows_per_bucket`` enables bucket-count auto-growth: when the
     manifest's row total (no scan) exceeds target x n_buckets, the table is
@@ -518,6 +524,8 @@ def maintain(
     for dest in sorted(set(DESTINATION_TABLES)):
         t = wh.table(dest)
         entry: dict = {"compacted_buckets": []}
+        if minor:
+            entry["minor"] = t.compact_deltas()
         grew = False
         if target_rows_per_bucket:
             snap = t.snapshot()

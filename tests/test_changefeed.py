@@ -170,3 +170,21 @@ def test_drain_snapshots_head_once(spark, tmpdir_path):
     assert res["to_version"] == 4  # the head at drain start (create + 3)
     assert c.position() == 4
     assert c.pending()[1] > 4  # newer commits remain for the next drain
+
+
+def test_mirror_propagates_schema_evolution(spark, tmpdir_path):
+    """A source-side additive column flows through the feed into the mirror
+    (null-backfilled for pre-evolution mirror rows)."""
+    from pyspark.sql import functions as F
+
+    src = LakeTable.create(spark, os.path.join(tmpdir_path, "src"), WEB_PAGES, key="url", n_buckets=2)
+    dst = LakeTable.create(spark, os.path.join(tmpdir_path, "dst"), WEB_PAGES, key="url", n_buckets=2)
+    c = ChangeFeedConsumer(spark, src.path, "evo", with_internal=True)
+    src.merge_cdc(_delta(spark, [_row("old", 1, 1)]), epoch_id=0)
+    c.drain(mirror_into_table(dst, "evo"))
+    evolved = _delta(spark, [_row("new", 2, 2)]).withColumn("charset", F.lit("utf-8"))
+    src.merge_cdc(evolved, epoch_id=1)
+    c.drain(mirror_into_table(dst, "evo"))
+    got = {r["url"]: r["charset"] for r in dst.read().collect()}
+    assert got == {"old": None, "new": "utf-8"}
+    assert "charset" in dst.read().columns

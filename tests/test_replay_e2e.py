@@ -238,3 +238,21 @@ def test_maintenance_auto_grows_bucket_count(spark, events_dir, events_pdf, tmpd
     # already under target -> no rebucket on the next cycle
     rep2 = maintain(wh, target_rows_per_bucket=target)
     assert "rebucket" not in rep2["web_pages"]
+
+
+def test_maintenance_minor_fold_keeps_state(spark, events_dir, events_pdf, tmpdir_path):
+    """minor=True folds every bucket's deltas to one file (base untouched),
+    state stays oracle-equal, and the big selective compaction still runs."""
+    from data_exchange_routing_spark.pipeline import Warehouse, maintain, replay
+
+    wh = Warehouse(spark, os.path.join(tmpdir_path, "wh"), n_buckets=4)
+    replay(wh, events_dir)
+    t = wh.table("web_pages")
+    rep = maintain(wh, max_buckets_per_table=1, minor=True)
+    assert rep["web_pages"]["minor"]["skipped"] is False
+    per_bucket = {}
+    for f in t.snapshot().files:
+        if f["kind"] == "delta":
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(v == 1 for v in per_bucket.values())
+    _assert_state_equal(spark, wh, events_pdf)
