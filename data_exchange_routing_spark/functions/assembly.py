@@ -167,7 +167,14 @@ def chunk_documents(
         .select("doc_id", F.split(F.col("_nm"), " ").alias("_toks"))
         .withColumn("_n", F.size("_toks"))
     )
-    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(step))
+    # last start = 1 + (n_chunks-1)*step with n_chunks per the docstring
+    # formula: a naive sequence(1, n, step) would emit a degenerate tail
+    # chunk wholly contained in the previous one whenever the tail length
+    # <= overlap (duplicate text downstream)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((F.col("_n") - F.lit(chunk_tokens)) / F.lit(step))
+    )
+    starts = F.sequence(F.lit(1).cast("long"), F.lit(1) + (n_chunks - 1) * step, F.lit(step).cast("long"))
     return t.select(
         "doc_id", "_toks", "_n", F.posexplode(starts).alias("_i", "_start")
     ).select(

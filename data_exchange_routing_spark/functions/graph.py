@@ -111,6 +111,10 @@ def pagerank(
         F.col(dst).alias("_d"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("_w"),
     )
+    # the graph is defined by POSITIVE-weight edges: a zero/NULL weight would
+    # make rank*w/out_w emit NULLs that sum() silently drops while the node
+    # still counts as non-dangling — leaking rank mass every round
+    e = e.filter(F.col("_w") > 0)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))

@@ -393,15 +393,24 @@ class LakeTable:
             base = self._read_files(snap, base_files, with_internal=True)
             delta = self._read_files(snap, delta_files, with_internal=True)
             k = snap.key
-            dwin = self._resolve(delta, k)  # one winner per delta key, small
+            # one winner per delta key, small; localCheckpoint(eager=False)
+            # shares the single computation between the broadcast build side
+            # and the fresh-keys anti probe (read() stays lazy)
+            dwin = self._resolve(delta, k).localCheckpoint(eager=False)
             d = F.broadcast(
                 dwin.select(*[F.col(c).alias(f"_d_{c}") for c in dwin.columns])
             )
             j = base.join(d, F.col(k) == F.col(f"_d_{k}"), "left_outer")
+            # NULL warc_ts must lose exactly as in the window path (desc
+            # NULLS LAST): coalesce to the minimal timestamp on BOTH sides,
+            # or a NULL comparison would silently hand the win to the delta
+            floor_ts = F.lit("0001-01-01 00:00:00").cast("timestamp")
+            b_ts = F.coalesce(F.col("warc_ts"), floor_ts)
+            d_ts = F.coalesce(F.col("_d_warc_ts"), floor_ts)
             base_wins = F.col(f"_d_{k}").isNull() | (
-                (F.col("warc_ts") > F.col("_d_warc_ts"))
+                (b_ts > d_ts)
                 | (
-                    (F.col("warc_ts") == F.col("_d_warc_ts"))
+                    (b_ts == d_ts)
                     & (
                         F.coalesce(F.col(LSN_COL), F.lit(0))
                         >= F.coalesce(F.col(f"_d_{LSN_COL}"), F.lit(0))
@@ -998,12 +1007,20 @@ class LakeTable:
             raise ValueError("compact_deltas requires a keyed table")
         selected = set(range(snap.n_buckets)) if buckets is None else set(buckets)
         selected.discard(-1)
-        dfiles = [
-            f for f in snap.files if f["kind"] == "delta" and f["bucket"] in selected
-        ]
-        touched = {f["bucket"] for f in dfiles}
-        if len(dfiles) <= len(touched):  # already <= 1 delta file per bucket
+        per_bucket: dict[int, int] = {}
+        for f in snap.files:
+            if f["kind"] == "delta" and f["bucket"] in selected:
+                per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        # fold ONLY buckets that actually accumulated files — re-folding a
+        # bucket already at one delta file would rewrite its rows for nothing
+        # (and under maintain(minor=True) every cycle, rewrite ALL delta
+        # bytes per cycle)
+        touched = {b for b, n in per_bucket.items() if n >= 2}
+        if not touched:
             return {"skipped": True, "reason": "nothing-to-fold"}
+        dfiles = [
+            f for f in snap.files if f["kind"] == "delta" and f["bucket"] in touched
+        ]
         resolved = self._resolve(
             self._read_files(snap, dfiles, with_internal=True), snap.key
         )

@@ -524,8 +524,6 @@ def maintain(
     for dest in sorted(set(DESTINATION_TABLES)):
         t = wh.table(dest)
         entry: dict = {"compacted_buckets": []}
-        if minor:
-            entry["minor"] = t.compact_deltas()
         grew = False
         if target_rows_per_bucket:
             snap = t.snapshot()
@@ -553,6 +551,14 @@ def maintain(
             entry["compacted_buckets"] = worst
             if worst:
                 entry["compact"] = t.compact(buckets=worst)
+            if minor:
+                # fold AFTER the major selection and only outside it: a
+                # bucket about to be major-compacted would have its delta
+                # rows rewritten twice (fold, then immediately into base)
+                rest = [
+                    b for b in range(t.snapshot().n_buckets) if b not in set(worst)
+                ]
+                entry["minor"] = t.compact_deltas(buckets=rest)
         if expire_keep_last is not None:
             entry["expire"] = t.expire_snapshots(keep_last=expire_keep_last)
             entry["vacuum"] = t.vacuum_orphans()

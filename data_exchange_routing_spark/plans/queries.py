@@ -1309,7 +1309,9 @@ def web_extract_links(spark, sf_dir):
       FROM documents),
     t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n WHERE norm <> ''),
     c AS (SELECT doc_id, toks, len(toks) AS n,
-                 unnest(generate_series(1, len(toks), 24)) AS start
+                 unnest(generate_series(1,
+                   1 + CAST(greatest(0, ceil((len(toks) - 32) / 24.0)) AS BIGINT) * 24,
+                   24)) AS start
           FROM t)
     SELECT doc_id,
            CAST((start - 1) // 24 AS BIGINT) AS chunk_id,

@@ -779,12 +779,14 @@ def test_chunk_documents_edges(spark):
         (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
         for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
     }
-    # doc 1: starts 1,3,5,7,9 (step 2)
+    # doc 1: n=10, chunk=4, step=2 -> ceil(max(10-2,1)/2)=4 chunks
+    # (starts 1,3,5,7; a naive start at 9 would be wholly inside chunk 3)
     assert got[(1, 0)] == ("a b c d", 4)
     assert got[(1, 1)] == ("c d e f", 4)
-    assert got[(1, 4)] == ("i j", 2)
+    assert got[(1, 3)] == ("g h i j", 4)
+    assert (1, 4) not in got  # no degenerate fully-contained tail
     assert got[(2, 0)] == ("x y", 2)
     assert not any(k[0] == 3 for k in got)
-    assert len(got) == 6
+    assert len(got) == 5
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)

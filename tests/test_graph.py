@@ -129,3 +129,19 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_drops_nonpositive_edges_and_conserves_mass(spark):
+    """Zero/NULL-weight edges are not part of the graph: with them counted,
+    rank*w/out_w emitted NULLs that sum() dropped while the node still
+    looked non-dangling — leaking rank mass every round."""
+    from data_exchange_routing_spark.functions.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b", 0), ("b", "a", 1), ("c", "a", None)],
+        "src string, dst string, w int",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", "w", n_iter=8).collect()}
+    # only (b -> a) survives: nodes {a, b}; a is dangling
+    assert set(got) == {"a", "b"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
