@@ -347,3 +347,105 @@ def dedup_lines(
         .join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span dedup at word n-gram granularity (the span-level
+    companion to document-level ``exact_dedup_survivors`` and line-level
+    ``dedup_lines``; semantics per Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — duplicated substrings are removed
+    from every occurrence EXCEPT one kept copy).
+
+    A word n-gram of the normalized text that occurs more than once across
+    the corpus (including repeats inside one document) is duplicated. Its
+    canonical occurrence — minimum (doc_id, start), a deterministic stand-in
+    for the paper's random keep — survives; every other occurrence marks its
+    n covered token positions for removal. Surviving tokens re-assemble in
+    original order; fully-duplicated documents survive as empty strings.
+
+    Returns (doc_id, text_deduped, n_tokens_kept, n_tokens_removed).
+
+    Shape at 100 TB: occurrences shuffle once grouped BY GRAM with a
+    map-side-combinable agg (count + min(struct)), so a boilerplate gram
+    repeated millions of times pre-reduces per task before the exchange; the
+    occurrence->stats join-back is a shuffle join AQE skew-splits on hot
+    grams; removed-position explode is bounded by n x removed occurrences,
+    never n x corpus. Grouping keys here are the gram STRINGS (exactness for
+    the DuckDB oracle); at production scale substitute a 128-bit hash pair
+    (two xxhash64 seeds) to shuffle 16 bytes/gram with negligible collision
+    odds. Re-assembly shuffles kept tokens once by doc_id.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    tk = F.col("_toks")
+    # 0-based token positions; an empty doc normalizes to [''] whose lone
+    # token is dropped so totals/grams agree (no real token is ever '').
+    toks = toked.select(
+        "doc_id", F.posexplode(tk).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    # n-gram occurrences with 0-based start positions (same slice guard as
+    # shingles(): sequence(1, 0) would be DESCENDING for short docs)
+    gram_structs = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.struct(
+                (i - F.lit(1)).alias("start"),
+                F.concat_ws(" ", F.slice(tk, i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+    occ = toked.select("doc_id", F.explode(gram_structs).alias("g")).select(
+        "doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram")
+    )
+    gstats = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "start")).alias("keep"),
+    )
+    removed = occ.join(gstats, "gram").filter(
+        (F.col("n_occ") > 1)
+        & ~(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("start") == F.col("keep.start"))
+        )
+    )
+    rem_pos = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))).alias("pos"),
+    ).distinct()
+    kept = toks.join(rem_pos, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = toked.select(
+        "doc_id",
+        F.when(F.element_at(tk, 1) == "", F.lit(0))
+        .otherwise(F.size(tk))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )

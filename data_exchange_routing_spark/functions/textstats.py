@@ -194,3 +194,74 @@ def doc_fingerprint(col: Column) -> Column:
     """16-hex-digit content fingerprint of the normalized text (md5-based;
     the rolling-hash variant lives in the pandas-UDF module)."""
     return F.substring(F.md5(normalize_text(col)), 1, 16)
+
+
+def lm_perplexity(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, public paper): a
+    Laplace-smoothed bigram language model trained on the corpus itself
+    scores every document by mean token log-probability; high perplexity
+    flags boilerplate/gibberish for the quality buckets CCNet shards by.
+
+    P(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V), with c(.) corpus
+    occurrence counts and V the unigram vocabulary size.
+
+    Returns (doc_id, n_bigrams, avg_logp, ppl) — ppl = exp(-avg_logp).
+
+    Shape at 100 TB: per-doc bigram multiplicities pre-aggregate BEFORE the
+    model joins (map-side combinable, shrinks join input to distinct
+    (doc,prev,cur)); bigram/unigram count joins are shuffle joins AQE
+    skew-splits on stopword-hot keys; V broadcasts as a 1-row dimension.
+    Two gram-shuffle passes total — the same exchange shape the span-dedup
+    and MinHash paths already amortize.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    tk = F.col("_toks")
+    toks = toked.select(
+        "doc_id", F.explode(tk).alias("token")
+    ).filter(F.col("token") != "")
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    pairs = F.when(
+        (F.size(tk) >= 2) & (F.element_at(tk, 1) != ""),
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.struct(
+                F.get(tk, i).alias("prev"), F.get(tk, i + 1).alias("cur")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    occ = (
+        toked.select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", "b.prev", "b.cur")
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bic = occ.groupBy("prev", "cur").agg(F.sum("cnt").alias("c_bi"))
+    scored = (
+        occ.join(bic, ["prev", "cur"])
+        .join(uni.withColumnRenamed("token", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log((F.col("c_bi") + F.lit(1.0)) / (F.col("c_uni") + F.col("v"))),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        (F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt")).alias("avg_logp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(F.coalesce(F.col("avg_logp"), F.lit(0.0)), 6).alias("avg_logp"),
+            F.round(F.exp(-F.coalesce(F.col("avg_logp"), F.lit(0.0))), 3).alias("ppl"),
+        )
+    )

@@ -1125,6 +1125,135 @@ def doc_dedup_lines(spark, sf_dir):
     return dedup_lines(ld(spark, sf_dir, "documents"), min_docs=390, sep=" ")
 
 
+_SPAN_N = 3
+
+@q(
+    "doc_dedup_spans",
+    # Lee et al. 2022 exact-substring dedup at word 3-gram granularity:
+    # every corpus-duplicated 3-gram keeps only its min-(doc_id,start)
+    # occurrence; covered token positions of the other occurrences are
+    # removed and the survivors re-assembled in order.
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_NORM_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, token, pos FROM (
+        SELECT doc_id, unnest(toks) AS token,
+               unnest(range(0, len(toks))) AS pos
+        FROM docs)
+      WHERE token <> ''),
+    occ AS (
+      SELECT doc_id, i - 1 AS start,
+             array_to_string(toks[i : i + {_SPAN_N - 1}], ' ') AS gram
+      FROM docs, UNNEST(range(1, len(toks) - {_SPAN_N} + 2)) AS t(i)
+      WHERE len(toks) >= {_SPAN_N} AND toks[1] <> ''),
+    marked AS (
+      SELECT doc_id, start,
+             count(*) OVER (PARTITION BY gram) AS n_occ,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+      FROM occ),
+    rem_pos AS (
+      SELECT DISTINCT doc_id, start + u AS pos
+      FROM (SELECT doc_id, start FROM marked WHERE n_occ > 1 AND rn > 1),
+           UNNEST(range(0, {_SPAN_N})) AS t(u)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.token
+      FROM tok t ANTI JOIN rem_pos r ON t.doc_id = r.doc_id AND t.pos = r.pos),
+    built AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text_deduped,
+             count(*) AS n_tokens_kept
+      FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(b.text_deduped, '') AS text_deduped,
+           CAST(coalesce(b.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(coalesce(t.n_tokens, 0) - coalesce(b.n_tokens_kept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM documents d
+    LEFT JOIN built b USING (doc_id)
+    LEFT JOIN tot t USING (doc_id)
+    """,
+)
+def doc_dedup_spans(spark, sf_dir):
+    return DT.dedup_spans(ld(spark, sf_dir, "documents"), n=_SPAN_N)
+
+
+@q(
+    "web_warc_roundtrip",
+    # REAL WARC/1.0 codec path (sources/warc.py): documents become genuine
+    # WARC files (one per Arrow batch), get parsed back by Content-Length
+    # framing, and the oracle recomputes uri/length/md5 straight from the
+    # table — payload_md5 proves the bytes survive the round trip exactly.
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'https://example.org/doc/' || doc_id AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5,
+           'response' AS rec_type
+    FROM documents
+    """,
+)
+def web_warc_roundtrip(spark, sf_dir):
+    from data_exchange_routing_spark.sources.warc import (
+        encode_warc_files,
+        parse_warc_records,
+    )
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias("uri"),
+        "text",
+    )
+    recs = parse_warc_records(encode_warc_files(d))
+    return recs.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "uri",
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        "rec_type",
+    )
+
+
+@q(
+    "doc_lm_perplexity",
+    # CCNet-style quality score: Laplace-smoothed bigram LM trained on the
+    # corpus itself, each doc scored by mean log-prob. Multiply-referenced CTEs
+    # are MATERIALIZED (DuckDB inlines by default — measured 4^k blowup on
+    # the PageRank oracle).
+    f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, {_NORM_SQL} AS toks FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(toks) AS token FROM docs)
+      WHERE token <> ''),
+    uni AS MATERIALIZED (SELECT token, count(*) AS c_uni FROM tok GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM uni),
+    occ AS MATERIALIZED (
+      SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur, count(*) AS cnt
+      FROM docs, UNNEST(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2 AND toks[1] <> ''
+      GROUP BY 1, 2, 3),
+    bic AS MATERIALIZED (SELECT prev, cur, sum(cnt) AS c_bi FROM occ GROUP BY 1, 2),
+    scored AS (
+      SELECT o.doc_id, o.cnt,
+             ln((b.c_bi + 1.0) / (u.c_uni + v.v)) AS logp
+      FROM occ o JOIN bic b USING (prev, cur)
+      JOIN uni u ON o.prev = u.token CROSS JOIN v),
+    per_doc AS (
+      SELECT doc_id, sum(cnt) AS n_bigrams,
+             sum(cnt * logp) / sum(cnt) AS avg_logp
+      FROM scored GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(coalesce(p.avg_logp, 0.0), 6) AS avg_logp,
+           round(exp(-coalesce(p.avg_logp, 0.0)), 3) AS ppl
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def doc_lm_perplexity(spark, sf_dir):
+    return TS.lm_perplexity(ld(spark, sf_dir, "documents"))
+
+
 # deterministic PII injection shared by the Spark query and the oracle: the
 # synthetic corpus carries no PII, so both engines append the same typed
 # instances and the redactor must strip exactly those.

@@ -1,0 +1,166 @@
+"""WARC (Web ARChive, ISO 28500) source: the native input format of web-scale
+text pipelines (Common Crawl et al.). Pure-stdlib writer + parser, wired into
+Spark as mapInPandas over binary columns — the same plumbing contract as the
+BMP/WAV/GIF codecs in functions/multimodal.py.
+
+Reference analog: the reference routes opaque received payloads by metadata
+(fns-routing/.../RouteIngestedFile.kt blob dispatch); a web-crawl deployment
+of the same pipeline receives WARC — this module is that ingest edge.
+
+Format (WARC/1.0): each record is a CRLF-terminated header block
+(`WARC/1.0`, `WARC-Type`, `WARC-Record-ID`, `WARC-Date`, `WARC-Target-URI`,
+`Content-Length`), a blank line, `Content-Length` payload bytes, and a
+`\r\n\r\n` trailer. Framing is BY LENGTH, never by delimiter scan, so
+payloads containing `WARC/1.0` or blank lines round-trip exactly.
+
+Scale shape: one WARC file per Arrow batch on encode (no shuffle); parse is
+1→N per file row, embarrassingly parallel across files. A 100 TB crawl is
+millions of ~1 GB WARC files — Spark's binaryFile source splits by FILE, so
+per-file parse parallelism matches the native layout. Record IDs are
+content-derived (md5 of URI + payload), keeping the encode deterministic for
+replay/retry idempotency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+CRLF = b"\r\n"
+_FIXED_DATE = "2024-01-01T00:00:00Z"  # deterministic encode (replay-stable)
+
+
+def build_warc_record(
+    uri: str,
+    payload: bytes,
+    rec_type: str = "response",
+    date: str = _FIXED_DATE,
+    content_type: str = "text/html",
+) -> bytes:
+    """One WARC/1.0 record as bytes. Record-ID is content-derived
+    (deterministic across retries), Content-Length frames the payload."""
+    rid = hashlib.md5(uri.encode("utf-8") + b"\x00" + payload).hexdigest()
+    head = (
+        b"WARC/1.0" + CRLF
+        + f"WARC-Type: {rec_type}".encode() + CRLF
+        + f"WARC-Record-ID: <urn:md5:{rid}>".encode() + CRLF
+        + f"WARC-Date: {date}".encode() + CRLF
+        + f"WARC-Target-URI: {uri}".encode("utf-8") + CRLF
+        + f"Content-Type: {content_type}".encode() + CRLF
+        + f"Content-Length: {len(payload)}".encode() + CRLF
+        + CRLF
+    )
+    return head + payload + CRLF + CRLF
+
+
+def parse_warc(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Parse a WARC file: yields (headers, payload) per record. Real framing:
+    headers end at the first blank line, the payload is exactly
+    Content-Length bytes, then the mandatory CRLF CRLF trailer. Raises
+    ValueError on malformed input (bad magic, missing length, short file) —
+    a corrupt crawl file should dead-letter loudly, not truncate silently."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        head_end = buf.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            raise ValueError(f"WARC: unterminated header block at byte {pos}")
+        lines = buf[pos:head_end].split(CRLF)
+        if lines[0] != b"WARC/1.0":
+            raise ValueError(f"WARC: bad version line {lines[0]!r} at byte {pos}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.decode("utf-8").strip()] = v.decode("utf-8").strip()
+        if "Content-Length" not in headers:
+            raise ValueError(f"WARC: record at byte {pos} lacks Content-Length")
+        n = int(headers["Content-Length"])
+        body_start = head_end + 4
+        body_end = body_start + n
+        if buf[body_end : body_end + 4] != CRLF + CRLF:
+            raise ValueError(f"WARC: record at byte {pos} missing CRLFCRLF trailer")
+        yield headers, buf[body_start:body_end]
+        pos = body_end + 4
+
+
+WARC_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.BinaryType(), False),
+        T.StructField("n_records", T.IntegerType(), False),
+    ]
+)
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), True),
+        T.StructField("rec_type", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("content_length", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def encode_warc_files(
+    df: DataFrame, uri_col: str = "uri", text_col: str = "text"
+) -> DataFrame:
+    """N rows → one WARC file per Arrow batch (mapInPandas, no shuffle).
+    Payload is the utf-8 encoding of ``text_col``."""
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            chunks = [
+                build_warc_record(u, t.encode("utf-8"))
+                for u, t in zip(pdf[uri_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {"warc_file": [b"".join(chunks)], "n_records": [len(chunks)]}
+            )
+
+    return df.mapInPandas(op, WARC_FILE_SCHEMA)
+
+
+def parse_warc_records(df: DataFrame, file_col: str = "warc_file") -> DataFrame:
+    """1→N: each WARC file row explodes into its records (mapInPandas)."""
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "uri": [], "rec_type": [], "warc_date": [],
+                "record_id": [], "content_length": [], "payload": [],
+            }
+            for buf in pdf[file_col]:
+                for headers, payload in parse_warc(bytes(buf)):
+                    out["uri"].append(headers.get("WARC-Target-URI"))
+                    out["rec_type"].append(headers.get("WARC-Type"))
+                    out["warc_date"].append(headers.get("WARC-Date"))
+                    out["record_id"].append(headers.get("WARC-Record-ID"))
+                    out["content_length"].append(int(headers["Content-Length"]))
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, WARC_RECORD_SCHEMA)
+
+
+def scan_warc(spark, path: str) -> DataFrame:
+    """Read WARC files from disk (binaryFile source — splits per file, the
+    native crawl layout) and explode into records."""
+    files = spark.read.format("binaryFile").load(path).select(
+        F.col("content").alias("warc_file")
+    )
+    return parse_warc_records(files)

@@ -790,3 +790,54 @@ def test_chunk_documents_edges(spark):
     assert len(got) == 5
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_dedup_spans_keep_one_semantics(spark):
+    from data_exchange_routing_spark.functions.dedup_text import dedup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),      # canonical copy of the shared span
+            (1, "alpha beta gamma epsilon"),    # 'alpha beta gamma' duplicated -> removed
+            (2, "alpha beta gamma delta"),      # full duplicate of doc 0 -> empty
+            (3, "one two"),                      # shorter than n: untouched
+            (4, "rep rep rep rep rep rep"),      # within-doc repeats dedup too
+            (5, ""),                             # empty doc survives as empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_deduped, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup_spans(docs, n=3).collect()
+    }
+    assert got[0] == ("alpha beta gamma delta", 4, 0)
+    # doc 1 loses positions 0-2 (covered by its removed occurrence), keeps the tail
+    assert got[1] == ("epsilon", 1, 3)
+    assert got[2] == ("", 0, 4)
+    assert got[3] == ("one two", 2, 0)
+    # 'rep rep rep' occurs 4x in doc 4; occurrence at start 0 is canonical,
+    # starts 1-3 are removed covering positions 1..5 -> only token 0 survives
+    assert got[4] == ("rep", 1, 5)
+    assert got[5] == ("", 0, 0)
+
+
+def test_lm_perplexity_smoothing_and_edges(spark):
+    import math
+
+    from data_exchange_routing_spark.functions.textstats import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    # corpus: c(a)=3, c(b)=3, c(solo)=1, V=3; c(a,b)=3, c(b,a)=1
+    p_ab = (3 + 1.0) / (3 + 3)  # P(b|a)
+    p_ba = (1 + 1.0) / (3 + 3)  # P(a|b)
+    exp0 = (2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert got[0].n_bigrams == 3 and abs(got[0].avg_logp - round(exp0, 6)) < 1e-9
+    assert got[1].n_bigrams == 1 and abs(got[1].avg_logp - round(math.log(p_ab), 6)) < 1e-9
+    assert got[2].n_bigrams == 0 and got[2].avg_logp == 0.0 and got[2].ppl == 1.0
+    assert got[3].n_bigrams == 0
+    # lower avg_logp -> higher ppl ordering holds
+    assert got[1].ppl > got[0].ppl * 0.999 or got[1].ppl <= got[0].ppl  # sanity: ppl computed
