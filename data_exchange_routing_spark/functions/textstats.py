@@ -265,3 +265,119 @@ def lm_perplexity(df, id_col: str = "doc_id", text_col: str = "text"):
             F.round(F.exp(-F.coalesce(F.col("avg_logp"), F.lit(0.0))), 3).alias("ppl"),
         )
     )
+
+
+def nb_classify(
+    df,
+    label_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_salt: str = ":nb",
+):
+    """Trainable document classifier: multinomial Naive Bayes over token
+    counts with Laplace smoothing — the linear-classifier stage of a
+    CCNet/fastText-style curation pipeline (Wenzek et al. 2020 pair a corpus
+    LM with a supervised quality classifier; Joulin et al. 2017 fastText is
+    the usual choice), expressed entirely as count aggregations so training
+    and scoring are exact, deterministic DataFrame ops.
+
+    Split is deterministic by HASHED identity (first md5 hex digit of
+    doc_id + salt < '4' -> the 25% test fold; never a modulus, which can
+    alias with label assignment, and never rand()): hash membership is
+    identical under retries, replays, and any cluster size. For each class c:
+    log P(c | doc) ∝ ln(n_docs_c / n_docs) + Σ_tok m_tok · ln((c(tok,c)+1) /
+    (tot_c + V)), with V the training vocabulary size. Out-of-vocabulary
+    test tokens are dropped (they carry no class signal under this
+    smoothing); a test doc with no in-vocab tokens falls back to the prior
+    argmax. Ties break on ascending class label in both engines.
+
+    Returns (doc_id, actual, pred, score) for the held-out docs; score is
+    the winning class's log-posterior rounded to 4 decimals (sum-order
+    float noise lives far below that).
+
+    Shape at 100 TB: (token,class) counts and per-doc test multiplicities
+    both pre-aggregate map-side before their single exchange; priors /
+    class totals / V are tiny broadcast dimensions; the likelihood table is
+    V x C rows joined to test tokens on token (AQE skew-splits stopword-hot
+    tokens); the per-(doc,class) score sum is one more map-side-combinable
+    agg, and argmax is a C-row-per-doc window. No Python anywhere.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("label"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    is_test = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(split_salt))), 1, 1
+    ).isin("0", "1", "2", "3")
+    toks = base.select(
+        "doc_id", "label", F.explode("_toks").alias("token"), is_test.alias("is_test")
+    ).filter(F.col("token") != "")
+
+    # --- train: priors (doc counts include token-less docs), token counts
+    train_docs = base.filter(~is_test)
+    priors = train_docs.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = train_docs.agg(F.count(F.lit(1)).alias("n_all"))
+    priors = priors.crossJoin(F.broadcast(n_total)).select(
+        "label", F.log(F.col("n_docs") / F.col("n_all")).alias("prior_logp")
+    )
+    cnt = (
+        toks.filter(~F.col("is_test"))
+        .groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("label").agg(F.sum("c").alias("tot"))
+    vocab = cnt.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    likelihood = (
+        vocab.crossJoin(F.broadcast(tot))
+        .join(cnt, ["label", "token"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "token",
+            "label",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.col("v"))
+            ).alias("tok_logp"),
+        )
+    )
+
+    # --- score held-out docs
+    test_m = (
+        toks.filter(F.col("is_test"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    scores = (
+        test_m.join(likelihood, "token")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("m") * F.col("tok_logp")).alias("tok_sum"))
+        .join(F.broadcast(priors), "label")
+        .select("doc_id", "label", (F.col("prior_logp") + F.col("tok_sum")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("label").asc())
+    )
+    pred = scores.withColumn("_rn", rn).filter(F.col("_rn") == 1).select(
+        "doc_id", F.col("label").alias("pred"), "score"
+    )
+    # prior-only fallback for docs with zero in-vocab tokens
+    prior_row = priors.orderBy(F.col("prior_logp").desc(), F.col("label").asc()).limit(1)
+    fb = prior_row.select(
+        F.col("label").alias("_fb_pred"), F.col("prior_logp").alias("_fb_score")
+    )
+    return (
+        base.filter(is_test)
+        .select("doc_id", F.col("label").alias("actual"))
+        .join(pred, "doc_id", "left")
+        .crossJoin(F.broadcast(fb))
+        .select(
+            "doc_id",
+            "actual",
+            F.coalesce("pred", "_fb_pred").alias("pred"),
+            F.round(F.coalesce("score", "_fb_score"), 4).alias("score"),
+        )
+    )

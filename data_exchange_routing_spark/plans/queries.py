@@ -1254,6 +1254,66 @@ def doc_lm_perplexity(spark, sf_dir):
     return TS.lm_perplexity(ld(spark, sf_dir, "documents"))
 
 
+@q(
+    "doc_nb_classifier",
+    # Trainable multinomial Naive Bayes (fastText-classifier analog of the
+    # CCNet curation stage): hashed 25% holdout (a modulus split would alias
+    # with source = src(doc_id % 20) and strand the test labels out of
+    # training), Laplace smoothing, OOV dropped, prior-argmax fallback,
+    # ties on ascending label. Same count pipeline in both engines.
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source AS label, {_NORM_SQL} AS toks,
+             substr(md5(doc_id::VARCHAR || ':nb'), 1, 1) IN ('0','1','2','3')
+               AS is_test
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, label, token, is_test FROM (
+        SELECT doc_id, label, unnest(toks) AS token, is_test FROM base)
+      WHERE token <> ''),
+    priors AS MATERIALIZED (
+      SELECT label,
+             ln(count(*)::DOUBLE /
+                (SELECT count(*) FROM base WHERE NOT is_test)) AS prior_logp
+      FROM base WHERE NOT is_test GROUP BY 1),
+    cnt AS MATERIALIZED (
+      SELECT label, token, count(*) AS c FROM tok WHERE NOT is_test GROUP BY 1, 2),
+    tot AS MATERIALIZED (SELECT label, sum(c) AS tot FROM cnt GROUP BY 1),
+    vocab AS MATERIALIZED (SELECT DISTINCT token FROM cnt),
+    v AS (SELECT count(*) AS v FROM vocab),
+    likelihood AS MATERIALIZED (
+      SELECT vo.token, t.label,
+             ln((coalesce(c.c, 0) + 1.0) / (t.tot + v.v)) AS tok_logp
+      FROM vocab vo CROSS JOIN tot t
+      LEFT JOIN cnt c ON c.label = t.label AND c.token = vo.token
+      CROSS JOIN v),
+    test_m AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS m FROM tok WHERE is_test GROUP BY 1, 2),
+    scores AS MATERIALIZED (
+      SELECT tm.doc_id, l.label,
+             p.prior_logp + sum(tm.m * l.tok_logp) AS score
+      FROM test_m tm JOIN likelihood l USING (token)
+      JOIN priors p ON p.label = l.label
+      GROUP BY tm.doc_id, l.label, p.prior_logp),
+    pred AS (
+      SELECT doc_id, label AS pred, score FROM (
+        SELECT doc_id, label, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label ASC) AS rn
+        FROM scores) WHERE rn = 1),
+    fb AS (SELECT label AS fb_pred, prior_logp AS fb_score FROM priors
+           ORDER BY prior_logp DESC, label ASC LIMIT 1)
+    SELECT b.doc_id, b.label AS actual,
+           coalesce(p.pred, fb.fb_pred) AS pred,
+           round(coalesce(p.score, fb.fb_score), 4) AS score
+    FROM base b LEFT JOIN pred p USING (doc_id) CROSS JOIN fb
+    WHERE b.is_test
+    """,
+)
+def doc_nb_classifier(spark, sf_dir):
+    return TS.nb_classify(ld(spark, sf_dir, "documents"), label_col="source")
+
+
 # deterministic PII injection shared by the Spark query and the oracle: the
 # synthetic corpus carries no PII, so both engines append the same typed
 # instances and the redactor must strip exactly those.

@@ -841,3 +841,34 @@ def test_lm_perplexity_smoothing_and_edges(spark):
     assert got[3].n_bigrams == 0
     # lower avg_logp -> higher ppl ordering holds
     assert got[1].ppl > got[0].ppl * 0.999 or got[1].ppl <= got[0].ppl  # sanity: ppl computed
+
+
+def test_nb_classify_learns_and_falls_back(spark):
+    import math
+
+    from data_exchange_routing_spark.functions.textstats import nb_classify
+
+    # md5(doc_id || ':nb') puts 4, 11, 15, 17 in the test fold; 0-3 train.
+    docs = spark.createDataFrame(
+        [
+            (0, "cat", "meow meow purr"),
+            (1, "cat", "meow purr"),
+            (2, "dog", "woof woof bark"),
+            (3, "dog", "bark"),
+            (4, "cat", "meow purr purr"),   # held out, separable -> cat
+            (11, "dog", "woof bark"),        # held out, separable -> dog
+            (15, "cat", ""),                 # empty -> prior fallback (tie -> 'cat')
+            (17, "dog", "zebra zebra"),      # all OOV dropped -> same fallback
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in nb_classify(docs, label_col="source").collect()}
+    assert set(got) == {4, 11, 15, 17}
+    assert got[4].pred == "cat" and got[11].pred == "dog"
+    # hand-computed: V=4 (meow purr woof bark); cat tot=5, dog tot=4
+    exp4 = math.log(0.5) + math.log(4 / 9) + 2 * math.log(3 / 9)
+    assert abs(got[4].score - round(exp4, 4)) < 1e-9
+    # empty and OOV-only docs fall back to the prior argmax; the 2v2 prior
+    # ties and breaks on ascending label
+    assert got[15].pred == "cat" and got[17].pred == "cat"
+    assert got[15].score == got[17].score == round(math.log(0.5), 4)
