@@ -381,3 +381,33 @@ def nb_classify(
             F.round(F.coalesce("score", "_fb_score"), 4).alias("score"),
         )
     )
+
+
+def ccnet_shards(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet's final sharding step (Wenzek et al. 2020 §4.4): documents are
+    split into head / middle / tail quality shards by LM perplexity, with
+    the head (lowest ppl) the highest-quality training slice.
+
+    Cutoffs are VALUE thresholds (the exact interpolated tercile points of
+    the corpus ppl distribution), not per-doc global ranks: CCNet itself
+    computes fixed cutoffs once and buckets by comparison, which is also the
+    only shape that scales — a rank-based ntile needs a global sort, while
+    value thresholds are one 2-value aggregate broadcast to a map-side
+    comparison. Boundary docs (ppl == cutoff, on the 3-decimal ppl grid)
+    fall into the lower shard in both engines via ``<=``.
+
+    Returns (doc_id, ppl, shard).
+    """
+    scored = lm_perplexity(df, id_col=id_col, text_col=text_col)
+    cuts = scored.agg(
+        F.round(F.expr("percentile(ppl, 1.0/3)"), 6).alias("t1"),
+        F.round(F.expr("percentile(ppl, 2.0/3)"), 6).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("shard"),
+    )

@@ -1314,6 +1314,69 @@ def doc_nb_classifier(spark, sf_dir):
     return TS.nb_classify(ld(spark, sf_dir, "documents"), label_col="source")
 
 
+@q("doc_ccnet_shards", None)  # SQL twin built below from the perplexity oracle
+def doc_ccnet_shards(spark, sf_dir):
+    # CCNet head/middle/tail sharding by LM perplexity: exact tercile VALUE
+    # cutoffs (one 2-value agg, broadcast) — never a rank ntile's global sort.
+    return TS.ccnet_shards(ld(spark, sf_dir, "documents"))
+
+
+# the oracle reuses the full perplexity pipeline as a nested WITH, then
+# buckets by the same interpolated tercile cutoffs (quantile_cont ==
+# Spark `percentile`, parity proven by events_value_percentiles)
+ORACLE["doc_ccnet_shards"] = f"""
+    WITH scored AS MATERIALIZED (
+      SELECT doc_id, ppl FROM ({ORACLE["doc_lm_perplexity"]})),
+    cuts AS (SELECT round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+                    round(quantile_cont(ppl, 2.0/3), 6) AS t2 FROM scored)
+    SELECT doc_id, ppl,
+           CASE WHEN ppl <= t1 THEN 'head'
+                WHEN ppl <= t2 THEN 'middle'
+                ELSE 'tail' END AS shard
+    FROM scored CROSS JOIN cuts
+"""
+
+
+_BPE_K = 8
+
+@q("doc_bpe_merges", None)  # SQL twin generated below (unrolled iterations)
+def doc_bpe_merges(spark, sf_dir):
+    # Distributed BPE tokenizer training (Sennrich et al. 2016): corpus
+    # collapses to its word-frequency table once; every merge round touches
+    # only the vocab. Greedy left-to-right run semantics via islands-parity.
+    from data_exchange_routing_spark.functions.bpe import bpe_train
+
+    return bpe_train(ld(spark, sf_dir, "documents"), n_merges=_BPE_K)
+
+
+from data_exchange_routing_spark.functions.bpe import bpe_oracle_sql as _bpe_sql  # noqa: E402
+from data_exchange_routing_spark.functions.bpe import bpe_encode_oracle_sql as _bpe_enc_sql  # noqa: E402
+
+ORACLE["doc_bpe_merges"] = _bpe_sql(_BPE_K, norm_sql=_NORM_SQL)
+
+_BPE_ENC_K = 4
+_NORM_SQL_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@q("doc_bpe_encode", None)  # SQL twin generated below (train + apply unrolled)
+def doc_bpe_encode(spark, sf_dir):
+    # Train-then-tokenize: the k-round model applies corpus-wide with the
+    # same islands-parity merge; spaces ride along as boundary blockers so
+    # merges never span a word gap. pieces_hash gates the full segmentation.
+    from data_exchange_routing_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = ld(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs, n_merges=_BPE_ENC_K))
+
+
+ORACLE["doc_bpe_encode"] = _bpe_enc_sql(
+    _BPE_ENC_K, norm_sql_text=_NORM_SQL_TEXT, norm_sql_arr=_NORM_SQL
+)
+
+
 # deterministic PII injection shared by the Spark query and the oracle: the
 # synthetic corpus carries no PII, so both engines append the same typed
 # instances and the redactor must strip exactly those.

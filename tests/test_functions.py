@@ -872,3 +872,101 @@ def test_nb_classify_learns_and_falls_back(spark):
     # ties and breaks on ascending label
     assert got[15].pred == "cat" and got[17].pred == "cat"
     assert got[15].score == got[17].score == round(math.log(0.5), 4)
+
+
+def test_ccnet_shards_monotone(spark):
+    from data_exchange_routing_spark.functions.textstats import ccnet_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join((["a b"] * 5 + [f"w{i} w{i + 1}"] * i))) for i in range(9)],
+        "doc_id long, text string",
+    )
+    rows = ccnet_shards(docs).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by[r.shard].append(r.ppl)
+    assert len(rows) == 9 and all(by.values())
+    # quality ordering: every head ppl <= every middle ppl <= every tail ppl
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+
+
+def _py_bpe_reference(word_freq, k):
+    """Independent plain-Python BPE trainer (Sennrich semantics) used as the
+    exact twin for the distributed trainer."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, l + r, c))
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+_BPE_CORPUS = [
+    "low lower lowest newest newer new wide wider widest",
+    "aaaa aaa aa a baaab",          # same-symbol runs: greedy parity path
+    "the cat sat on the mat, the cat ate!",
+    "hug hugs hugging pug pugs bug",
+    "",                              # empty doc
+    "x",                             # single-char word
+]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import re
+    from collections import Counter
+
+    from data_exchange_routing_spark.functions.bpe import bpe_train
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    wf = Counter(w for t in _BPE_CORPUS for w in norm(t).split() if w)
+    exp = _py_bpe_reference(dict(wf), 8)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_CORPUS)], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(docs, 8).orderBy("rank").collect()
+    ]
+    assert got == exp
+    # run semantics: rank-1 merge must be ('a','a') counted greedily —
+    # aaaa=2, aaa=1, aa=1, baaab=2 per occurrence... the reference already
+    # encodes this; just pin the headline value so regressions read clearly
+    assert got[0][:4] == (1, "a", "a", "aa")
+
+
+def test_bpe_encode_relational_equals_arrow(spark):
+    from data_exchange_routing_spark.functions.bpe import (
+        bpe_encode,
+        bpe_encode_arrow,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_CORPUS)], "doc_id long, text string"
+    )
+    m = bpe_train(docs, 6)
+    rel = {r.doc_id: (r.n_pieces, r.pieces_hash) for r in bpe_encode(docs, m).collect()}
+    arr = {r.doc_id: (r.n_pieces, r.pieces_hash) for r in bpe_encode_arrow(docs, m).collect()}
+    assert rel == arr and len(rel) == len(_BPE_CORPUS)
+    assert rel[4][0] == 0  # empty doc -> zero pieces
