@@ -3218,3 +3218,116 @@ def q20_excess_shipments_suppliers(spark, sf_dir):
         s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@q(
+    "q11_important_parts",
+    # TPC-H q11 SHAPE (no partsupp in the synthetic schema): per-part revenue
+    # vs a fraction-of-global scalar subquery — group agg + 1-row broadcast.
+    """
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+      FROM lineitem GROUP BY 1)
+    SELECT l_partkey, round(v, 2) AS part_value
+    FROM val
+    WHERE v > (SELECT sum(v) * 0.002 FROM val)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    val = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    thresh = val.agg((F.sum("v") * F.lit(0.002)).alias("t"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("v") > F.col("t"))
+        .select("l_partkey", F.round("v", 2).alias("part_value"))
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    # TPC-H q21 SHAPE (no l_receiptdate): the supplier whose line shipped
+    # LAST in a multi-supplier order, alone at that max (the exists +
+    # not-exists self-joins collapse to one agg over the order's lines plus
+    # a solo-at-max check).
+    """
+    WITH omax AS (
+      SELECT l_orderkey, max(l_shipdate) AS m
+      FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1),
+    atmax AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN omax USING (l_orderkey)
+      WHERE l.l_shipdate = omax.m),
+    solo AS (
+      SELECT l_orderkey FROM atmax GROUP BY 1 HAVING count(*) = 1)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM atmax a JOIN solo USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    s = ld(spark, sf_dir, "supplier")
+    omax = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("m"),
+            F.countDistinct("l_suppkey").alias("ns"),
+        )
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey", "m")
+    )
+    atmax = (
+        l.join(omax, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("m"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    # solo-at-max as a window over atmax: one pass, no self-join recompute
+    solo_at_max = atmax.withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    ).filter(F.col("k") == 1)
+    return (
+        solo_at_max.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+@q(
+    "q22_global_sales_opportunity",
+    # TPC-H q22 SHAPE (no c_phone): above-average-balance customers with no
+    # recent orders — scalar-subquery broadcast + anti join, grouped by nation.
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY 1
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    recent = o.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
