@@ -411,3 +411,76 @@ def ccnet_shards(df, id_col: str = "doc_id", text_col: str = "text"):
         .otherwise(F.lit("tail"))
         .alias("shard"),
     )
+
+
+def token_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy of the token distribution (nats) — a
+    standard gibberish/boilerplate signal: near-zero entropy means one token
+    repeated (boilerplate), unusually high means noise. Used alongside the
+    Gopher ratios and LM perplexity in quality filtering.
+
+    Returns (doc_id, n_tokens, entropy) with entropy = -Σ p ln p over the
+    doc's token frequencies, rounded to 6.
+
+    Shape at 100 TB: one map-side-combinable (doc, token) count, one (doc)
+    re-agg — both shuffles carry counts, never text. No model joins."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    cnt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    )
+    # -Σ (c/n) ln (c/n) = ln n - (Σ c ln c) / n
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.log("n") - F.col("clogc") / F.col("n"), F.lit(0.0)), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def tfidf_topk(df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k characteristic terms per document by TF-IDF (keyword
+    extraction / topic signal for corpus curation dashboards).
+
+    tfidf = tf · ln(N / df) with raw within-doc term frequency tf, corpus
+    document count N, and document frequency df. Ties break on ascending
+    token. Returns (doc_id, rnk, token, tfidf).
+
+    Shape at 100 TB: (doc, token) counts pre-aggregate map-side; df is one
+    token-keyed agg joined back token-to-token (AQE skew-splits stopword-hot
+    tokens — though stopwords have idf≈0 and never surface); N broadcasts;
+    the top-k window partitions by doc (bounded by per-doc vocab)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n") / F.col("df")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "token",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+        )
+    )

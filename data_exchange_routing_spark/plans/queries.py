@@ -3331,3 +3331,56 @@ def q22_global_sales_opportunity(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@q(
+    "doc_token_entropy",
+    # Shannon entropy of each doc's token distribution (nats):
+    # ln n - (Σ c ln c)/n — a boilerplate/gibberish quality signal.
+    f"""
+    WITH tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_NORM_SQL}) AS token FROM documents)
+      WHERE token <> ''),
+    cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clogc
+      FROM cnt GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+           round(coalesce(ln(p.n) - p.clogc / p.n, 0.0), 6) AS entropy
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def doc_token_entropy(spark, sf_dir):
+    return TS.token_entropy(ld(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_tfidf_top3",
+    # TF-IDF keyword extraction: top-3 characteristic terms per doc,
+    # tfidf = tf * ln(N/df), ties on ascending token.
+    f"""
+    WITH tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_NORM_SQL}) AS token FROM documents)
+      WHERE token <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln(n.n::DOUBLE / dfreq.df) AS tfidf_raw
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, token,
+           round(tfidf_raw, 6) AS tfidf
+    FROM (
+      SELECT doc_id, token, tfidf_raw,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_raw DESC, token ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_top3(spark, sf_dir):
+    return TS.tfidf_topk(ld(spark, sf_dir, "documents"), k=3)

@@ -970,3 +970,33 @@ def test_bpe_encode_relational_equals_arrow(spark):
     arr = {r.doc_id: (r.n_pieces, r.pieces_hash) for r in bpe_encode_arrow(docs, m).collect()}
     assert rel == arr and len(rel) == len(_BPE_CORPUS)
     assert rel[4][0] == 0  # empty doc -> zero pieces
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from data_exchange_routing_spark.functions.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d"), (2, "a a b b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert got[0].entropy == 0.0 and got[0].n_tokens == 4          # one token
+    assert abs(got[1].entropy - round(math.log(4), 6)) < 1e-9       # uniform
+    assert abs(got[2].entropy - round(math.log(2), 6)) < 1e-9
+    assert got[3] == (3, 0, 0.0)
+
+
+def test_tfidf_topk_ranking(spark):
+    from data_exchange_routing_spark.functions.textstats import tfidf_topk
+
+    # 'rare' appears only in doc 0; 'common' in all docs (idf = ln(1) = 0)
+    docs = spark.createDataFrame(
+        [(0, "common rare rare mid"), (1, "common mid"), (2, "common x")],
+        "doc_id long, text string",
+    )
+    got = [(r.doc_id, r.rnk, r.token) for r in tfidf_topk(docs, k=2).collect()]
+    d0 = sorted(t for t in got if t[0] == 0)
+    assert d0[0][1:] == (1, "rare")        # tf=2 * ln(3/1) dominates
+    assert d0[1][1:] == (2, "mid")         # ln(3/2) beats common's ln(1)=0
