@@ -23,9 +23,12 @@ its own lake layer with the same commit semantics the reference hand-rolls:
   (``pmod(xxhash64(url), n_buckets)``), so key-local operations (resolve,
   compaction) shuffle within buckets only, and bucket-selective reads prune
   files straight from the manifest (Iceberg ``bucket(N, url)`` analog).
-- *additive schema evolution*: new nullable columns appear in the snapshot
-  schema; old parquet files lack them and are null-backfilled by the reader
-  (reference open-world metadata enrichment, RouteIngestedFile.kt:196-209).
+- *schema evolution*: new nullable columns appear in the snapshot schema; old
+  parquet files lack them and are null-backfilled by the reader (reference
+  open-world metadata enrichment, RouteIngestedFile.kt:196-209). Existing
+  columns WIDEN along the safe promotion lattice (int→long, float→double) —
+  metadata-only; Spark's parquet reader upcasts old INT32/FLOAT pages under
+  the wider requested schema, so no data file is rewritten.
 
 Scale notes (100 TB / 1000 executors): the manifest is O(#files) JSON — at
 10^5 files it is a few MB read once per query by the driver, like an Iceberg
@@ -563,20 +566,49 @@ class LakeTable:
                 entries.append(entry)
         return entries
 
-    def _evolved_schema(self, snap: Snapshot, df: DataFrame) -> str | None:
-        """Additive schema evolution: new nullable columns from the source are
-        appended to the table schema; removals/renames are not supported
-        (reference is additive-only: SURVEY.md §1.3)."""
+    @staticmethod
+    def _widened_type(cur: T.DataType, new: T.DataType) -> T.DataType:
+        """Safe type promotion (Iceberg v2 lattice subset): integral chain
+        byte→short→int→long and float→double. Anything else — equal types,
+        narrowing, or incompatible — keeps the table's type (the incoming
+        batch is cast on align, exactly as before). Widening is read-safe
+        without file rewrites: Spark's parquet reader upcasts INT32/FLOAT
+        pages under a wider requested schema (verified on this runtime)."""
+        order = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+        ic, jc = order.get(type(cur)), order.get(type(new))
+        if ic is not None and jc is not None and jc > ic:
+            return new
+        if isinstance(cur, T.FloatType) and isinstance(new, T.DoubleType):
+            return new
+        return cur
+
+    def _evolved_schema(self, snap: Snapshot, incoming: T.StructType) -> str | None:
+        """Schema evolution on commit: new nullable columns from the source
+        are appended (reference is additive-only: SURVEY.md §1.3), and
+        existing columns WIDEN along the safe promotion lattice
+        (int→long, float→double) when the source sends a wider type —
+        metadata-only, no data-file rewrite. Removals/renames unsupported."""
         current = snap.schema()
+        in_by_name = {f.name: f for f in incoming.fields}
+        changed = False
+        out_fields: list[T.StructField] = []
+        for f in current.fields:
+            nf = in_by_name.get(f.name)
+            if nf is not None:
+                wt = self._widened_type(f.dataType, nf.dataType)
+                if wt != f.dataType:
+                    changed = True
+                    f = T.StructField(f.name, wt, True)
+            out_fields.append(f)
         have = set(current.fieldNames())
         new_fields = [
             T.StructField(f.name, f.dataType, True)
-            for f in df.schema.fields
+            for f in incoming.fields
             if f.name not in have and f.name != BUCKET_COL
         ]
-        if not new_fields:
+        if not changed and not new_fields:
             return None
-        return json.dumps(T.StructType(current.fields + new_fields).jsonValue())
+        return json.dumps(T.StructType(out_fields + new_fields).jsonValue())
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         cols = []
@@ -615,18 +647,7 @@ class LakeTable:
             snap = self.snapshot()
             if epoch_id is not None and snap.epoch_committed(source, epoch_id):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
-            current = snap.schema()
-            have = set(current.fieldNames())
-            new_fields = [
-                T.StructField(f.name, f.dataType, True)
-                for f in delta_schema.fields
-                if f.name not in have and f.name != BUCKET_COL
-            ]
-            schema_json = (
-                json.dumps(T.StructType(current.fields + new_fields).jsonValue())
-                if new_fields
-                else snap.schema_json
-            )
+            schema_json = self._evolved_schema(snap, delta_schema) or snap.schema_json
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
                 add = _enc_add_monotonic if epoch_monotonic else _enc_add
@@ -740,7 +761,7 @@ class LakeTable:
         if epoch_id is not None and snap.epoch_committed(source, epoch_id):
             return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
 
-        new_schema_json = self._evolved_schema(snap, df)
+        new_schema_json = self._evolved_schema(snap, df.schema)
         schema = T.StructType.fromJson(json.loads(new_schema_json)) if new_schema_json else snap.schema()
         bucketed = is_cdc and snap.key is not None
         out = self._align(df, schema)
@@ -754,7 +775,7 @@ class LakeTable:
             snap = self.snapshot()
             if epoch_id is not None and snap.epoch_committed(source, epoch_id):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
-            new_schema_json = self._evolved_schema(snap, df) or snap.schema_json
+            new_schema_json = self._evolved_schema(snap, df.schema) or snap.schema_json
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
                 add = _enc_add_monotonic if epoch_monotonic else _enc_add

@@ -886,3 +886,60 @@ def test_broadcast_resolve_null_ts_loses_like_window(spark, tmpdir_path):
         assert {r["text"] for r in t.read().collect()} == {"t"}
     finally:
         LakeTable.RESOLVE_BROADCAST_MAX_DELTA_ROWS = old
+
+
+def test_type_widening_int_to_long_float_to_double(spark, tmpdir_path):
+    """Widening evolution: a batch with wider numeric types widens the table
+    schema metadata-only; old INT32/FLOAT parquet files read back upcast
+    (no rewrite). Narrower incoming batches cast up and never narrow back."""
+    sch = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.FloatType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "w"), sch)
+    t.append(spark.createDataFrame([("a", 1, 1.5)], sch), epoch_id=0)
+
+    wide = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+    t.append(spark.createDataFrame([("b", 2**40, 2.25)], wide), epoch_id=1)
+    got = t.read()
+    assert [f.dataType for f in got.schema.fields if f.name == "x"] == [T.LongType()]
+    assert [f.dataType for f in got.schema.fields if f.name == "y"] == [T.DoubleType()]
+    vals = {r.k: (r.x, r.y) for r in got.collect()}
+    assert vals == {"a": (1, 1.5), "b": (2**40, 2.25)}
+
+    # narrower batch after widening: values cast up, schema stays wide
+    t.append(spark.createDataFrame([("c", 3, 3.5)], sch), epoch_id=2)
+    got2 = t.read()
+    assert [f.dataType for f in got2.schema.fields if f.name == "x"] == [T.LongType()]
+    assert {r.k: r.x for r in got2.collect()} == {"a": 1, "b": 2**40, "c": 3}
+
+    # incompatible/narrowing types never mutate the schema (string wins)
+    assert t._evolved_schema(t.snapshot(), T.StructType(
+        [T.StructField("k", T.IntegerType())]
+    )) is None
+
+
+def test_type_widening_on_staged_commit_path(spark, tmpdir_path):
+    """commit_staged_files drives the same widening as a DataFrame commit."""
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("x", T.IntegerType())])
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "s"), sch)
+    t.append(spark.createDataFrame([("a", 1)], sch), epoch_id=0)
+    wide = T.StructType([T.StructField("k", T.StringType()), T.StructField("x", T.LongType())])
+    staged_dir = os.path.join(tmpdir_path, "staged")
+    spark.createDataFrame([("b", 2**40)], wide).coalesce(1).write.parquet(staged_dir)
+    pq = [os.path.join(staged_dir, f) for f in os.listdir(staged_dir) if f.endswith(".parquet")]
+    t.commit_staged_files(
+        [{"path": p, "rows": 1, "bucket": -1} for p in pq], wide, epoch_id=1, kind="base"
+    )
+    got = t.read()
+    assert [f.dataType for f in got.schema.fields if f.name == "x"] == [T.LongType()]
+    assert {r.k: r.x for r in got.collect()} == {"a": 1, "b": 2**40}
