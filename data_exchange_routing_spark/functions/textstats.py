@@ -484,3 +484,67 @@ def tfidf_topk(df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
             F.round("tfidf_raw", 6).alias("tfidf"),
         )
     )
+
+
+def pmi_collocations(df, min_count: int = 50, k: int = 20, text_col: str = "text"):
+    """Collocation / phrase mining by pointwise mutual information —
+    PMI(l,r) = ln( (c(l,r)/B) / ((c(l)/U)·(c(r)/U)) ) over corpus bigram and
+    unigram counts (B, U the respective totals). High-PMI pairs are
+    multiword expressions worth fusing before tokenizer training.
+
+    Top-k by PMI (min corpus support ``min_count`` keeps the estimator
+    stable), ties on ascending (lhs, rhs). Returns (lhs, rhs, n_pair, pmi).
+
+    Shape at 100 TB: both count tables pre-aggregate map-side; totals are
+    1-row broadcasts; the unigram joins are token-keyed (AQE skew-splits
+    stopword-hot tokens); top-k is one global TakeOrdered of the few pairs
+    clearing min_count, never a full sort."""
+    toked = df.select(
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks")
+    )
+    tk = F.col("_toks")
+    toks = toked.select(F.explode(tk).alias("token")).filter(F.col("token") != "")
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
+    u_tot = uni.agg(F.sum("c_uni").alias("u"))
+    pairs = F.when(
+        (F.size(tk) >= 2) & (F.element_at(tk, 1) != ""),
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.struct(
+                F.get(tk, i).alias("lhs"), F.get(tk, i + 1).alias("rhs")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    bi = (
+        toked.select(F.explode(pairs).alias("b"))
+        .groupBy("b.lhs", "b.rhs")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    b_tot = (
+        toked.select(
+            F.greatest(F.size(tk) - 1, F.lit(0)).alias("nb"),
+            (F.element_at(tk, 1) != "").alias("ok"),
+        )
+        .filter(F.col("ok"))
+        .agg(F.sum("nb").alias("b"))
+    )
+    # bi (post-min_count) is the small side; the vocab table is NOT
+    # broadcastable at corpus scale — AQE picks the broadcast direction from
+    # runtime stats, so no hint pins the big side into memory
+    return (
+        bi.join(uni.withColumnRenamed("token", "lhs").withColumnRenamed("c_uni", "c_l"), "lhs")
+        .join(uni.withColumnRenamed("token", "rhs").withColumnRenamed("c_uni", "c_r"), "rhs")
+        .crossJoin(F.broadcast(u_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .withColumn(
+            "pmi_raw",
+            F.log(
+                (F.col("n_pair") / F.col("b"))
+                / ((F.col("c_l") / F.col("u")) * (F.col("c_r") / F.col("u")))
+            ),
+        )
+        .orderBy(F.col("pmi_raw").desc(), "lhs", "rhs")
+        .limit(k)
+        .select("lhs", "rhs", "n_pair", F.round("pmi_raw", 6).alias("pmi"))
+    )

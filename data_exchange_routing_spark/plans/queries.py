@@ -3384,3 +3384,38 @@ def doc_token_entropy(spark, sf_dir):
 )
 def doc_tfidf_top3(spark, sf_dir):
     return TS.tfidf_topk(ld(spark, sf_dir, "documents"), k=3)
+
+
+@q(
+    "doc_pmi_collocations",
+    # PMI phrase mining: top-20 bigram collocations with corpus support
+    # >= 30; PMI = ln((c_bi/B) / ((c_l/U)(c_r/U))), ties on (lhs, rhs).
+    f"""
+    WITH docs AS MATERIALIZED (
+      SELECT {_NORM_SQL} AS toks FROM documents),
+    tok AS MATERIALIZED (
+      SELECT token FROM (SELECT unnest(toks) AS token FROM docs)
+      WHERE token <> ''),
+    uni AS MATERIALIZED (SELECT token, count(*) AS c_uni FROM tok GROUP BY 1),
+    u AS (SELECT sum(c_uni) AS u FROM uni),
+    bi AS MATERIALIZED (
+      SELECT toks[i] AS lhs, toks[i + 1] AS rhs, count(*) AS n_pair
+      FROM docs, UNNEST(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2 AND toks[1] <> ''
+      GROUP BY 1, 2 HAVING count(*) >= 30),
+    b AS (SELECT sum(greatest(len(toks) - 1, 0)) AS b FROM docs
+          WHERE toks[1] <> ''),
+    scored AS (
+      SELECT bi.lhs, bi.rhs, bi.n_pair,
+             ln((bi.n_pair::DOUBLE / b.b) /
+                ((ul.c_uni::DOUBLE / u.u) * (ur.c_uni::DOUBLE / u.u))) AS pmi_raw
+      FROM bi JOIN uni ul ON ul.token = bi.lhs
+      JOIN uni ur ON ur.token = bi.rhs
+      CROSS JOIN u CROSS JOIN b)
+    SELECT lhs, rhs, CAST(n_pair AS BIGINT) AS n_pair, round(pmi_raw, 6) AS pmi
+    FROM scored
+    ORDER BY pmi_raw DESC, lhs, rhs LIMIT 20
+    """,
+)
+def doc_pmi_collocations(spark, sf_dir):
+    return TS.pmi_collocations(ld(spark, sf_dir, "documents"), min_count=30, k=20)

@@ -1000,3 +1000,27 @@ def test_tfidf_topk_ranking(spark):
     d0 = sorted(t for t in got if t[0] == 0)
     assert d0[0][1:] == (1, "rare")        # tf=2 * ln(3/1) dominates
     assert d0[1][1:] == (2, "mid")         # ln(3/2) beats common's ln(1)=0
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from data_exchange_routing_spark.functions.textstats import pmi_collocations
+
+    # 'new york' always adjacent; 'the cat' mixes with other neighbors
+    docs = spark.createDataFrame(
+        [(0, "new york new york the cat"), (1, "the dog new york the cat")],
+        "doc_id long, text string",
+    )
+    got = {(r.lhs, r.rhs): (r.n_pair, r.pmi) for r in
+           pmi_collocations(docs, min_count=2, k=5).collect()}
+    # corpus: U=11 unigrams... tokens: doc0 6, doc1 6 -> U=12; B=(6-1)+(6-1)=10
+    # c(new,york)=3, c(new)=3, c(york)=3
+    exp = math.log((3 / 10) / ((3 / 12) * (3 / 12)))
+    assert got[("new", "york")][0] == 3
+    assert abs(got[("new", "york")][1] - round(exp, 6)) < 1e-9
+    # ('the','cat') n=2, c(the)=3, c(cat)=2
+    exp2 = math.log((2 / 10) / ((3 / 12) * (2 / 12)))
+    assert abs(got[("the", "cat")][1] - round(exp2, 6)) < 1e-9
+    # adjacency never crosses: ('cat','the') from doc boundaries absent
+    assert ("cat", "the") not in got
