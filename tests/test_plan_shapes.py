@@ -142,3 +142,44 @@ def test_global_index_no_single_partition_sort(spark):
             assert "HashAggregate" in tail or "Aggregate" in tail, (
                 f"corpus-wide single-partition exchange:\n{tail}"
             )
+
+
+def test_ccnet_shards_no_global_sort(spark):
+    """Sharding is a broadcast value-threshold comparison — a rank-based
+    ntile would show a single-partition global Sort+Window."""
+    plan = _plan(spark, "doc_ccnet_shards")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "SinglePartition" in line:
+            raise AssertionError(f"global window in shard plan: {line}")
+
+
+def test_tfidf_window_partitioned_by_doc(spark):
+    """Top-k ranking partitions by doc_id (the only SinglePartition exchange
+    in the plan feeds the 1-row corpus-count aggregate), and Spark pushes the
+    rank<=k limit below the window (WindowGroupLimit)."""
+    plan = _plan(spark, "doc_tfidf_top3")
+    win = next(l for l in plan.splitlines() if l.strip().startswith("+- Window ") or l.strip().startswith("Window "))
+    assert "doc_id" in win.split("windowspecdefinition")[1][:40]
+    assert "WindowGroupLimit" in plan  # top-k pushed below the window
+    # the doc-keyed window never sits on a single-partition exchange
+    assert "Exchange SinglePartition" not in win
+
+
+def test_q11_threshold_is_broadcast(spark):
+    plan = _plan(spark, "q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pmi_totals_broadcast_no_cartesian_blowup(spark):
+    """The two 1-row totals broadcast; the vocab joins stay hash joins that
+    AQE may flip — but never a CartesianProduct."""
+    plan = _plan(spark, "doc_pmi_collocations")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_nb_classifier_priors_broadcast(spark):
+    plan = _plan(spark, "doc_nb_classifier")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
