@@ -359,6 +359,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_internal: bool = False,
         version: int | None = None,
+        ts_filter: tuple | None = None,
     ) -> DataFrame:
         """Current resolved state. ``buckets`` prunes files from the manifest
         before Spark ever lists them (partition pruning).
@@ -387,6 +388,39 @@ class LakeTable:
             # bucket-selective read / point_read silently misses live rows.
             keep = set(buckets) | {-1}
             files = [f for f in files if f["bucket"] in keep]
+        if ts_filter is not None:
+            # time-scoped scan of an APPEND-ONLY table: (col, lo, hi) prunes
+            # files whose manifest ts_stats range misses [lo, hi] — the
+            # Iceberg column-stats analog — then applies the exact row
+            # predicate (which also reaches the parquet row groups). Keyed
+            # tables refuse: pruning deltas by time would drop the winning
+            # revision of keys last touched outside the window.
+            if snap.key is not None:
+                raise ValueError(
+                    "ts_filter requires an append-only (unkeyed) table; a "
+                    "time-pruned current-state read of a keyed table is not "
+                    "well-defined"
+                )
+            col, lo, hi = ts_filter
+            lo_s = lo.isoformat() if lo is not None else None
+            hi_s = hi.isoformat() if hi is not None else None
+
+            def _overlaps(f: dict) -> bool:
+                rng = (f.get("ts_stats") or {}).get(col)
+                if rng is None:
+                    return True  # no stats recorded: never prune
+                fmin, fmax = rng
+                return (hi_s is None or fmin <= hi_s) and (
+                    lo_s is None or fmax >= lo_s
+                )
+
+            files = [f for f in files if _overlaps(f)]
+            df = self._read_files(snap, files, with_internal=with_internal)
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+            return df
         base_files = [f for f in files if f["kind"] == "base"]
         delta_files = [f for f in files if f["kind"] == "delta"]
         delta_rows = sum(f.get("rows", 0) for f in delta_files)
@@ -540,6 +574,37 @@ class LakeTable:
                     "rows": md.num_rows,
                     "bytes": os.path.getsize(full),
                 }
+                # timestamp-column ranges from the same footer walk: Iceberg
+                # column-stats analog that lets time-scoped reads of
+                # append-only tables prune files from the manifest alone
+                ts_cols = {
+                    f.name for f in df.schema.fields
+                    if isinstance(f.dataType, T.TimestampType)
+                }
+                if ts_cols:
+                    ts_stats: dict[str, list[str]] = {}
+                    incomplete: set[str] = set()
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            col = md.row_group(rg).column(ci)
+                            name = col.path_in_schema
+                            if name not in ts_cols or name in incomplete:
+                                continue
+                            s = col.statistics
+                            if s is None or not s.has_min_max:
+                                # a stats-less row group poisons the column:
+                                # its range is unknown, so never prune on it
+                                incomplete.add(name)
+                                ts_stats.pop(name, None)
+                                continue
+                            lo, hi = s.min.isoformat(), s.max.isoformat()
+                            cur = ts_stats.get(name)
+                            ts_stats[name] = (
+                                [lo, hi] if cur is None
+                                else [min(cur[0], lo), max(cur[1], hi)]
+                            )
+                    if ts_stats:
+                        entry["ts_stats"] = ts_stats
                 # merge-key range from the footers: manifest-level file
                 # pruning for point reads (Iceberg column-stats analog)
                 if snap.key is not None:

@@ -52,6 +52,10 @@ def get_spark(
         # bound Arrow batch bytes with multi-KB binary payloads
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64-micros timestamps carry parquet min/max statistics (INT96,
+        # the legacy default, has none) — required for the lake's manifest
+        # ts_stats pruning; readers handle old INT96 files side by side
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # pre-size the heap: with the default tiny -Xms, the first minutes of

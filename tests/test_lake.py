@@ -943,3 +943,42 @@ def test_type_widening_on_staged_commit_path(spark, tmpdir_path):
     got = t.read()
     assert [f.dataType for f in got.schema.fields if f.name == "x"] == [T.LongType()]
     assert {r.k: r.x for r in got.collect()} == {"a": 1, "b": 2**40}
+
+
+def test_ts_stats_pruned_time_scoped_read(spark, tmpdir_path):
+    """Append-only tables record timestamp ranges in the manifest; a
+    ts_filter read prunes non-overlapping files before Spark lists them and
+    still returns exactly the rows in range. Keyed tables refuse."""
+    sch = T.StructType(
+        [T.StructField("v", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "ts"), sch)
+    for day, epoch in ((1, 0), (10, 1), (20, 2)):
+        t.append(
+            spark.createDataFrame(
+                [(day * 100 + i, datetime(2024, 1, day, i)) for i in range(3)], sch
+            ),
+            epoch_id=epoch,
+        )
+    snap = t.snapshot()
+    assert all("ts" in (f.get("ts_stats") or {}) for f in snap.files)
+
+    lo, hi = datetime(2024, 1, 9), datetime(2024, 1, 11)
+    pruned = [
+        f for f in snap.files
+        if f["ts_stats"]["ts"][1] >= lo.isoformat()
+        and f["ts_stats"]["ts"][0] <= hi.isoformat()
+    ]
+    assert len(pruned) == 1  # only the day-10 file overlaps
+
+    got = sorted(r.v for r in t.read(ts_filter=("ts", lo, hi)).collect())
+    assert got == [1000, 1001, 1002]
+    # open-ended bounds work
+    assert t.read(ts_filter=("ts", datetime(2024, 1, 15), None)).count() == 3
+    assert t.read(ts_filter=("ts", None, None)).count() == 9
+
+    keyed = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "keyed"), WEB_PAGES, key="url", n_buckets=2
+    )
+    with pytest.raises(ValueError):
+        keyed.read(ts_filter=("warc_ts", lo, hi))
