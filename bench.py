@@ -41,6 +41,10 @@ HEADLINE = [
     "emb_cosine_top5",
     "q6_forecast_revenue",
     "events_asof_purchase_view",
+    # round-2 additions (r01 keys above are unchanged for comparability)
+    "doc_dedup_spans",
+    "doc_lm_perplexity",
+    "doc_bpe_encode_arrow",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "400000"))

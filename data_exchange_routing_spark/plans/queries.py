@@ -3419,3 +3419,16 @@ def doc_tfidf_top3(spark, sf_dir):
 )
 def doc_pmi_collocations(spark, sf_dir):
     return TS.pmi_collocations(ld(spark, sf_dir, "documents"), min_count=30, k=20)
+
+
+@q("doc_bpe_encode_arrow", None)  # same oracle as the relational twin, below
+def doc_bpe_encode_arrow(spark, sf_dir):
+    # The mapInPandas hot path under the SAME exactness gate as the
+    # relational encoder: model broadcast, zero shuffles.
+    from data_exchange_routing_spark.functions.bpe import bpe_encode_arrow, bpe_train
+
+    docs = ld(spark, sf_dir, "documents")
+    return bpe_encode_arrow(docs, bpe_train(docs, n_merges=_BPE_ENC_K))
+
+
+ORACLE["doc_bpe_encode_arrow"] = ORACLE["doc_bpe_encode"]
