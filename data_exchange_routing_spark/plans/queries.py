@@ -3432,3 +3432,66 @@ def doc_bpe_encode_arrow(spark, sf_dir):
 
 
 ORACLE["doc_bpe_encode_arrow"] = ORACLE["doc_bpe_encode"]
+
+
+@q(
+    "doc_curation_pipeline",
+    # End-to-end curation composition — the flagship LLM-data flow: exact
+    # dedup keeps min-doc_id per text hash, survivors gate on language and
+    # token count, the CCNet perplexity shards are then computed OVER THE
+    # SURVIVING SUBSET (order matters: cutoffs shift with the population),
+    # and the tail shard is dropped. All gates are exact (int/string), so
+    # the composition is deterministic end to end.
+    f"""
+    WITH surv AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    kept AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN surv USING (doc_id) WHERE d.lang = 'en'),
+    ktok AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n_tokens FROM (
+        SELECT doc_id, unnest({_NORM_SQL}) AS token FROM kept)
+      WHERE token <> '' GROUP BY 1),
+    gated AS MATERIALIZED (
+      SELECT k.doc_id, k.text FROM kept k
+      JOIN ktok t USING (doc_id) WHERE t.n_tokens >= 40),
+    docs AS MATERIALIZED (
+      SELECT doc_id, {_NORM_SQL} AS toks FROM gated),
+    tok AS MATERIALIZED (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(toks) AS token FROM docs)
+      WHERE token <> ''),
+    uni AS MATERIALIZED (SELECT token, count(*) AS c_uni FROM tok GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM uni),
+    occ AS MATERIALIZED (
+      SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur, count(*) AS cnt
+      FROM docs, UNNEST(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2 AND toks[1] <> ''
+      GROUP BY 1, 2, 3),
+    bic AS MATERIALIZED (SELECT prev, cur, sum(cnt) AS c_bi FROM occ GROUP BY 1, 2),
+    scored AS MATERIALIZED (
+      SELECT o.doc_id, o.cnt,
+             ln((b.c_bi + 1.0) / (u.c_uni + v.v)) AS logp
+      FROM occ o JOIN bic b USING (prev, cur)
+      JOIN uni u ON o.prev = u.token CROSS JOIN v),
+    per_doc AS MATERIALIZED (
+      SELECT g.doc_id,
+             round(exp(-coalesce(sum(s.cnt * s.logp) / sum(s.cnt), 0.0)), 3) AS ppl
+      FROM gated g LEFT JOIN scored s USING (doc_id) GROUP BY 1),
+    cuts AS (SELECT round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+                    round(quantile_cont(ppl, 2.0/3), 6) AS t2 FROM per_doc)
+    SELECT doc_id, ppl,
+           CASE WHEN ppl <= t1 THEN 'head' ELSE 'middle' END AS shard
+    FROM per_doc CROSS JOIN cuts
+    WHERE ppl <= t2
+    """,
+)
+def doc_curation_pipeline(spark, sf_dir):
+    docs = ld(spark, sf_dir, "documents")
+    surv = DT.exact_dedup_survivors(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(surv, "doc_id", "left_semi").filter(F.col("lang") == "en")
+    counted = TS.token_entropy(kept).filter(F.col("n_tokens") >= 40).select("doc_id")
+    gated = kept.join(counted, "doc_id", "left_semi")
+    return TS.ccnet_shards(gated).filter(F.col("shard") != "tail").select(
+        "doc_id", "ppl", "shard"
+    )
