@@ -16,6 +16,7 @@ non-UTF8 bytes to keep this honest (FIXTURES.md §1).
 from __future__ import annotations
 
 import html as _html
+import unicodedata
 import re
 
 import pandas as pd
@@ -127,3 +128,20 @@ def rolling_fingerprints(text: pd.Series) -> pd.Series:
     """Arrow-vectorized winnowing fingerprints (engine path; the plain
     function above is the oracle path — tests compare element-wise)."""
     return text.map(lambda t: rolling_fingerprints_py(t))
+
+
+def nfc_normalize_py(text: str | None) -> str | None:
+    """Unicode NFC canonical composition (stdlib unicodedata) — the standard
+    first curation stage for web text so byte-level dedup/fingerprints treat
+    'e'+U+0301 and U+00E9 as the same document. Deterministic: NFC is a
+    pinned Unicode algorithm, identical across engines (DuckDB twin:
+    nfc_normalize())."""
+    if text is None:
+        return None
+    return unicodedata.normalize("NFC", text)
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize(text: pd.Series) -> pd.Series:
+    """Arrow-batched NFC normalization (one Python call per Arrow batch)."""
+    return text.map(nfc_normalize_py)

@@ -250,3 +250,49 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nn_id"))
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.42,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding space, then inside each cluster
+    drop every vector that has a semantically-near neighbor with a smaller id
+    (cosine >= tau), keeping the smallest-id representative per near-dup
+    group. Clustering here is the deterministic random-hyperplane bucketing
+    (the paper uses k-means; any partitioner works — buckets only bound the
+    candidate set), so the whole op has an exact cross-engine oracle.
+
+    Scale shape: the only join is per-bucket (same sub-quadratic candidate
+    join as lsh_ann_topk — at 10^9 vectors each row meets ~N/2^n_planes
+    candidates, tuned by n_planes); the dup-id set is produced by a
+    map-side-combinable distinct and applied with a single left_anti join on
+    the id. No window, no driver-side state.
+
+    Returns survivors as (id_col, bucket), one row per kept vector.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    v = (
+        df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        .withColumn("vnorm", vec_norm(F.col("vec")))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(
+        cosine_prenorm(F.col("a.vec"), F.col("b.vec"), F.col("a.vnorm"), F.col("b.vnorm")), 6
+    )
+    dup_ids = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") > F.col("b.vid")))
+        .filter(sim >= tau)
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        v.join(dup_ids, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col), "bucket")
+    )

@@ -3495,3 +3495,88 @@ def doc_curation_pipeline(spark, sf_dir):
     return TS.ccnet_shards(gated).filter(F.col("shard") != "tail").select(
         "doc_id", "ppl", "shard"
     )
+
+
+# =====================================================================
+# 7. Round-2 additions: NFC normalization, SemDeDup, bloom novelty
+# =====================================================================
+
+@q(
+    "doc_nfc_normalize",
+    # Unicode NFC canonical composition (first curation stage for web text).
+    # The synthetic corpus is ASCII, so both engines first derive the same
+    # decomposed variant ('e' -> 'e' + U+0301 combining acute) and the op
+    # under test recomposes it; lengths + md5 prove byte-level agreement.
+    """
+    WITH dec AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw FROM documents)
+    SELECT doc_id,
+           length(raw) AS n_raw,
+           length(nfc_normalize(raw)) AS n_nfc,
+           md5(nfc_normalize(raw)) AS nfc_md5
+    FROM dec
+    """,
+)
+def doc_nfc_normalize(spark, sf_dir):
+    from data_exchange_routing_spark.functions.extract import nfc_normalize
+
+    d = ld(spark, sf_dir, "documents").withColumn(
+        "raw", F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+    )
+    d = d.withColumn("nfc", nfc_normalize(F.col("raw")))
+    return d.select(
+        "doc_id",
+        F.length("raw").alias("n_raw"),
+        F.length("nfc").alias("n_nfc"),
+        F.md5(F.encode(F.col("nfc"), "UTF-8")).alias("nfc_md5"),
+    )
+
+
+def _semantic_dedup_sql(tau: float = 0.42, n_planes: int = 4, dim: int = 64) -> str:
+    planes = SIM._hyperplanes(dim, n_planes)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(emb, ["
+        + ", ".join(repr(x) for x in row)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    bk AS (SELECT vec_id, emb, {bits} AS bucket FROM v),
+    dups AS (
+      SELECT DISTINCT a.vec_id FROM bk a JOIN bk b
+      ON a.bucket = b.bucket AND a.vec_id > b.vec_id
+      WHERE round(list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {tau}
+    )
+    SELECT vec_id, bucket FROM bk WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """
+
+
+@q("emb_semantic_dedup", _semantic_dedup_sql())
+def emb_semantic_dedup(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540): cluster embeddings, keep one representative
+    # per within-cluster near-dup group. Deterministic LSH clustering keeps an
+    # exact cross-engine oracle; the candidate join is per-bucket (sub-quadratic).
+    return SIM.semantic_dedup(ld(spark, sf_dir, "embeddings"), tau=0.42, n_planes=4)
+
+
+@q(
+    "events_novel_users_bloom",
+    # New-entity discovery with a broadcast Bloom prefilter: the seen-set test
+    # happens map-side (no shuffle for bloom-negatives); only bloom hits pay
+    # the exact anti-join confirm. No false negatives => result is EXACT and
+    # hash-oracle-checkable; the bloom changes the cost, never the answer.
+    """
+    WITH known AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+    probe AS (SELECT event_id, user_id FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00')
+    SELECT event_id, user_id FROM probe WHERE user_id NOT IN (SELECT user_id FROM known)
+    """,
+)
+def events_novel_users_bloom(spark, sf_dir):
+    from data_exchange_routing_spark.functions.novelty import novel_keys
+
+    ev = ld(spark, sf_dir, "events")
+    known = ev.filter(F.col("ts") < "2024-01-02").select("user_id")
+    probe = ev.filter(F.col("ts") >= "2024-01-02").select("event_id", "user_id")
+    return novel_keys(known, probe, "user_id")

@@ -1,0 +1,124 @@
+"""Unit gates for the bloom-novelty and SemDeDup operators.
+
+The registry queries carry the exact DuckDB oracles; these tests pin the
+internal invariants the oracles can't see:
+- the Spark-native bloom position expressions and the Python probe path
+  derive IDENTICAL bit positions (the cross-implementation contract);
+- a bloom built over a key set reports every member present (no false
+  negatives — the property that makes the prefilter exact);
+- novel_keys == plain anti-join on adversarial data (dups, collisions,
+  numeric keys), and the bloom fast path actually short-circuits;
+- semantic_dedup survivors equal a brute-force pandas reimplementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.functions.novelty import (
+    _h1h2_py,
+    bloom_positions,
+    build_bloom,
+    might_contain_udf,
+    novel_keys,
+)
+from data_exchange_routing_spark.functions.similarity import (
+    _hyperplanes,
+    semantic_dedup,
+)
+
+N_BITS = 1 << 14
+N_HASHES = 5
+
+
+def test_native_and_python_positions_identical(spark):
+    keys = [f"user-{i}" for i in range(200)] + ["", "0", "é", "a b c"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    native = {
+        r["k"]: list(r["pos"])
+        for r in df.select("k", bloom_positions(F.col("k"), N_BITS, N_HASHES).alias("pos")).collect()
+    }
+    for k in keys:
+        h1, h2 = _h1h2_py(k)
+        expect = [(h1 + i * h2) % N_BITS for i in range(N_HASHES)]
+        assert native[k] == expect, k
+
+
+def test_bloom_has_no_false_negatives(spark):
+    seen = spark.range(0, 500).select(F.concat(F.lit("key"), F.col("id")).alias("k"))
+    packed = build_bloom(seen, "k", N_BITS, N_HASHES)
+    mc = might_contain_udf(spark, packed, N_BITS, N_HASHES)
+    misses = seen.withColumn("hit", mc(F.col("k"))).filter(~F.col("hit")).count()
+    assert misses == 0
+
+
+def test_novel_keys_equals_anti_join(spark):
+    # numeric keys, duplicate probe rows, full overlap band + novel band
+    seen = spark.range(0, 300).select((F.col("id") % 200).alias("user_id"))
+    probe = spark.range(0, 400).select(
+        F.col("id").alias("event_id"), (F.col("id") % 260).alias("user_id")
+    )
+    got = novel_keys(seen, probe, "user_id", n_bits=N_BITS, n_hashes=N_HASHES)
+    expect = probe.join(seen.select("user_id").distinct(), "user_id", "left_anti")
+    g = sorted((r["event_id"], r["user_id"]) for r in got.collect())
+    e = sorted((r["event_id"], r["user_id"]) for r in expect.collect())
+    assert g == e
+    assert len(g) > 0  # novel band exists: the test is non-vacuous
+
+
+def test_bloom_fast_path_short_circuits(spark):
+    # mostly-novel probe: nearly all rows must take the no-shuffle negative
+    # branch (bloom fpp at this fill factor is < 1%), so the exact-confirm
+    # side stays tiny — the property that makes the op cheap at scale.
+    seen = spark.range(0, 100).select(F.col("id").alias("k"))
+    probe = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+    packed = build_bloom(seen, "k", N_BITS, N_HASHES)
+    mc = might_contain_udf(spark, packed, N_BITS, N_HASHES)
+    hits = probe.withColumn("hit", mc(F.col("k"))).filter(F.col("hit")).count()
+    assert hits < 200  # <2% of 10k rows reach the confirm join
+
+
+def _brute_semantic_dedup(pdf: pd.DataFrame, tau: float, n_planes: int, dim: int) -> set[int]:
+    planes = np.array(_hyperplanes(dim, n_planes))
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    buckets = ["".join("1" if d >= 0 else "0" for d in planes @ v) for v in V]
+    norms = np.linalg.norm(V, axis=1)
+    order = np.argsort(ids)
+    dropped = set()
+    for ai in order:
+        for bi in order:
+            if ids[bi] >= ids[ai] or buckets[ai] != buckets[bi]:
+                continue
+            sim = round(float(V[ai] @ V[bi] / (norms[ai] * norms[bi])), 6)
+            if sim >= tau:
+                dropped.add(int(ids[ai]))
+                break
+    return {int(i) for i in ids} - dropped
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    # deterministic vectors with planted near-dup pairs (scaled copies =>
+    # cosine 1.0) plus md5-derived noise vectors
+    dim, rows = 16, 80
+    data = []
+    for i in range(rows):
+        base = i % 50  # ids 50..79 duplicate ids 0..29 up to scale
+        vec = [
+            ((int(hashlib.md5(f"{base}:{j}".encode()).hexdigest()[:8], 16) % 2001) - 1000)
+            / 1000.0
+            for j in range(dim)
+        ]
+        scale = 1.0 if i < 50 else 2.0
+        data.append((i, [x * scale for x in vec]))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in semantic_dedup(df, tau=0.95, n_planes=3, dim=dim).collect()}
+    expect = _brute_semantic_dedup(
+        pd.DataFrame(data, columns=["vec_id", "embedding"]), 0.95, 3, dim
+    )
+    assert got == expect
+    assert len(got) < rows  # planted dups were actually dropped
