@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_exchange_routing_spark.functions.textstats import normalize_text
+from data_exchange_routing_spark.functions.textstats import md5_int32, normalize_text, word_tokens
 
 # fraction resolution: first 8 hex chars of md5 -> uniform in [0, 1)
 _HASH_SPACE = float(1 << 32)
@@ -246,3 +246,89 @@ def mixing_weights(
     return df.select(F.col(id_col).alias("doc_id"), domain_col).join(
         F.broadcast(dom), domain_col
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    m: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, public arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed-unigram profile is.
+
+    Features: normalized word tokens hashed into ``m`` buckets (md5, never
+    rand()). Two Laplace-smoothed multinomials are fit over the buckets —
+    p from the docs whose ids appear in ``target``, q from the whole corpus —
+    and each doc scores  log w = sum_b n_b * (log p_b - log q_b).
+
+    Scale shape: ONE map-side-combinable aggregation over the token explode
+    fits BOTH distributions (per-bucket count + target-flagged count share a
+    shuffle); the m-row log-ratio table is broadcast into the per-doc scoring
+    join, and the per-doc (id, bucket) aggregation is the only other shuffle.
+    The target set is small by construction (DSIR uses a held-out quality
+    corpus), so its membership tag is a broadcast semi-join — the 10^10-row
+    raw corpus is never shuffled except by the two hash aggregations.
+
+    Returns (id_col, log_w) with log_w rounded to 4 decimals (keeps the
+    cross-engine float contract: per-ulp ln() differences live far below).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .withColumn("bucket", md5_int32(F.col("w")) % m)
+        .drop("w")
+    )
+    tagged = toks.join(
+        F.broadcast(target.select(F.col(id_col)).distinct().withColumn("_t", F.lit(1))),
+        id_col,
+        "left",
+    )
+    dist = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("qc"),
+        F.count("_t").alias("pc"),
+    )
+    # all m buckets participate in the smoothed distributions, including
+    # never-hit ones (they still carry alpha mass in the denominators)
+    full = (
+        df.sparkSession.range(m)
+        .select(F.col("id").alias("bucket"))
+        .join(dist, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("qc"), F.lit(0)).alias("qc"),
+            F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
+        )
+    )
+    totals = full.agg(F.sum("qc").alias("qt"), F.sum("pc").alias("pt"))
+    lr = full.crossJoin(totals).select(
+        "bucket",
+        (
+            F.log((F.col("pc") + alpha) / (F.col("pt") + alpha * m))
+            - F.log((F.col("qc") + alpha) / (F.col("qt") + alpha * m))
+        ).alias("lr"),
+    )
+    doc_b = toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_b.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("log_w"))
+    )
+
+
+def dsir_select_topk(
+    df: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    m: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic DSIR selection: the k most target-like docs (the paper
+    resamples with Gumbel noise; a pinned-seed rank is the reproducible
+    variant — same spirit, exactly replayable). Ties break on id."""
+    w = dsir_log_weights(df, target, m=m, id_col=id_col, text_col=text_col)
+    return w.orderBy(F.desc("log_w"), F.asc(id_col)).limit(k)

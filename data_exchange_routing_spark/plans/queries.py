@@ -3580,3 +3580,42 @@ def events_novel_users_bloom(spark, sf_dir):
     known = ev.filter(F.col("ts") < "2024-01-02").select("user_id")
     probe = ev.filter(F.col("ts") >= "2024-01-02").select("event_id", "user_id")
     return novel_keys(known, probe, "user_id")
+
+
+@q(
+    "doc_dsir_select",
+    # DSIR (arXiv:2302.03169): hashed-unigram importance weights; keep the
+    # 100 most target-like docs (target = the src0 slice). Both engines share
+    # the pinned normalization + md5 bucket hash, so weights match to 4dp.
+    """
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id, source,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, (source = 'src0') AS is_t,
+             (('0x' || substr(md5(w), 1, 8))::BIGINT % 256) AS bucket
+      FROM (SELECT doc_id, source, unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE w <> ''),
+    dist AS MATERIALIZED (
+      SELECT b.bucket,
+             count(t.doc_id) AS qc,
+             count(CASE WHEN t.is_t THEN 1 END) AS pc
+      FROM (SELECT range AS bucket FROM range(256)) b
+      LEFT JOIN tok t USING (bucket) GROUP BY 1),
+    tot AS MATERIALIZED (SELECT sum(qc) AS qt, sum(pc) AS pt FROM dist),
+    lr AS MATERIALIZED (
+      SELECT bucket, ln((pc + 1.0) / (pt + 256.0)) - ln((qc + 1.0) / (qt + 256.0)) AS lr
+      FROM dist CROSS JOIN tot),
+    doc_b AS (SELECT doc_id, bucket, count(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT doc_id, round(sum(n * lr), 4) AS log_w
+    FROM doc_b JOIN lr USING (bucket) GROUP BY 1
+    ORDER BY log_w DESC, doc_id LIMIT 100
+    """,
+)
+def doc_dsir_select(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import dsir_select_topk
+
+    docs = ld(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0").select("doc_id")
+    return dsir_select_topk(docs, target, k=100)

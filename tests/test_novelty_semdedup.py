@@ -122,3 +122,23 @@ def test_semantic_dedup_matches_brute_force(spark):
     )
     assert got == expect
     assert len(got) < rows  # planted dups were actually dropped
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from data_exchange_routing_spark.functions.sampling import dsir_log_weights
+
+    # two vocabularies: target-ish docs talk about spark, others about cooking
+    rows = []
+    for i in range(40):
+        if i < 10:  # the target sample itself
+            rows.append((i, "spark shuffle partition executor broadcast join"))
+        elif i < 25:  # target-like raw docs (same vocabulary)
+            rows.append((i, "executor broadcast spark partition shuffle plan"))
+        else:  # off-target raw docs
+            rows.append((i, "butter flour sugar oven whisk bake dough"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 10).select("doc_id")
+    w = {r["doc_id"]: r["log_w"] for r in dsir_log_weights(df, target, m=64).collect()}
+    like = [w[i] for i in range(10, 25)]
+    off = [w[i] for i in range(25, 40)]
+    assert min(like) > max(off)
