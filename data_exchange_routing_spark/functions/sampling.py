@@ -332,3 +332,32 @@ def dsir_select_topk(
     variant — same spirit, exactly replayable). Ties break on id."""
     w = dsir_log_weights(df, target, m=m, id_col=id_col, text_col=text_col)
     return w.orderBy(F.desc("log_w"), F.asc(id_col)).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, public): each row draws u in (0,1) and ranks by
+    u^(1/weight); the top-k ranks ARE a weight-proportional sample. The
+    draw is md5(id)-derived — not rand() — so the sample is identical
+    across re-runs, retries, and cluster sizes (the property a resumable
+    CDC pipeline needs). Ranking uses the equivalent ln(u)/weight form
+    (monotone transform; avoids pow() precision skew), rounded to 6dp with
+    an id tie-break so the top-k cut is cross-engine deterministic.
+
+    Scale shape: one map-side projection + a top-k (TakeOrderedAndProject —
+    per-partition heaps, no global sort)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPACE + 1.0)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,81 @@
+"""Mergeable frequency sketches: count-min heavy hitters.
+
+At 10^10 events the per-key exact count table is itself huge (10^8-10^9
+distinct urls/users); a count-min sketch (Cormode & Muthukrishnan 2005,
+public) compresses frequencies into a d x w counter grid that answers point
+queries with est >= true and error <= N/w at confidence 1-(1/2)^d. The
+aggregation is the whole trick: every task pre-combines its events into at
+most d*w counters MAP-SIDE, so the shuffle carries O(tasks * d * w) rows —
+independent of key cardinality — and sketches from different partitions /
+epochs / tables merge by plain addition (the same mergeability argument as
+the HLL rollup aggregates in the lake views).
+
+Determinism contract: row hashes are md5 of "<j>:<key>" — no RNG state, so
+the estimates themselves are deterministic and carry an exact cross-engine
+oracle (DuckDB computes the identical grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.functions.textstats import md5_int32
+
+
+def _cms_bucket(key_col, j: int, w: int):
+    return md5_int32(F.concat(F.lit(f"{j}:"), key_col.cast("string"))) % w
+
+
+def cms_sketch(df: DataFrame, key_col: str, d: int = 4, w: int = 64) -> DataFrame:
+    """(j, bucket, c) counter grid — d*w rows total. One aggregation; the
+    explode to d rows happens map-side and pre-combines before the shuffle."""
+    pairs = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(key_col), j, w) for j in range(d)])
+        ).alias("j", "bucket")
+    )
+    return pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Point-query the sketch for each key: est = min_j grid[j][bucket_j(key)].
+    The d*w-row grid is broadcast, so estimation is a map-side join + one
+    per-key min — no shuffle of the key set beyond its own aggregation."""
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(key_col), j, w) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Top-k keys by count-min estimate, with the exact count alongside
+    (demo/verification shape — production queries the sketch alone). The
+    est >= exact guarantee is asserted in tests."""
+    sketch = cms_sketch(df, key_col, d, w)
+    est = cms_estimate(df.select(key_col).distinct(), sketch, key_col, d, w)
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        est.join(exact, key_col)
+        .orderBy(F.desc("est"), F.asc(key_col))
+        .limit(k)
+    )

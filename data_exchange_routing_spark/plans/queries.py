@@ -3619,3 +3619,53 @@ def doc_dsir_select(spark, sf_dir):
     docs = ld(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == "src0").select("doc_id")
     return dsir_select_topk(docs, target, k=100)
+
+
+@q(
+    "events_heavy_hitters_cms",
+    # Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): top-20
+    # users by deterministic md5-hashed sketch estimate, exact count alongside
+    # (est >= exact_n by construction; both engines build the identical grid).
+    """
+    WITH ev AS MATERIALIZED (SELECT user_id, user_id::VARCHAR AS ks FROM events),
+    grid AS MATERIALIZED (
+      SELECT j, (('0x' || substr(md5(j::VARCHAR || ':' || ks), 1, 8))::BIGINT % 64) AS bucket,
+             count(*) AS c
+      FROM ev CROSS JOIN (SELECT range AS j FROM range(4))
+      GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id, ks FROM ev),
+    est AS (
+      SELECT user_id, min(c) AS est FROM (
+        SELECT k2.user_id, jj.j,
+               (('0x' || substr(md5(jj.j::VARCHAR || ':' || k2.ks), 1, 8))::BIGINT % 64) AS bucket
+        FROM keys k2 CROSS JOIN (SELECT range AS j FROM range(4)) jj) p
+      JOIN grid USING (j, bucket) GROUP BY 1),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+    SELECT user_id, est, exact_n FROM est JOIN exact USING (user_id)
+    ORDER BY est DESC, user_id LIMIT 20
+    """,
+)
+def events_heavy_hitters_cms(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sketch import heavy_hitters
+
+    hh = heavy_hitters(ld(spark, sf_dir, "events"), "user_id", k=20, d=4, w=64)
+    return hh.withColumnRenamed("exact", "exact_n")
+
+
+@q(
+    "doc_weighted_sample",
+    # Efraimidis-Spirakis weighted sampling without replacement: top-50 docs
+    # by ln(u)/weight with md5-derived u — a deterministic length-proportional
+    # sample, identical across re-runs and cluster sizes.
+    """
+    SELECT doc_id, n_chars,
+           round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0) / 4294967297.0)
+                 / n_chars::DOUBLE, 6) AS sample_key
+    FROM documents
+    ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def doc_weighted_sample(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import weighted_sample
+
+    return weighted_sample(ld(spark, sf_dir, "documents"), "n_chars", k=50)

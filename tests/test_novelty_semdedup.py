@@ -142,3 +142,43 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     like = [w[i] for i in range(10, 25)]
     off = [w[i] for i in range(25, 40)]
     assert min(like) > max(off)
+
+
+def test_cms_estimate_never_undercounts_and_merges(spark):
+    from data_exchange_routing_spark.functions.sketch import cms_estimate, cms_sketch, heavy_hitters
+
+    df = spark.range(0, 3000).select((F.col("id") % 97).alias("k"))
+    hh = heavy_hitters(df, "k", k=97, d=4, w=32).collect()
+    assert len(hh) == 97
+    assert all(r["est"] >= r["exact"] for r in hh)  # CMS one-sided error
+    # mergeability: sketch(A union B) == elementwise sum of the two sketches
+    a, b = df.filter(F.col("k") < 50), df.filter(F.col("k") >= 50)
+    whole = {(r["j"], r["bucket"]): r["c"] for r in cms_sketch(df, "k", 4, 32).collect()}
+    sa = {(r["j"], r["bucket"]): r["c"] for r in cms_sketch(a, "k", 4, 32).collect()}
+    sb = {(r["j"], r["bucket"]): r["c"] for r in cms_sketch(b, "k", 4, 32).collect()}
+    merged = {kk: sa.get(kk, 0) + sb.get(kk, 0) for kk in set(sa) | set(sb)}
+    assert merged == whole
+    # estimates from the merged grid match estimates from the whole-data grid
+    rows = [(kk[0], kk[1], v) for kk, v in merged.items()]
+    mg = spark.createDataFrame(rows, "j int, bucket long, c long")
+    est_m = {r["k"]: r["est"] for r in cms_estimate(df.select("k").distinct(), mg, "k", 4, 32).collect()}
+    est_w = {r["k"]: r["est"] for r in hh}
+    assert est_m == est_w
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    import math
+
+    from data_exchange_routing_spark.functions.sampling import weighted_sample
+
+    rows = [(i, (i % 7 + 1) * 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in weighted_sample(df, "n_chars", k=40).collect()
+    ]
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1.0) / (2**32 + 1.0)
+        return round(math.log(u) / float(w), 6)
+    expect = sorted(((i, key(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0]))[:40]
+    assert got == expect
