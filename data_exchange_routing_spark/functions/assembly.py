@@ -183,3 +183,48 @@ def chunk_documents(
         F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)).alias("chunk_text"),
         F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1).cast("long").alias("n_tokens"),
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    n_total: int,
+    k: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    each anchor gets k distinct partners at md5-derived offsets
+    1 + md5("<id>:<j>") % (n_total-1) around the contiguous id ring —
+    never itself, reproducible across re-runs and cluster sizes (no rand()).
+
+    Precondition: ``id_col`` contiguous in [0, n_total) — compose with
+    ``global_index`` first for arbitrary id spaces.
+
+    Scale shape: partner ids are a map-side posexplode projection; the only
+    exchange is the partner equi-join back to the corpus (bucketable /
+    AQE-planned). Output: (anchor_id, neg_id, pair_rank).
+    """
+    from data_exchange_routing_spark.functions.textstats import md5_int32
+
+    offs = F.array(
+        *[
+            (
+                F.lit(1)
+                + md5_int32(F.concat(F.col(id_col).cast("string"), F.lit(f":{j}")))
+                % (n_total - 1)
+            )
+            for j in range(k)
+        ]
+    )
+    pairs = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.posexplode(offs).alias("pair_rank", "_off"),
+    ).select(
+        "anchor_id",
+        ((F.col("anchor_id") + F.col("_off")) % n_total).alias("neg_id"),
+        (F.col("pair_rank") + 1).cast("int").alias("pair_rank"),
+    )
+    # join back to the corpus so callers get real partner rows, and the
+    # pairing survives even if some ids were filtered upstream
+    return pairs.join(
+        df.select(F.col(id_col).alias("neg_id")), "neg_id", "left_semi"
+    ).select("anchor_id", "neg_id", "pair_rank")

@@ -106,6 +106,10 @@ def novel_keys(
 ) -> DataFrame:
     """Exactly the probe rows whose key_col does not appear in seen[key_col].
 
+    NULL-key semantics follow Spark's left_anti (a NULL key matches nothing,
+    so NULL-keyed probe rows come back as novel); SQL NOT IN would drop them —
+    callers with nullable keys should filter or coalesce first.
+
     Plan shape: probe rows are tagged map-side by the broadcast Bloom test;
     `_bloom_hit == false` rows are emitted directly (zero shuffle — at scale
     this is ~all of a mostly-novel crawl batch), and only the hits are

@@ -349,6 +349,9 @@ def weighted_sample(
     (monotone transform; avoids pow() precision skew), rounded to 6dp with
     an id tie-break so the top-k cut is cross-engine deterministic.
 
+    Precondition: weights strictly positive (zero/negative weights make
+    ln(u)/w meaningless — same requirement as the paper).
+
     Scale shape: one map-side projection + a top-k (TakeOrderedAndProject —
     per-partition heaps, no global sort)."""
     u = (

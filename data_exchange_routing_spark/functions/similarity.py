@@ -296,3 +296,41 @@ def semantic_dedup(
         v.join(dup_ids, "vid", "left_anti")
         .select(F.col("vid").alias(id_col), "bucket")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 2,
+    dup_tau: float = 0.42,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (public practice, e.g.
+    DPR/SimCSE): per anchor, the k most-similar same-bucket candidates that
+    are NOT near-duplicates (sim < dup_tau) — hard to distinguish, safe to
+    contrast. Same sub-quadratic LSH candidate join as lsh_ann_topk with the
+    dup band excluded; deterministic ties on id."""
+    planes = _hyperplanes(dim, n_planes)
+    v = (
+        df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        .withColumn("vnorm", vec_norm(F.col("vec")))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") != F.col("b.vid"))
+    ).select(
+        F.col("a.vid").alias("anchor_id"),
+        F.col("b.vid").alias("neg_id"),
+        F.round(
+            cosine_prenorm(F.col("a.vec"), F.col("b.vec"), F.col("a.vnorm"), F.col("b.vnorm")), 6
+        ).alias("sim"),
+    ).filter(F.col("sim") < dup_tau)
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", "neg_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )

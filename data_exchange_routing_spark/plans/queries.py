@@ -3669,3 +3669,58 @@ def doc_weighted_sample(spark, sf_dir):
     from data_exchange_routing_spark.functions.sampling import weighted_sample
 
     return weighted_sample(ld(spark, sf_dir, "documents"), "n_chars", k=50)
+
+
+@q(
+    "doc_negative_pairs",
+    # Deterministic uniform negative sampling (contrastive training): each
+    # anchor pairs with k=2 md5-offset partners on the contiguous id ring.
+    """
+    WITH n AS MATERIALIZED (SELECT count(*) AS nt FROM documents),
+    pairs AS (
+      SELECT d.doc_id AS anchor_id,
+             (d.doc_id + 1 + (('0x' || substr(md5(d.doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT % (nt - 1))) % nt AS neg_id,
+             (j + 1)::INT AS pair_rank
+      FROM documents d CROSS JOIN (SELECT range AS j FROM range(2)) CROSS JOIN n)
+    SELECT anchor_id, neg_id, pair_rank FROM pairs
+    WHERE neg_id IN (SELECT doc_id FROM documents)
+    """,
+)
+def doc_negative_pairs(spark, sf_dir):
+    from data_exchange_routing_spark.functions.assembly import negative_pairs
+
+    docs = ld(spark, sf_dir, "documents")
+    return negative_pairs(docs, n_total=docs.count(), k=2)
+
+
+def _hard_negatives_sql(k: int = 2, tau: float = 0.42, n_planes: int = 4, dim: int = 64) -> str:
+    planes = SIM._hyperplanes(dim, n_planes)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(emb, ["
+        + ", ".join(repr(x) for x in row)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    bk AS (SELECT vec_id, emb, {bits} AS bucket FROM v),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT anchor_id, neg_id, sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS INTEGER) AS rk
+      FROM scored WHERE sim < {tau}
+    ) WHERE rk <= {k}
+    """
+
+
+@q("emb_hard_negatives", _hard_negatives_sql())
+def emb_hard_negatives(spark, sf_dir):
+    # Hard-negative mining: per anchor, the top-2 most-similar same-bucket
+    # candidates BELOW the near-dup band — the contrastive-training pairs
+    # that are hard to distinguish but safe to contrast.
+    return SIM.hard_negatives(ld(spark, sf_dir, "embeddings"), k=2, dup_tau=0.42, n_planes=4)

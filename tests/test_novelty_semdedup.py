@@ -182,3 +182,35 @@ def test_weighted_sample_matches_python_twin(spark):
         return round(math.log(u) / float(w), 6)
     expect = sorted(((i, key(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0]))[:40]
     assert got == expect
+
+
+def test_negative_pairs_invariants(spark):
+    from data_exchange_routing_spark.functions.assembly import negative_pairs
+
+    n = 37
+    df = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    rows = negative_pairs(df, n_total=n, k=3).collect()
+    assert len(rows) == n * 3
+    for r in rows:
+        assert r["neg_id"] != r["anchor_id"]  # offset >= 1 < n forbids self
+        assert 0 <= r["neg_id"] < n
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], []).append(r["pair_rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_anchor.values())
+    # deterministic: second run identical
+    again = negative_pairs(df, n_total=n, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hard_negatives_exclude_dup_band(spark):
+    from data_exchange_routing_spark.functions.similarity import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = hard_negatives(emb, k=2, dup_tau=0.42, n_planes=4).collect()
+    assert rows, "expected some hard negatives at sf0.001"
+    assert all(r["sim"] < 0.42 for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r["anchor_id"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2 for v in per.values())
