@@ -183,3 +183,40 @@ def test_nb_classifier_priors_broadcast(spark):
     plan = _plan(spark, "doc_nb_classifier")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_log_ratio_table_broadcast(spark):
+    """The m-row log-ratio dim broadcasts into per-doc scoring; the corpus
+    is never cartesian-joined."""
+    plan = _plan(spark, "doc_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_grid_broadcast(spark):
+    """The d*w counter grid is a broadcast dim for estimation; the top-k is
+    TakeOrdered, not a global sort."""
+    plan = _plan(spark, "events_heavy_hitters_cms")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """E-S sampling = map-side key projection + per-partition heaps — no
+    global Sort node and no exchange beyond the final single-partition gather."""
+    plan = _plan(spark, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_novel_keys_bloom_negatives_skip_join(spark):
+    """Bloom-negative rows union straight to the output: exactly one side of
+    the union contains a join; the other is scan+filter only."""
+    plan = _plan(spark, "events_novel_users_bloom")
+    assert "Union" in plan
+    # exactly ONE join in the whole plan: the anti-join confirm on the
+    # bloom-positive branch; the negative branch is scan+filter only
+    n_joins = sum(
+        plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
