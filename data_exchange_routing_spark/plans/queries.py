@@ -3724,3 +3724,84 @@ def emb_hard_negatives(spark, sf_dir):
     # candidates BELOW the near-dup band — the contrastive-training pairs
     # that are hard to distinguish but safe to contrast.
     return SIM.hard_negatives(ld(spark, sf_dir, "embeddings"), k=2, dup_tau=0.42, n_planes=4)
+
+
+@q(
+    "cdc_patch_resolve",
+    # Sparse-update (partial-column-image) CDC resolution. Both engines
+    # derive the SAME patch stream from the shared `events` table
+    # (sources/datagen.py:derive_patch_events_from_events — keep in
+    # lockstep); Spark folds it with operators/patches.py's single
+    # map-side-combinable aggregation, DuckDB mirrors the same
+    # max/arg_max-under-FILTER algebra. Covers: per-column
+    # last-non-null-patch, full-row 'I' resets, 'D' tombstones, revival by
+    # later 'U' (upsert), at-least-once duplicate redelivery ties.
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, value
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    p AS (
+      SELECT
+        'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+          || CAST(user_id AS VARCHAR) AS url,
+        printf('%020d|%020d', epoch_us(warc_ts), lsn) AS ord,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op,
+        lsn, coalesce(value, 0.0) AS score_val,
+        'T' || CAST(lsn AS VARCHAR) AS title_val,
+        CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+          WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang_val
+      FROM ev
+    ),
+    s AS (
+      SELECT url, ord, op,
+        CASE WHEN op = 'I' OR (op = 'U' AND lsn % 3 = 0) THEN title_val END AS title,
+        CASE WHEN op = 'I' OR (op = 'U' AND lsn % 7 = 0) THEN lang_val END AS lang,
+        CASE WHEN op = 'I' OR (op = 'U' AND lsn % 2 = 0) THEN score_val END AS score
+      FROM p
+    ),
+    g AS (
+      SELECT url,
+        max(ord) FILTER (WHERE op IN ('I','D')) AS r_ord,
+        arg_max(op, ord) FILTER (WHERE op IN ('I','D')) AS r_op,
+        max(ord) FILTER (WHERE op = 'U') AS u_ord,
+        arg_max(title, ord) FILTER (WHERE op IN ('I','D')) AS r_title,
+        max(ord) FILTER (WHERE op = 'U' AND title IS NOT NULL) AS w_ord_title,
+        arg_max(title, ord) FILTER (WHERE op = 'U' AND title IS NOT NULL) AS w_title,
+        arg_max(lang, ord) FILTER (WHERE op IN ('I','D')) AS r_lang,
+        max(ord) FILTER (WHERE op = 'U' AND lang IS NOT NULL) AS w_ord_lang,
+        arg_max(lang, ord) FILTER (WHERE op = 'U' AND lang IS NOT NULL) AS w_lang,
+        arg_max(score, ord) FILTER (WHERE op IN ('I','D')) AS r_score,
+        max(ord) FILTER (WHERE op = 'U' AND score IS NOT NULL) AS w_ord_score,
+        arg_max(score, ord) FILTER (WHERE op = 'U' AND score IS NOT NULL) AS w_score
+      FROM s GROUP BY url
+    )
+    SELECT url,
+      CASE WHEN w_ord_title IS NOT NULL AND (r_ord IS NULL OR w_ord_title > r_ord)
+           THEN w_title WHEN r_op = 'I' THEN r_title END AS title,
+      CASE WHEN w_ord_lang IS NOT NULL AND (r_ord IS NULL OR w_ord_lang > r_ord)
+           THEN w_lang WHEN r_op = 'I' THEN r_lang END AS lang,
+      CASE WHEN w_ord_score IS NOT NULL AND (r_ord IS NULL OR w_ord_score > r_ord)
+           THEN w_score WHEN r_op = 'I' THEN r_score END AS score
+    FROM g
+    WHERE CASE WHEN r_ord IS NULL THEN u_ord IS NOT NULL
+               ELSE (r_op = 'I' OR coalesce(u_ord > r_ord, false)) END
+    """,
+)
+def cdc_patch_resolve(spark, sf_dir):
+    # Debezium-style MINIMAL row images: 'U' events carry only changed
+    # columns; final state is per-column last-non-null-patch over the last
+    # full-row reset. One shuffle, all aggregates map-side combinable.
+    from data_exchange_routing_spark.operators.patches import resolve_patch_state
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_patch_events_from_events,
+    )
+
+    patches = derive_patch_events_from_events(ld(spark, sf_dir, "events"))
+    return resolve_patch_state(patches)

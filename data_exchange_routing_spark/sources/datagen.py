@@ -317,3 +317,52 @@ def derive_change_events_from_events(ev: DataFrame) -> DataFrame:
     )
     dups = base.filter(F.col("lsn") % 53 == 0)
     return base.unionAll(dups)
+
+
+def derive_patch_events_from_events(ev: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, value) -> SPARSE-update CDC stream.
+
+    The partial-column-image twin of ``derive_change_events_from_events``:
+    'U' rows carry only the columns that changed (NULL = unchanged), the
+    shape a MySQL ``binlog_row_image=MINIMAL`` / Debezium-filtered tail
+    produces. Every rule is mirrored verbatim in the DuckDB oracle of the
+    `cdc_patch_resolve` registry query (plans/queries.py) — keep in
+    lockstep:
+      lsn   = event_id                          (unique log sequence)
+      url   = keyed by user_id                  (same key space as CDC)
+      op    = D if lsn%37=0, I if lsn%11=0, else U
+      title = always on I ('T'||lsn); on U only when lsn%3=0
+      lang  = always on I (LANGS[lsn%5]); on U only when lsn%7=0
+      score = always on I (value);        on U only when lsn%2=0
+      dup   = rows with lsn%53=0 re-delivered verbatim (at-least-once)
+    """
+    lsn = F.col("event_id")
+    uid = F.col("user_id")
+    op = (
+        F.when(lsn % 37 == 0, F.lit("D"))
+        .when(lsn % 11 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    url = F.concat(
+        F.lit("https://site-"),
+        (uid % 97).cast("string"),
+        F.lit(".example/p/"),
+        uid.cast("string"),
+    )
+    title_val = F.concat(F.lit("T"), lsn.cast("string"))
+    lang_val = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]), (lsn % 5 + 1).cast("int")
+    )
+    score_val = F.coalesce(F.col("value"), F.lit(0.0))
+    is_i, is_u = op == F.lit("I"), op == F.lit("U")
+    base = ev.filter(F.col("ts").isNotNull()).select(
+        lsn.alias("lsn"),
+        op.alias("op"),
+        url.alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(is_i | (is_u & (lsn % 3 == 0)), title_val).alias("title"),
+        F.when(is_i | (is_u & (lsn % 7 == 0)), lang_val).alias("lang"),
+        F.when(is_i | (is_u & (lsn % 2 == 0)), score_val).alias("score"),
+    )
+    dups = base.filter(F.col("lsn") % 53 == 0)
+    return base.unionAll(dups)

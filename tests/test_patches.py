@@ -1,0 +1,98 @@
+"""Sparse-update (partial-column-image) CDC resolution — hand-built
+scenarios covering every branch of the documented semantics
+(operators/patches.py), independent of the derived-stream oracle gate
+(`cdc_patch_resolve` in test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from data_exchange_routing_spark.operators.patches import resolve_patch_state
+
+SCHEMA = (
+    "lsn long, op string, url string, warc_ts timestamp, "
+    "title string, lang string, score double"
+)
+
+
+def _t(s: int):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def _resolve(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = resolve_patch_state(df)
+    return {r["url"]: (r["title"], r["lang"], r["score"]) for r in out.collect()}
+
+
+def test_patch_layering_over_insert(spark):
+    got = _resolve(
+        spark,
+        [
+            (1, "I", "a", _t(1), "t1", "en", 1.0),
+            (2, "U", "a", _t(2), None, "fr", None),  # patches lang only
+            (3, "U", "a", _t(3), "t3", None, None),  # patches title only
+        ],
+    )
+    assert got == {"a": ("t3", "fr", 1.0)}
+
+
+def test_delete_kills_and_u_revives_with_nulls(spark):
+    got = _resolve(
+        spark,
+        [
+            (1, "I", "a", _t(1), "t1", "en", 1.0),
+            (2, "D", "a", _t(2), None, None, None),
+            (1, "I", "b", _t(1), "t1", "en", 1.0),
+            (2, "D", "b", _t(2), None, None, None),
+            (3, "U", "b", _t(3), None, None, 9.0),  # revives; only score set
+        ],
+    )
+    # 'a' is dead; 'b' revived with pre-delete columns NOT resurrected
+    assert got == {"b": (None, None, 9.0)}
+
+
+def test_patch_before_reset_is_discarded(spark):
+    got = _resolve(
+        spark,
+        [
+            (1, "U", "a", _t(1), "old", None, None),
+            (2, "I", "a", _t(2), None, "en", 2.0),  # reset: title literally NULL
+        ],
+    )
+    assert got == {"a": (None, "en", 2.0)}
+
+
+def test_patches_alone_upsert_and_event_time_orders_before_seq(spark):
+    got = _resolve(
+        spark,
+        [
+            # seq 9 has the LATER event time -> wins despite smaller lsn
+            (9, "U", "a", _t(5), "late", None, None),
+            (10, "U", "a", _t(4), "early", None, 7.0),
+        ],
+    )
+    assert got == {"a": ("late", None, 7.0)}
+
+
+def test_duplicate_redelivery_is_a_noop(spark):
+    rows = [
+        (1, "I", "a", _t(1), "t1", "en", 1.0),
+        (2, "U", "a", _t(2), "t2", None, None),
+    ]
+    assert _resolve(spark, rows + rows) == _resolve(spark, rows) == {
+        "a": ("t2", "en", 1.0)
+    }
+
+
+def test_single_shuffle_plan(spark):
+    """The whole resolve is ONE hash aggregate pair around ONE exchange —
+    no window/sort, no join, partial aggregation present (map-side combine)."""
+    df = spark.createDataFrame([(1, "I", "a", _t(1), "t", "en", 1.0)], SCHEMA)
+    plan = resolve_patch_state(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Join" not in plan
+    # map-side combine: partial aggregates run before the exchange (the
+    # filtered max_by buffers force SortAggregate, whose sorts are local
+    # per-task — global=false — not a global sort)
+    assert "partial_max" in plan
