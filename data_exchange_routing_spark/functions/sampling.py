@@ -364,3 +364,40 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def per_domain_cap(
+    df,
+    blocklist,
+    quota: int = 5,
+    host_col: str = "host",
+    key_col: str = "url",
+    order_col: str = "last_ts",
+):
+    """Crawl-politeness / anti-SEO-farm corpus curation (the RefinedWeb /
+    C4 per-domain cap + UT1-style blocklist stage): drop every row whose
+    host appears in ``blocklist``, then keep at most ``quota`` keys per
+    surviving host, ranked by ``order_col`` DESC (freshest first), ties on
+    ascending ``key_col``.
+
+    Shape at 100 TB: the blocklist is a broadcast ANTI join (dimension-size
+    by construction — curated blocklists are thousands of hosts, never
+    corpus-scale); the quota is one window per host. Mega-hosts are the
+    skew hazard, but the cap itself bounds the useful output per partition
+    and AQE splits oversized ones. Returns (host, key, order, rk).
+    """
+    from pyspark.sql import Window
+
+    kept = df.join(
+        F.broadcast(blocklist.select(F.col(host_col).alias("_bad_host"))),
+        F.col(host_col) == F.col("_bad_host"),
+        "left_anti",
+    )
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(order_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select(host_col, key_col, order_col, F.col("rk").cast("int").alias("rk"))
+    )

@@ -3805,3 +3805,165 @@ def cdc_patch_resolve(spark, sf_dir):
 
     patches = derive_patch_events_from_events(ld(spark, sf_dir, "events"))
     return resolve_patch_state(patches)
+
+
+@q(
+    "doc_inverted_index",
+    # Inverted-index build: per token (stop-listed at df > 0.5*N, floored at
+    # min_df=2), document frequency + corpus tf + top-3 postings by
+    # (tf DESC, doc_id ASC).
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_NORM_SQL}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    stats AS (
+      SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS nd FROM documents),
+    kept AS (
+      SELECT s.* FROM stats s, n
+      WHERE s.df >= 2 AND s.df <= 0.5 * n.nd
+    ),
+    ranked AS (
+      SELECT t.token, t.doc_id, t.tf,
+             CAST(row_number() OVER (
+               PARTITION BY t.token ORDER BY t.tf DESC, t.doc_id ASC) AS INTEGER) AS rk
+      FROM tf t JOIN kept k ON t.token = k.token
+    )
+    SELECT r.token, k.df, k.total_tf, r.doc_id, r.tf, r.rk
+    FROM ranked r JOIN kept k ON r.token = k.token
+    WHERE r.rk <= 3
+    """,
+)
+def doc_inverted_index(spark, sf_dir):
+    from data_exchange_routing_spark.functions.search import inverted_index
+
+    return inverted_index(ld(spark, sf_dir, "documents"), k=3, max_df_frac=0.5, min_df=2)
+
+
+@q(
+    "web_per_domain_cap",
+    # Per-domain cap + blocklist (RefinedWeb/C4 curation stage): urls from
+    # the CDC key space, hosts site-k.example with k%7=0 blocklisted, then
+    # at most 5 freshest pages per surviving host.
+    """
+    WITH pages AS (
+      SELECT 'site-' || CAST(user_id % 97 AS VARCHAR) || '.example' AS host,
+             'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+               || CAST(user_id AS VARCHAR) AS url,
+             max(ts) AS last_ts
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT host, url, last_ts,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY host ORDER BY last_ts DESC, url ASC) AS rk
+      FROM pages
+      WHERE host NOT IN (
+        SELECT 'site-' || CAST(k AS VARCHAR) || '.example'
+        FROM (SELECT range AS k FROM range(97)) WHERE k % 7 = 0
+      )
+    ) WHERE rk <= 5
+    """,
+)
+def web_per_domain_cap(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import per_domain_cap
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    uid = F.col("user_id")
+    pages = ev.groupBy(
+        F.concat(F.lit("site-"), (uid % 97).cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("https://site-"), (uid % 97).cast("string"),
+            F.lit(".example/p/"), uid.cast("string"),
+        ).alias("url"),
+    ).agg(F.max("ts").alias("last_ts"))
+    blocklist = spark.range(97).filter(F.col("id") % 7 == 0).select(
+        F.concat(F.lit("site-"), F.col("id").cast("string"), F.lit(".example")).alias("host")
+    )
+    return per_domain_cap(pages, blocklist, quota=5)
+
+
+@q(
+    "cdc_time_travel_read",
+    # Time travel / snapshot isolation: after the FULL replay, read
+    # web_pages AT the snapshot version whose committed cdc-epoch set is
+    # exactly {0, 1} — it must equal an independent prefix replay (events
+    # with epoch_hint lsn%4 in (0,1) only). The old snapshot also carries
+    # the OLD schema: `charset` (added at epoch 2) must not exist yet.
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    typed AS (
+      SELECT lsn, warc_ts, user_id, event_type,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op
+      FROM ev
+      WHERE lsn % 4 IN (0, 1)
+        AND lsn % 43 <> 0 AND lsn % 41 <> 0
+        AND (CASE WHEN lsn % 29 = 0 THEN 'application/octet-stream'
+                  WHEN lsn % 29 = 1 THEN 'application/xml'
+                  WHEN lsn % 4 = 0 THEN 'text/html'
+                  ELSE 'x' END) = 'text/html'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM typed
+    )
+    SELECT
+      'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+        || CAST(user_id AS VARCHAR) AS url,
+      warc_ts,
+      'T P ' || CAST(user_id AS VARCHAR) || ' rev ' || CAST(lsn AS VARCHAR)
+        || ' & type ' || event_type AS text,
+      CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+        WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang,
+      lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_time_travel_read(spark, sf_dir):
+    # Serial replay (one commit per epoch, in order) so the version whose
+    # cdc-epoch set is exactly {0,1} deterministically exists; then a
+    # versioned read proves snapshots are immutable AND schema-versioned
+    # (the epoch-2 `charset` column is absent in the old snapshot).
+    import tempfile
+
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_change_events_from_events,
+    )
+
+    events = derive_change_events_from_events(ld(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="cdc_tt_")
+    events.write.mode("overwrite").partitionBy("epoch_hint").parquet(f"{root}/events")
+    wh = Warehouse(spark, f"{root}/wh", n_buckets=8)
+    replay(wh, f"{root}/events", max_concurrent_epochs=1)
+    t = wh.table("web_pages")
+    target = None
+    for v in range(1, t.current_version() + 1):
+        if t.snapshot(v).epochs("cdc") == {0, 1}:
+            target = v
+    assert target is not None, "no snapshot with cdc epochs {0,1}"
+    old = t.read(version=target, with_internal=True)
+    assert "charset" not in old.columns, "old snapshot must predate charset"
+    from data_exchange_routing_spark.lake.table import LSN_COL
+
+    return old.select(
+        "url", "warc_ts", "text", "lang", F.col(LSN_COL).alias("lsn")
+    )

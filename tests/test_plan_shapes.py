@@ -220,3 +220,21 @@ def test_novel_keys_bloom_negatives_skip_join(spark):
         plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
     assert n_joins == 1, plan
+
+
+def test_per_domain_cap_blocklist_is_broadcast_anti(spark):
+    """UT1-style blocklist must never shuffle the corpus side: broadcast
+    LeftAnti hash join, no sort-merge exchange for the filter."""
+    plan = _plan(spark, "web_per_domain_cap")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_inverted_index_stoplist_before_window(spark):
+    """The df stop-list must prune stopword-hot tokens BEFORE the posting
+    ranking window (bounding window partitions); N arrives broadcast."""
+    plan = _plan(spark, "doc_inverted_index")
+    assert "Window" in plan and "BroadcastExchange" in plan
+    # the semi join of tf against the kept-token set feeds the window:
+    # Window appears after (above) a join on token in the plan tree
+    w_ix = plan.index("Window")
+    assert "Join" in plan[w_ix:], "kept-token join must run below the window"
