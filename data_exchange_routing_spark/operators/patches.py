@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-__all__ = ["resolve_patch_state"]
+__all__ = ["resolve_patch_state", "apply_patch_batch"]
 
 
 def resolve_patch_state(
@@ -73,6 +73,68 @@ def resolve_patch_state(
             F.col(seq_col)
         ),
     )
+    return _fold_ordered(d, key, op_col, patch_cols)
+
+
+def apply_patch_batch(
+    state: DataFrame,
+    patches: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    seq_col: str = "lsn",
+    op_col: str = "op",
+    patch_cols: tuple[str, ...] = ("title", "lang", "score"),
+) -> DataFrame:
+    """Incremental fold: advance a RESOLVED state by one batch of sparse
+    patches, returning the new resolved state.
+
+    The resolved state per key is equivalent to a synthetic full-row 'I'
+    event ordered BELOW everything in the batch (an 'I' is exactly "all
+    columns literal"), so the fold is resolve_patch_state over
+    state-as-inserts ∪ batch. Folding epoch by epoch therefore equals the
+    one-shot resolve over the concatenated log — the property
+    tests/test_patches.py gates — provided batches arrive in log order
+    (every ord in batch N+1 > every ord in batch N, the contract a
+    binlog-segment replay guarantees).
+
+    Scale shape: per epoch this shuffles O(live keys + batch) — the same
+    cost class as the engine's LakeTable MERGE path; at 100 TB you would
+    bucket `state` by key (lake/table.py does) so the union's exchange is
+    one-sided. The floor ordinal pins state rows below any CE-era event.
+    """
+    floor_ord = F.lit("00000000000000000000|00000000000000000000")
+    as_inserts = state.select(
+        F.col(key),
+        F.lit("I").alias(op_col),
+        *[F.col(c) for c in patch_cols],
+        F.lit(None).cast("timestamp").alias(ts_col),
+        F.lit(None).cast("long").alias(seq_col),
+    ).withColumn("_ord_override", floor_ord)
+    batch = patches.select(
+        key, op_col, *patch_cols, ts_col, seq_col
+    ).withColumn("_ord_override", F.lit(None).cast("string"))
+    both = as_inserts.unionByName(batch)
+    # same algebra as resolve_patch_state, but _ord honors the override so
+    # state rows sort below every real event without fake timestamps
+    d = both.withColumn(
+        "_ord",
+        F.coalesce(
+            F.col("_ord_override"),
+            F.format_string(
+                "%020d|%020d",
+                F.unix_micros(F.col(ts_col).cast("timestamp")),
+                F.col(seq_col),
+            ),
+        ),
+    ).drop("_ord_override")
+    return _fold_ordered(d, key, op_col, patch_cols)
+
+
+def _fold_ordered(
+    d: DataFrame, key: str, op_col: str, patch_cols: tuple[str, ...]
+) -> DataFrame:
+    """resolve_patch_state's aggregation over a frame that already carries
+    ``_ord`` (shared by the from-scratch and incremental entry points)."""
     resets = f"{op_col} IN ('I','D')"
     aggs = [
         F.expr(f"max(_ord) FILTER (WHERE {resets})").alias("_r_ord"),
@@ -82,9 +144,6 @@ def resolve_patch_state(
     for c in patch_cols:
         patched = f"{op_col} = 'U' AND {c} IS NOT NULL"
         aggs += [
-            # value at the last reset row (used only when that reset is an
-            # 'I', where the column is taken literally — so engine-specific
-            # NULL-arg tie handling on 'D' rows can never surface)
             F.expr(f"max_by({c}, _ord) FILTER (WHERE {resets})").alias(f"_r_{c}"),
             F.expr(f"max(_ord) FILTER (WHERE {patched})").alias(f"_w_ord_{c}"),
             F.expr(f"max_by({c}, _ord) FILTER (WHERE {patched})").alias(f"_w_{c}"),

@@ -3967,3 +3967,52 @@ def cdc_time_travel_read(spark, sf_dir):
     return old.select(
         "url", "warc_ts", "text", "lang", F.col(LSN_COL).alias("lsn")
     )
+
+
+_BM25_QUERY = "spark window merge"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@q(
+    "doc_bm25_topk",
+    # Okapi BM25 retrieval over the documents corpus for a fixed
+    # bag-of-words query. idf = ln(1 + (N - df + 0.5)/(df + 0.5)); tf
+    # saturation k1=1.2, length norm b=0.75 vs corpus-average doc length.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_NORM_SQL}) AS token FROM documents
+    ),
+    nz AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM nz
+      WHERE token IN ('merge', 'spark', 'window')
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+        round(sum(
+          ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+          * (t.tf * ({_BM25_K1} + 1.0))
+          / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+        ), 6) AS score
+      FROM tf t JOIN dl d ON t.doc_id = d.doc_id
+      JOIN dfreq f ON t.token = f.token, stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, CAST(row_number() OVER (
+      ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 5
+    """,
+)
+def doc_bm25_topk(spark, sf_dir):
+    from data_exchange_routing_spark.functions.search import bm25_topk
+
+    return bm25_topk(
+        ld(spark, sf_dir, "documents"), _BM25_QUERY, k=5, k1=_BM25_K1, b=_BM25_B
+    )

@@ -96,3 +96,35 @@ def test_single_shuffle_plan(spark):
     # filtered max_by buffers force SortAggregate, whose sorts are local
     # per-task — global=false — not a global sort)
     assert "partial_max" in plan
+
+
+def test_incremental_fold_matches_one_shot(spark):
+    """apply_patch_batch folded over time-ordered batches == one-shot
+    resolve_patch_state over the whole log (the CDC incremental-ingest
+    property; batches are cut on event-time boundaries, the binlog-segment
+    contract)."""
+    import pyspark.sql.functions as F
+
+    from data_exchange_routing_spark.operators.patches import apply_patch_batch
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_patch_events_from_events,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    patches = derive_patch_events_from_events(ev).localCheckpoint(eager=True)
+    lo, hi = patches.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    c1 = lo + (hi - lo) / 3
+    c2 = lo + 2 * (hi - lo) / 3
+    batches = [
+        patches.filter(F.col("warc_ts") < F.lit(c1)),
+        patches.filter((F.col("warc_ts") >= F.lit(c1)) & (F.col("warc_ts") < F.lit(c2))),
+        patches.filter(F.col("warc_ts") >= F.lit(c2)),
+    ]
+    state = spark.createDataFrame(
+        [], "url string, title string, lang string, score double"
+    )
+    for b in batches:
+        state = apply_patch_batch(state, b).localCheckpoint(eager=True)
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, resolve_patch_state(patches).collect()))
+    assert got == want and len(want) > 0
