@@ -42,7 +42,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-__all__ = ["resolve_patch_state", "apply_patch_batch"]
+__all__ = [
+    "resolve_patch_state",
+    "apply_patch_batch",
+    "merge_patch_batch",
+    "read_patch_state",
+    "patch_buffer_schema",
+]
 
 
 def resolve_patch_state(
@@ -130,11 +136,14 @@ def apply_patch_batch(
     return _fold_ordered(d, key, op_col, patch_cols)
 
 
-def _fold_ordered(
+def _fold_buffer(
     d: DataFrame, key: str, op_col: str, patch_cols: tuple[str, ...]
 ) -> DataFrame:
-    """resolve_patch_state's aggregation over a frame that already carries
-    ``_ord`` (shared by the from-scratch and incremental entry points)."""
+    """The fold's AGGREGATION BUFFER per key, from raw events carrying
+    ``_ord``: last-reset (ord, op, values), last-'U' ord, and per column the
+    last non-NULL patch (ord, value). Buffers form a commutative semigroup
+    under :func:`_merge_buffers` — the foundation of out-of-order-safe
+    incremental ingest."""
     resets = f"{op_col} IN ('I','D')"
     aggs = [
         F.expr(f"max(_ord) FILTER (WHERE {resets})").alias("_r_ord"),
@@ -148,7 +157,38 @@ def _fold_ordered(
             F.expr(f"max(_ord) FILTER (WHERE {patched})").alias(f"_w_ord_{c}"),
             F.expr(f"max_by({c}, _ord) FILTER (WHERE {patched})").alias(f"_w_{c}"),
         ]
-    g = d.groupBy(key).agg(*aggs)
+    return d.groupBy(key).agg(*aggs)
+
+
+def _merge_buffers(
+    frames: DataFrame, key: str, patch_cols: tuple[str, ...]
+) -> DataFrame:
+    """Re-aggregate a union of buffer rows into one buffer per key. Every
+    component is a max / max_by over the stored ordinals, so the merge is
+    associative AND commutative — batches may arrive in any order and the
+    result is the same as folding the concatenated log."""
+    aggs = [
+        F.expr("max(_r_ord)").alias("_r_ord"),
+        F.expr("max_by(_r_op, _r_ord) FILTER (WHERE _r_ord IS NOT NULL)").alias("_r_op"),
+        F.expr("max(_u_ord)").alias("_u_ord"),
+    ]
+    for c in patch_cols:
+        aggs += [
+            F.expr(
+                f"max_by(_r_{c}, _r_ord) FILTER (WHERE _r_ord IS NOT NULL)"
+            ).alias(f"_r_{c}"),
+            F.expr(f"max(_w_ord_{c})").alias(f"_w_ord_{c}"),
+            F.expr(
+                f"max_by(_w_{c}, _w_ord_{c}) FILTER (WHERE _w_ord_{c} IS NOT NULL)"
+            ).alias(f"_w_{c}"),
+        ]
+    return frames.groupBy(key).agg(*aggs)
+
+
+def buffer_state_view(
+    buf: DataFrame, key: str, patch_cols: tuple[str, ...]
+) -> DataFrame:
+    """Project a buffer frame to the resolved state (live rows only)."""
     exists = F.when(F.col("_r_ord").isNull(), F.col("_u_ord").isNotNull()).otherwise(
         (F.col("_r_op") == F.lit("I"))
         | F.coalesce(F.col("_u_ord") > F.col("_r_ord"), F.lit(False))
@@ -163,4 +203,105 @@ def _fold_ordered(
             .when(F.col("_r_op") == F.lit("I"), F.col(f"_r_{c}"))
             .alias(c)
         )
-    return g.filter(exists).select(*outs)
+    return buf.filter(exists).select(*outs)
+
+
+def _fold_ordered(
+    d: DataFrame, key: str, op_col: str, patch_cols: tuple[str, ...]
+) -> DataFrame:
+    """resolve_patch_state's aggregation over a frame that already carries
+    ``_ord`` (shared by the from-scratch and incremental entry points)."""
+    return buffer_state_view(_fold_buffer(d, key, op_col, patch_cols), key, patch_cols)
+
+
+def merge_patch_batch(table, batch: DataFrame, epoch_id: int | None = None,
+                      key: str = "url",
+                      ts_col: str = "warc_ts",
+                      seq_col: str = "lsn",
+                      op_col: str = "op",
+                      patch_cols: tuple[str, ...] = ("title", "lang", "score")) -> dict:
+    """Ingest one micro-batch of sparse patches into a keyed LakeTable,
+    exactly-once and ORDER-INDEPENDENT.
+
+    The table stores each key's fold BUFFER (per-column winning ordinals +
+    values, a commutative semigroup under :func:`_merge_buffers`), not the
+    projected row — exactly a streaming engine's keyed aggregation state,
+    made durable. Per batch: read only the touched keys' buffers
+    (left_semi — never the whole table), merge with the batch's buffer, and
+    commit one row per touched key under the merge_cdc epoch guard (a
+    redelivered batch is a metadata no-op). Because buffer merge is
+    commutative, out-of-order and late batches converge to the same state
+    as the one-shot fold — no ordered-delivery contract needed.
+
+    Read the resolved state with :func:`read_patch_state`.
+
+    Ordering keys for the table's own LWW resolve: ``warc_ts`` = the max
+    event time folded into the buffer so far (monotone non-decreasing
+    under merge), ``lsn`` = epoch id (tie-break; monotone per stream).
+
+    Shape at 100 TB: O(batch + touched keys) per epoch — table-size
+    independent; the same cost class as pipeline.py's apply_epoch.
+    """
+    from data_exchange_routing_spark.lake.table import DELETED_COL, LSN_COL
+
+    d = batch.withColumn(
+        "_ord",
+        F.format_string(
+            "%020d|%020d",
+            F.unix_micros(F.col(ts_col).cast("timestamp")),
+            F.col(seq_col),
+        ),
+    )
+    new_buf = _fold_buffer(d, key, op_col, patch_cols)
+    old_buf = table.read().join(
+        new_buf.select(key), key, "left_semi"
+    ).drop(ts_col, LSN_COL, DELETED_COL)
+    merged = _merge_buffers(old_buf.unionByName(new_buf), key, patch_cols)
+    # max event time folded so far, recoverable from the buffer itself:
+    # greatest of the three ordinal families, %020d micros prefix
+    best_ord = F.greatest(
+        F.coalesce(F.col("_r_ord"), F.lit("")),
+        F.coalesce(F.col("_u_ord"), F.lit("")),
+        *[F.coalesce(F.col(f"_w_ord_{c}"), F.lit("")) for c in patch_cols],
+    )
+    rows = merged.select(
+        key,
+        *[col for c in patch_cols for col in (f"_r_{c}", f"_w_ord_{c}", f"_w_{c}")],
+        "_r_ord",
+        "_r_op",
+        "_u_ord",
+        F.timestamp_micros(F.substring(best_ord, 1, 20).cast("long")).alias(ts_col),
+        F.lit(epoch_id if epoch_id is not None else 0).cast("long").alias(LSN_COL),
+        F.lit(False).alias(DELETED_COL),
+    )
+    return table.merge_cdc(rows, epoch_id=epoch_id, source="patch")
+
+
+def read_patch_state(
+    table,
+    key: str = "url",
+    patch_cols: tuple[str, ...] = ("title", "lang", "score"),
+) -> DataFrame:
+    """Resolved live rows of a patch-ingested LakeTable (projects the
+    stored fold buffers; dead keys' buffers stay in the table so a late
+    reviving 'U' still sees the tombstone ordinal)."""
+    return buffer_state_view(table.read(), key, patch_cols)
+
+
+def patch_buffer_schema(
+    patch_col_types: dict[str, str] | None = None,
+    key: str = "url",
+    key_type: str = "string",
+    ts_col: str = "warc_ts",
+):
+    """DDL schema for a buffer-storing patch table (pass to
+    LakeTable.create)."""
+    from pyspark.sql import types as T
+
+    if patch_col_types is None:
+        patch_col_types = {"title": "string", "lang": "string", "score": "double"}
+    parts = [f"{key} {key_type}", "_r_ord string", "_r_op string", "_u_ord string"]
+    for c, t in patch_col_types.items():
+        parts += [f"_r_{c} {t}", f"_w_ord_{c} string", f"_w_{c} {t}"]
+    parts.append(f"{ts_col} timestamp")
+    return T.StructType.fromDDL(", ".join(parts))

@@ -128,3 +128,81 @@ def test_incremental_fold_matches_one_shot(spark):
     got = sorted(map(tuple, state.collect()))
     want = sorted(map(tuple, resolve_patch_state(patches).collect()))
     assert got == want and len(want) > 0
+
+
+def test_streaming_patch_ingest_exactly_once_out_of_order(spark, tmpdir_path):
+    """Structured-Streaming sparse-patch ingest into a keyed LakeTable that
+    stores the fold BUFFER per key (commutative merge): availableNow file
+    stream -> foreachBatch merge_patch_batch, with the binlog segments
+    deliberately ingested OUT of event-time order. Final resolved state ==
+    one-shot resolve (order independence), and a checkpoint restart with no
+    new data leaves the table version unchanged (exactly-once at the table
+    surface)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+    from data_exchange_routing_spark.operators.patches import (
+        merge_patch_batch,
+        patch_buffer_schema,
+        read_patch_state,
+    )
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_patch_events_from_events,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    patches = derive_patch_events_from_events(ev).localCheckpoint(eager=True)
+    lo, hi = patches.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    seg = (
+        F.when(F.col("warc_ts") < F.lit(lo + (hi - lo) / 3), 0)
+        .when(F.col("warc_ts") < F.lit(lo + 2 * (hi - lo) / 3), 1)
+        .otherwise(2)
+    )
+    src = os.path.join(tmpdir_path, "patch_log")
+    for i in (2, 0, 1):  # NEWEST segment lands first: out-of-order delivery
+        patches.filter(seg == i).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/seg{i}"
+        )
+        time.sleep(1.1)  # distinct mtimes pin the file-source pickup order
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), patch_buffer_schema(),
+        key="url", n_buckets=4,
+    )
+
+    def run_stream(cp):
+        stream = (
+            spark.readStream.schema(patches.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{src}/seg*")
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .foreachBatch(lambda df, eid: merge_patch_batch(t, df, epoch_id=eid))
+            .start()
+        )
+        q.awaitTermination(300)
+
+    cp = os.path.join(tmpdir_path, "cp")
+    run_stream(cp)
+    assert t.committed_epochs("patch") >= {0, 1, 2}  # one epoch per segment file
+
+    got = {
+        r["url"]: (r["title"], r["lang"], r["score"])
+        for r in read_patch_state(t).collect()
+    }
+    want = {
+        r["url"]: (r["title"], r["lang"], r["score"])
+        for r in resolve_patch_state(patches).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # restart on the same checkpoint: no new files -> no table change
+    v = t.current_version()
+    run_stream(cp)
+    assert t.current_version() == v
