@@ -360,6 +360,7 @@ class LakeTable:
         with_internal: bool = False,
         version: int | None = None,
         ts_filter: tuple | None = None,
+        include_tombstones: bool = False,
     ) -> DataFrame:
         """Current resolved state. ``buckets`` prunes files from the manifest
         before Spark ever lists them (partition pruning).
@@ -466,7 +467,11 @@ class LakeTable:
             df = self._resolve(
                 self._read_files(snap, files, with_internal=True), snap.key
             )
-        if snap.key is not None:
+        if snap.key is not None and not include_tombstones:
+            # include_tombstones=True yields the resolved state WITH each
+            # dead key's winning tombstone — the deletion-vector-carrying
+            # snapshot a bootstrap handoff needs when the tail it precedes
+            # is not an ordinal-ordered suffix (operators/bootstrap.py).
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not with_internal:
             df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
@@ -1333,6 +1338,60 @@ class LakeTable:
                 s["n_delta_files"] += 1
                 s["delta_rows"] += f.get("rows", 0)
         return stats
+
+    def metadata_stats(self, version: int | None = None) -> dict:
+        """Metadata-only aggregates from the manifest — count(*)/min/max
+        answered WITHOUT opening a single data file (Iceberg's
+        metadata-query analog; the stats were folded from parquet footers at
+        commit time in _stage_files). At 100 TB this is the difference
+        between an O(ms) manifest fold and a cluster-wide scan.
+
+        Exactness contract, gated by tests/test_lake.py:
+        - ``rows`` is the exact count(*) for APPEND-ONLY tables (every
+          manifest row is a table row); for keyed tables it is an upper
+          bound (unresolved revisions + tombstones) and is reported under
+          ``rows_upper_bound`` instead.
+        - each ``ts_ranges[col] = (min, max)`` is exact iff every file
+          carries footer stats for that column; columns with any stats-less
+          file are omitted (never approximate).
+        - ``key_range`` likewise folds the merge-key min/max, omitted if
+          any file lacks it.
+        """
+        snap = self.snapshot(version)
+        files = snap.files
+        out: dict[str, Any] = {
+            "version": snap.version,
+            "n_files": len(files),
+            "bytes": sum(f.get("bytes", 0) for f in files),
+        }
+        rows = sum(f.get("rows", 0) for f in files)
+        if snap.key is None:
+            out["rows"] = rows
+        else:
+            out["rows_upper_bound"] = rows
+        ts_ranges: dict[str, tuple] = {}
+        complete: set[str] = set()
+        for i, f in enumerate(files):
+            stats = f.get("ts_stats") or {}
+            if i == 0:
+                complete = set(stats)
+            else:
+                complete &= set(stats)
+            for col in stats:
+                lo, hi = stats[col]
+                cur = ts_ranges.get(col)
+                ts_ranges[col] = (
+                    (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+                )
+        out["ts_ranges"] = {c: ts_ranges[c] for c in sorted(complete)} if files else {}
+        if snap.key is not None and files and all(
+            "key_min" in f and "key_max" in f for f in files
+        ):
+            out["key_range"] = (
+                min(f["key_min"] for f in files),
+                max(f["key_max"] for f in files),
+            )
+        return out
 
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 5) -> dict:

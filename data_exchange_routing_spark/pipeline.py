@@ -414,6 +414,7 @@ def replay(
     wh: Warehouse,
     events_dir: str,
     dedup_strategy: str = "local",
+    from_epoch: int | None = None,
     stop_after_epoch: int | None = None,
     compact_every: int | None = None,
     max_concurrent_epochs: int = 4,
@@ -421,6 +422,8 @@ def replay(
     """Bounded replay of a partitioned event log (binlog-segment dirs
     epoch_hint=K/), resuming from the checkpoint log. The streaming variant
     (streaming/ingest.py) drives the same apply_epoch via foreachBatch.
+    ``from_epoch`` starts the tail at a given segment — the switchover
+    position after a snapshot bootstrap (operators/bootstrap.py).
 
     Epochs are applied CONCURRENTLY (bounded): last-writer-wins resolution by
     (warc_ts, lsn) makes delta commits order-independent — the final state is
@@ -441,7 +444,9 @@ def replay(
     todo = [
         e
         for e in epochs
-        if e not in done and (stop_after_epoch is None or e <= stop_after_epoch)
+        if e not in done
+        and (from_epoch is None or e >= from_epoch)
+        and (stop_after_epoch is None or e <= stop_after_epoch)
     ]
 
     def run_one(e: int) -> int:

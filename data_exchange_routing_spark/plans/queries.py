@@ -1981,6 +1981,77 @@ def cdc_replay_from_events(spark, sf_dir):
     return out
 
 
+@q(
+    "cdc_bootstrap_switchover",
+    # Debezium-style snapshot-then-stream bootstrap (operators/bootstrap.py):
+    # Spark folds events at an event-time cut into a live snapshot, re-emits
+    # it as full-image inserts, unions a tail redelivered from an EARLIER
+    # overlap position, and resolves. The oracle is the plain full-log LWW
+    # resolve — equality IS the switchover soundness theorem (snapshot at
+    # cut ∪ ordinal tail from overlap<=cut converges to the full log).
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    typed AS (
+      SELECT lsn, warc_ts, user_id, event_type,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op,
+        CASE WHEN lsn % 29 = 0 THEN 'application/octet-stream'
+             WHEN lsn % 29 = 1 THEN 'application/xml'
+             WHEN lsn % 4 = 0 THEN 'text/html'
+             WHEN lsn % 4 = 1 THEN 'application/pdf'
+             WHEN lsn % 4 = 2 THEN 'text/plain'
+             ELSE 'application/json' END AS content_type
+      FROM ev
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM typed
+    )
+    SELECT
+      'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+        || CAST(user_id AS VARCHAR) AS url,
+      warc_ts,
+      CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+        WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang,
+      content_type,
+      md5('<html><!-- cdc fixture --><head><title>T</title>'
+          || '<script>var x=1;</script></head><body><h1>P '
+          || CAST(user_id AS VARCHAR) || '</h1><p>rev ' || CAST(lsn AS VARCHAR)
+          || ' &amp; type ' || event_type || '</p></body></html>') AS html_md5,
+      lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_bootstrap_switchover(spark, sf_dir):
+    from data_exchange_routing_spark.operators.bootstrap import snapshot_then_stream
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_change_events_from_events,
+    )
+
+    events = derive_change_events_from_events(ld(spark, sf_dir, "events"))
+    lo, hi = events.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    cut = lo + (hi - lo) * 0.6
+    overlap = lo + (hi - lo) * 0.3
+    final = snapshot_then_stream(events, cut, overlap)
+    return final.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "content_type",
+        F.md5(F.col("html")).alias("html_md5"),
+        "lsn",
+    )
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed

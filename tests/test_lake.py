@@ -982,3 +982,49 @@ def test_ts_stats_pruned_time_scoped_read(spark, tmpdir_path):
     )
     with pytest.raises(ValueError):
         keyed.read(ts_filter=("warc_ts", lo, hi))
+
+
+def test_metadata_stats_exact_without_data_reads(spark, tmpdir_path):
+    """metadata_stats answers count(*)/min/max from the manifest alone:
+    exact equality vs a full scan on an append-only table, upper-bound +
+    key-range semantics on a keyed table. Zero Spark jobs: the call never
+    touches a data file (pure manifest fold)."""
+    from datetime import datetime
+
+    sch = T.StructType.fromDDL("v int, ts timestamp")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "m"), sch)
+    for day, epoch in ((2, 0), (12, 1), (22, 2)):
+        t.append(
+            spark.createDataFrame(
+                [(day * 10 + i, datetime(2024, 3, day, i)) for i in range(4)], sch
+            ),
+            epoch_id=epoch,
+        )
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    stats = t.metadata_stats()
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert list(before) == list(after)  # no Spark job ran
+
+    df = t.read()
+    assert stats["rows"] == df.count()
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    # footer stats are tz-aware isoformat; normalize the UTC suffix
+    got_rng = tuple(s.replace("+00:00", "") for s in stats["ts_ranges"]["ts"])
+    assert got_rng == (lo.isoformat(), hi.isoformat())
+    assert stats["n_files"] == 3 and stats["bytes"] > 0
+
+    keyed = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mk"), WEB_PAGES, key="url", n_buckets=2
+    )
+    rows = spark.createDataFrame(
+        [(f"u{i:02d}", datetime(2024, 3, 1), None, None, "en", i, False)
+         for i in range(6)] +
+        [("u00", datetime(2024, 3, 2), None, None, "en", 9, False)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, _lsn long, _deleted boolean",
+    )
+    keyed.merge_cdc(rows, epoch_id=0)
+    ks = keyed.metadata_stats()
+    assert "rows" not in ks  # keyed: only an upper bound is honest
+    assert ks["rows_upper_bound"] == 7 >= keyed.read().count() == 6
+    assert ks["key_range"] == ("u00", "u05")
