@@ -224,6 +224,10 @@ class LakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.meta_dir = os.path.join(self.path, _META_DIR)
+        # snapshot filename prefix: "snapshot-" is main; a branch view
+        # (write-audit-publish) swaps in "branch-<name>-" so every commit /
+        # read / compact path works unchanged against the branch head.
+        self._snap_prefix = "snapshot-"
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
@@ -271,10 +275,11 @@ class LakeTable:
     def current_version(self) -> int:
         if not os.path.isdir(self.meta_dir):
             return 0
+        p = self._snap_prefix
         versions = [
-            int(f[len("snapshot-") : -len(".json")])
+            int(f[len(p) : -len(".json")])
             for f in os.listdir(self.meta_dir)
-            if f.startswith("snapshot-") and f.endswith(".json")
+            if f.startswith(p) and f.endswith(".json") and f[len(p) : -len(".json")].isdigit()
         ]
         return max(versions, default=0)
 
@@ -283,7 +288,7 @@ class LakeTable:
         # (invalid) version 0 into "current", which made read_changes(0)
         # return a partial feed with no error
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"snapshot-{v:08d}.json")) as f:
+        with open(os.path.join(self.meta_dir, f"{self._snap_prefix}{v:08d}.json")) as f:
             d = json.load(f)
         snap = Snapshot(
             version=d["version"],
@@ -331,7 +336,7 @@ class LakeTable:
             "summary": snap.summary,
             "n_files": len(snap.seg_files or []) + len(snap.tail),
         }
-        path = os.path.join(self.meta_dir, f"snapshot-{snap.version:08d}.json")
+        path = os.path.join(self.meta_dir, f"{self._snap_prefix}{snap.version:08d}.json")
         _atomic_write_json(path, payload)
 
     # -------------------------------------------------------------- reading
@@ -825,6 +830,150 @@ class LakeTable:
         return self._commit(df, epoch_id, source, summary, is_cdc=True,
                             epoch_monotonic=epoch_monotonic)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: dict | str | None = None,
+        matched_condition=None,
+        when_matched_delete=False,
+        when_not_matched_insert: bool = True,
+        insert_condition=None,
+        epoch_id: int | None = None,
+        source_name: str = "merge_into",
+        prune_buckets: bool = True,
+    ) -> dict:
+        """Generic MERGE INTO (Delta/Iceberg ``MERGE INTO t USING s ON
+        t.key = s.key`` analog) realized merge-on-read: ONE delta commit,
+        never a table rewrite.
+
+        Clause semantics (conditions are Columns or SQL strings; reference the
+        sides as ``s.<col>`` / ``t.<col>``); evaluated in Delta's order —
+        matched+delete first, then matched+update, then not-matched+insert:
+
+        - ``when_matched_update``: ``"all"`` (take every source column, target
+          value kept for columns the source lacks) or ``{col: expr}`` where
+          expr may combine both sides (e.g. ``"t.cnt + s.cnt"``); applied to
+          matched rows passing ``matched_condition`` (default: all matched).
+        - ``when_matched_delete``: bool or condition — matched rows passing it
+          get tombstones (checked BEFORE update).
+        - ``when_not_matched_insert`` (+ optional ``insert_condition``):
+          source rows with no live target row become inserts; the source must
+          carry ``warc_ts`` for them (the CDC ordering needs an event time).
+
+        Scale shape: the target side is the bucket-pruned merge-on-read
+        ``read()`` restricted to the buckets the source actually touches
+        (one tiny key-hash distinct over the source, ≤ n_buckets rows), so a
+        point-y merge against a 100 TB table scans only the matching buckets.
+        The join shuffles at most O(source + touched buckets); new winners
+        beat victims by ``_lsn = victim._lsn + 1`` (same LWW derivation as
+        delete_where), so resolution stays order-safe under concurrent CDC
+        traffic. Multi-match sources are the caller's contract (one row per
+        key), exactly as Delta requires.
+
+        Additive schema evolution falls out: ``when_matched_update="all"``
+        with a source carrying new columns widens the table schema through
+        the normal commit path.
+        """
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("merge_into requires a keyed table")
+        if epoch_id is not None and snap.epoch_committed(source_name, epoch_id):
+            return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+        key = snap.key
+        if when_matched_update is None and when_matched_delete is False and not when_not_matched_insert:
+            raise ValueError("merge_into with no clauses is a no-op")
+
+        def _cond(c, default: bool):
+            if c is None:
+                return F.lit(default)
+            if isinstance(c, bool):
+                return F.lit(c)
+            return F.expr(c) if isinstance(c, str) else c
+
+        if when_not_matched_insert and "warc_ts" not in source.columns:
+            raise ValueError(
+                "when_not_matched_insert requires the source to carry warc_ts "
+                "(the CDC ordering needs an event time for fresh keys)"
+            )
+        buckets = None
+        if prune_buckets:
+            b_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
+            buckets = sorted(
+                r[0] for r in source.select(b_expr.alias("_b")).distinct().collect()
+            )
+        state = self.read(buckets=buckets, with_internal=True)
+        src_cols = set(source.columns)
+        s = source.alias("s")
+        t = state.alias("t")
+        j = s.join(t, F.col(f"s.{key}") == F.col(f"t.{key}"), "left_outer")
+
+        matched = F.col(f"t.{key}").isNotNull()
+        del_c = matched & _cond(when_matched_delete, False)
+        upd_c = matched & ~del_c & _cond(matched_condition, when_matched_update is not None)
+        if when_matched_update is None:
+            upd_c = F.lit(False)
+        ins_c = ~matched & _cond(insert_condition, True) if when_not_matched_insert else F.lit(False)
+        action = (
+            F.when(del_c, F.lit("D")).when(upd_c, F.lit("U")).when(ins_c, F.lit("I"))
+        )
+
+        schema = snap.schema()
+        data_fields = [
+            f for f in schema.fields if f.name not in (key, "warc_ts", LSN_COL, DELETED_COL)
+        ]
+        # extra source columns drive additive evolution on update-all
+        extra = (
+            sorted(src_cols - {f.name for f in schema.fields} - {key, "warc_ts"})
+            if when_matched_update == "all"
+            else []
+        )
+
+        def _upd_value(name: str):
+            if when_matched_update == "all":
+                return F.col(f"s.{name}") if name in src_cols else F.col(f"t.{name}")
+            expr = (when_matched_update or {}).get(name)
+            if expr is None:
+                return F.col(f"t.{name}")
+            return F.expr(expr) if isinstance(expr, str) else expr
+
+        def _ins_value(name: str, dt):
+            return F.col(f"s.{name}") if name in src_cols else F.lit(None).cast(dt)
+
+        s_ts = F.col("s.warc_ts") if "warc_ts" in src_cols else F.lit(None).cast("timestamp")
+        out_cols = [
+            F.col(f"s.{key}").alias(key),
+            F.when(matched, F.greatest(F.coalesce(s_ts, F.col("t.warc_ts")), F.col("t.warc_ts")))
+            .otherwise(s_ts)
+            .alias("warc_ts"),
+            (
+                F.when(matched, F.coalesce(F.col(f"t.{LSN_COL}"), F.lit(0)) + F.lit(1))
+                .otherwise(F.coalesce(
+                    F.col(f"s.{LSN_COL}") if LSN_COL in src_cols else F.lit(None).cast("long"),
+                    F.lit(1),
+                ))
+            ).alias(LSN_COL),
+            (action == F.lit("D")).alias(DELETED_COL),
+        ]
+        for f_ in data_fields:
+            out_cols.append(
+                F.when(action == F.lit("U"), _upd_value(f_.name))
+                .when(action == F.lit("I"), _ins_value(f_.name, f_.dataType))
+                .otherwise(F.col(f"t.{f_.name}"))
+                .alias(f_.name)
+            )
+        for name in extra:
+            out_cols.append(
+                F.when(action.isin("U", "I"), F.col(f"s.{name}"))
+                .otherwise(F.lit(None))
+                .alias(name)
+            )
+        delta = j.filter(action.isNotNull()).select(*out_cols)
+        return self.merge_cdc(
+            delta, epoch_id=epoch_id, source=source_name,
+            summary={"operation": "merge-into"},
+        )
+
     def _commit(self, df, epoch_id, source, summary, is_cdc: bool,
                 epoch_monotonic: bool = False) -> dict:
         snap = self.snapshot()
@@ -964,6 +1113,152 @@ class LakeTable:
                 continue
             return {"version": new.version, "rolled_back_to": version}
         raise RuntimeError(f"rollback contention exhausted retries on {self.path}")
+
+    # ---------------------------------------------------- WAP branches
+    # Iceberg write-audit-publish: commits land on an isolated branch ref,
+    # an audit reads the branch head, and only publish() moves main. Data
+    # files are shared (manifest entries are paths); branch metadata is its
+    # own snapshot series under a distinct filename prefix, so every commit /
+    # read / resolve path works unchanged against the branch.
+
+    def branch(self, name: str) -> "LakeTable":
+        """View of an existing branch: same table dir, branch snapshot series."""
+        if self._snap_prefix != "snapshot-":
+            raise ValueError("branches fork from main, not from another branch")
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"invalid branch name {name!r}")
+        b = LakeTable(self.spark, self.path)
+        b._snap_prefix = f"branch-{name}-"
+        return b
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a branch at the current main head. The fork snapshot copies
+        the head's manifest refs (segment files are REUSED, never copied), so
+        forking is O(tail) metadata regardless of table size."""
+        snap = self.snapshot()
+        b = self.branch(name)
+        if b.current_version() > 0:
+            raise ValueError(f"branch {name!r} already exists")
+        fork = Snapshot(
+            version=snap.version,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            segments=list(snap.segments),
+            tail=list(snap.tail),
+            committed_epochs=dict(snap.committed_epochs),
+            summary={"operation": "wap-fork", "forked_at": snap.version},
+            seg_files=snap.seg_files,
+        )
+        b._write_snapshot(fork)
+        return b
+
+    def list_branches(self) -> list[str]:
+        names = set()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("branch-") and f.endswith(".json"):
+                stem = f[len("branch-") : -len(".json")]
+                name, _, v = stem.rpartition("-")
+                if name and v.isdigit():
+                    names.add(name)
+        return sorted(names)
+
+    def _branch_fork_version(self, name: str) -> int:
+        b = self.branch(name)
+        p = b._snap_prefix
+        versions = [
+            int(f[len(p) : -len(".json")])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith(p) and f.endswith(".json") and f[len(p) : -len(".json")].isdigit()
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no branch {name!r} on {self.path}")
+        return min(versions)
+
+    def publish_branch(self, name: str, rebase: bool = False) -> dict:
+        """Move main to the audited branch head. Fast-forward when main has
+        not advanced past the fork; otherwise ``rebase=True`` replays the
+        branch's ADDED delta files (and epoch guards, per-source set union)
+        onto the new main — additive branches only, the same optimistic loop
+        as every other commit. The branch refs stay for audit history;
+        ``abort_branch`` / ``expire_snapshots`` clean them up."""
+        b = self.branch(name)
+        head = b.snapshot()
+        fork_v = self._branch_fork_version(name)
+        for _attempt in range(50):
+            cur = self.snapshot()
+            if cur.version == fork_v:
+                new = Snapshot(
+                    version=cur.version + 1,
+                    schema_json=head.schema_json,
+                    n_buckets=head.n_buckets,
+                    key=head.key,
+                    segments=list(head.segments),
+                    tail=list(head.tail),
+                    committed_epochs=dict(head.committed_epochs),
+                    summary={"operation": "wap-publish", "branch": name,
+                             "branch_head": head.version},
+                    seg_files=head.seg_files,
+                )
+                try:
+                    self._write_snapshot(new)
+                except FileExistsError:
+                    continue
+                return {"published": True, "mode": "fast_forward", "version": new.version}
+            if not rebase:
+                raise RuntimeError(
+                    f"main advanced past fork (at v{cur.version}, forked v{fork_v}); "
+                    "publish_branch(rebase=True) to replay the branch's additions"
+                )
+            if cur.n_buckets != head.n_buckets:
+                raise RuntimeError("cannot rebase across a rebucket")
+            fork_paths = {f["path"] for f in b.snapshot(fork_v).files}
+            head_files = head.files
+            if not fork_paths <= {f["path"] for f in head_files}:
+                raise RuntimeError(
+                    "branch compacted/removed fork files; rebase supports "
+                    "additive branches only — publish before compacting"
+                )
+            added = [f for f in head_files if f["path"] not in fork_paths]
+            committed = dict(cur.committed_epochs)
+            for srcn, enc in head.committed_epochs.items():
+                committed[srcn] = _enc_epochs(
+                    _dec_epochs(committed.get(srcn, [])) | _dec_epochs(enc)
+                )
+            schema_json = (
+                self._evolved_schema(cur, T.StructType.fromJson(json.loads(head.schema_json)))
+                or cur.schema_json
+            )
+            new = Snapshot(
+                version=cur.version + 1,
+                schema_json=schema_json,
+                n_buckets=cur.n_buckets,
+                key=cur.key,
+                segments=cur.segments,
+                tail=cur.tail + added,
+                committed_epochs=committed,
+                summary={"operation": "wap-publish-rebase", "branch": name,
+                         "branch_head": head.version},
+                seg_files=cur.seg_files,
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                continue
+            return {"published": True, "mode": "rebase", "version": new.version,
+                    "files_added": len(added)}
+        raise RuntimeError(f"publish contention exhausted retries on {self.path}")
+
+    def abort_branch(self, name: str) -> dict:
+        """Drop the branch refs. Data files only the branch referenced become
+        orphans; ``vacuum_orphans`` reclaims them."""
+        p = f"branch-{name}-"
+        removed = 0
+        for f in os.listdir(self.meta_dir):
+            if f.startswith(p) and f.endswith(".json") and f[len(p) : -len(".json")].isdigit():
+                os.unlink(os.path.join(self.meta_dir, f))
+                removed += 1
+        return {"removed_refs": removed}
 
     def _resolved_state(self, snap, files, tombstone_watermark, watermark_safe: bool = True):
         """Shared rewrite prep for compact()/rebucket(): read the selected
@@ -1246,8 +1541,9 @@ class LakeTable:
         n_files}] — the ops surface for audits and picking rollback targets
         (Iceberg table-history analog). Reads only _meta JSONs."""
         out = []
+        p = self._snap_prefix
         for f in sorted(os.listdir(self.meta_dir)):
-            if not (f.startswith("snapshot-") and f.endswith(".json")):
+            if not (f.startswith(p) and f.endswith(".json") and f[len(p) : -len(".json")].isdigit()):
                 continue
             with open(os.path.join(self.meta_dir, f)) as fh:
                 d = json.load(fh)
@@ -1398,6 +1694,8 @@ class LakeTable:
         """Drop snapshot JSONs older than the newest ``keep_last`` (Iceberg
         expire_snapshots analog). Time travel shortens; current state, epoch
         guards and lineage are untouched (they live in the newest snapshot)."""
+        if self._snap_prefix != "snapshot-":
+            raise ValueError("expire_snapshots runs on main, not a branch view")
         current = self.current_version()
         cutoff = max(1, current - keep_last + 1)
         removed = []
@@ -1412,7 +1710,7 @@ class LakeTable:
         # orphans written by commits that lost the version race)
         referenced: set[str] = set()
         for f in os.listdir(self.meta_dir):
-            if f.startswith("snapshot-") and f.endswith(".json"):
+            if (f.startswith("snapshot-") or f.startswith("branch-")) and f.endswith(".json"):
                 with open(os.path.join(self.meta_dir, f)) as fh:
                     referenced.update(json.load(fh).get("segments", []))
         removed_segments = 0
@@ -1431,12 +1729,22 @@ class LakeTable:
         snapshot references (crashed commits, compacted-away deltas). Staged
         files shared via a warehouse staging area are the warehouse's to
         vacuum, not the table's."""
+        if self._snap_prefix != "snapshot-":
+            raise ValueError("vacuum_orphans runs on main, not a branch view")
         referenced: set[str] = set()
+        # live branch heads (WAP) reference data files too — never their orphans
         for f in os.listdir(self.meta_dir):
-            if f.startswith("snapshot-") and f.endswith(".json"):
-                snap = self.snapshot(int(f[len("snapshot-") : -len(".json")]))
-                for e in snap.files:
-                    referenced.add(os.path.abspath(os.path.join(self.path, e["path"])))
+            if not f.endswith(".json"):
+                continue
+            if not (f.startswith("snapshot-") or f.startswith("branch-")):
+                continue
+            with open(os.path.join(self.meta_dir, f)) as fh:
+                d = json.load(fh)
+            entries = list(d.get("tail", d.get("files", [])))
+            for seg in d.get("segments", []):
+                entries.extend(_resolve_segments(self.meta_dir, [seg]))
+            for e in entries:
+                referenced.add(os.path.abspath(os.path.join(self.path, e["path"])))
         removed = 0
         data_dir = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_dir):

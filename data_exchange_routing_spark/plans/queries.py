@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_exchange_routing_spark.functions import dedup_text as DT
 from data_exchange_routing_spark.functions import similarity as SIM
@@ -2050,6 +2051,84 @@ def cdc_bootstrap_switchover(spark, sf_dir):
         F.md5(F.col("html")).alias("html_md5"),
         "lsn",
     )
+
+
+@q(
+    "lake_merge_into",
+    # Generic MERGE INTO (lake/table.py:merge_into): matched+delete first,
+    # then matched+update (expression over both sides), then
+    # not-matched+insert — one merge-on-read delta commit against the engine
+    # table. The oracle recomputes the final state relationally, so the hash
+    # compare covers clause precedence, LWW ordering of the emitted delta,
+    # untouched-row passthrough, and insert null-backfill.
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 2 * doc_id + 1
+                ELSE n_chars END AS n_chars,
+           lang
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT 'new-' || CAST(doc_id AS VARCHAR) AS url,
+           doc_id AS n_chars,
+           'xx' AS lang
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def lake_merge_into(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="merge_into_"), schema, key="url", n_buckets=8
+    )
+    ts0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    t.merge_cdc(
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            ts0.alias("warc_ts"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "lang",
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    ts1 = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    matched_src = docs.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 0)).select(
+        F.col("doc_id").cast("string").alias("url"),
+        ts1.alias("warc_ts"),
+        F.col("doc_id").alias("num"),
+        (F.lit(2) * F.col("doc_id") + 1).alias("delta"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    insert_src = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("new-"), F.col("doc_id").cast("string")).alias("url"),
+        ts1.alias("warc_ts"),
+        F.lit(-1).cast("long").alias("num"),
+        F.lit(None).cast("long").alias("delta"),
+        F.col("doc_id").cast("long").alias("n_chars"),
+        F.lit("xx").alias("lang"),
+    )
+    t.merge_into(
+        matched_src.unionByName(insert_src),
+        when_matched_update={"n_chars": "t.n_chars + s.delta"},
+        matched_condition="s.num % 3 = 0",
+        when_matched_delete="s.num % 7 = 0",
+        when_not_matched_insert=True,
+        epoch_id=1,
+    )
+    return t.read().select("url", "n_chars", "lang")
 
 
 @q("multimodal_features", None)
