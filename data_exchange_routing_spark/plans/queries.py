@@ -2131,6 +2131,92 @@ def lake_merge_into(spark, sf_dir):
     return t.read().select("url", "n_chars", "lang")
 
 
+@q(
+    "lake_bucket_join",
+    # Storage-partitioned join (lake/spj.py:bucket_join): two co-bucketed
+    # keyed tables join bucket-by-bucket with ZERO shuffle (plan gated
+    # Exchange-free in test_spj.py). Left side carries an LWW update + delete
+    # epoch, so the oracle's CASE/anti reconstruction also re-proves the
+    # local per-bucket resolve against DuckDB.
+    """
+    WITH l AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+             CASE WHEN doc_id % 4 = 0 THEN 'fr' ELSE lang END AS lang
+      FROM documents WHERE doc_id % 9 <> 0
+    ), r AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url, doc_id * 7 AS score
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT l.url, l.n_chars, l.lang, r.score
+    FROM l LEFT JOIN r ON l.url = r.url
+    """,
+)
+def lake_bucket_join(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.spj import bucket_join
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    ts0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ts1 = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    lschema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    left = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="spj_l_"), lschema, key="url", n_buckets=8
+    )
+    left.merge_cdc(
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            ts0.alias("warc_ts"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "lang",
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    left.merge_cdc(  # LWW updates (%4) and deletes (%9) land as delta files
+        docs.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 9 == 0)).select(
+            F.col("doc_id").cast("string").alias("url"),
+            ts1.alias("warc_ts"),
+            (F.col("n_chars").cast("long") + 1000).alias("n_chars"),
+            F.lit("fr").alias("lang"),
+        )
+        .withColumn("_lsn", F.lit(2))
+        .withColumn("_deleted", F.col("url").cast("long") % 9 == 0),
+        epoch_id=1,
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    right = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="spj_r_"), rschema, key="url", n_buckets=8
+    )
+    right.merge_cdc(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").cast("string").alias("url"),
+            ts0.alias("warc_ts"),
+            (F.col("doc_id") * 7).alias("score"),
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    return bucket_join(left, right, how="left").select("url", "n_chars", "lang", "score")
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed

@@ -1,0 +1,172 @@
+"""Storage-partitioned bucket join: equivalence, null-fill, plan shape, guards."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_exchange_routing_spark.lake.spj import bucket_join
+from data_exchange_routing_spark.lake.table import LakeTable
+
+
+def _mk_left(spark, path, n_buckets=8):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, path, schema, key="url", n_buckets=n_buckets)
+    base = (
+        spark.range(200)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            F.col("id").alias("n"),
+            F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False))
+    )
+    t.merge_cdc(base, epoch_id=0)
+    # updates + deletes in a later epoch (delta files; merge-on-read resolve)
+    upd = (
+        spark.range(0, 200, 4)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-02")).alias("warc_ts"),
+            (F.col("id") + 1000).alias("n"),
+            F.lit("fr").alias("lang"),
+        )
+        .withColumn("_lsn", F.lit(2))
+        .withColumn("_deleted", F.col("url").isin("u8", "u16"))
+    )
+    t.merge_cdc(upd, epoch_id=1)
+    return t
+
+
+def _mk_right(spark, path, n_buckets=8, key="url"):
+    schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, path, schema, key=key, n_buckets=n_buckets)
+    rows = (
+        spark.range(0, 200, 2)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias(key),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            (F.col("id") * 0.5).alias("score"),
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.col(key) == F.lit("u20"))
+    )
+    t.merge_cdc(rows, epoch_id=0)
+    return t
+
+
+def _norm(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bucket_join_inner_matches_dataframe_join(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    right = _mk_right(spark, str(tmp_path / "r"))
+    got = bucket_join(left, right, how="inner")
+    l, r = left.read(), right.read()
+    want = (
+        l.join(r.withColumnRenamed("warc_ts", "warc_ts_r"), "url")
+        .select("url", "warc_ts", "n", "lang", "warc_ts_r", "score")
+    )
+    assert got.columns == ["url", "warc_ts", "n", "lang", "warc_ts_r", "score"]
+    assert _norm(got) == _norm(want)
+
+
+def test_bucket_join_left_null_fills_and_respects_tombstones(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    right = _mk_right(spark, str(tmp_path / "r"))
+    got = bucket_join(left, right, how="left")
+    want = left.read().join(
+        right.read().withColumnRenamed("warc_ts", "warc_ts_r"), "url", "left"
+    ).select("url", "warc_ts", "n", "lang", "warc_ts_r", "score")
+    assert _norm(got) == _norm(want)
+    rows = {r["url"]: r for r in got.collect()}
+    assert "u8" not in rows and "u16" not in rows  # left tombstones hidden
+    assert rows["u20"]["score"] is None  # right tombstone -> null fill
+    assert rows["u1"]["score"] is None  # never on right -> null fill
+    assert rows["u4"]["n"] == 1004 and rows["u4"]["lang"] == "fr"  # LWW update
+
+
+def test_bucket_join_plan_has_no_exchange(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    right = _mk_right(spark, str(tmp_path / "r"))
+    df = bucket_join(left, right)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_bucket_join_different_key_names(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    right = _mk_right(spark, str(tmp_path / "r"), key="page_url")
+    got = bucket_join(left, right, how="inner")
+    assert "page_url" not in got.columns
+    want = left.read().join(
+        right.read()
+        .withColumnRenamed("page_url", "url")
+        .withColumnRenamed("warc_ts", "warc_ts_r"),
+        "url",
+    ).select(*got.columns)
+    assert _norm(got) == _norm(want)
+
+
+def test_bucket_join_guards(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    mismatched = _mk_right(spark, str(tmp_path / "r16"), n_buckets=16)
+    with pytest.raises(ValueError, match="bucket layouts differ"):
+        bucket_join(left, mismatched)
+    unkeyed = LakeTable.create(
+        spark,
+        str(tmp_path / "unkeyed"),
+        T.StructType([T.StructField("x", T.LongType())]),
+        key=None,
+    )
+    with pytest.raises(ValueError, match="keyed"):
+        bucket_join(left, unkeyed)
+    with pytest.raises(ValueError, match="inner/left"):
+        bucket_join(left, left, how="full")
+
+
+def test_bucket_join_after_schema_evolution_and_compaction(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    # additive evolution: a third epoch introduces a new nullable column
+    ev = (
+        spark.range(0, 40, 8)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-03")).alias("warc_ts"),
+            (F.col("id") + 5000).alias("n"),
+            F.lit("es").alias("lang"),
+            F.lit("utf-8").alias("charset"),
+        )
+        .withColumn("_lsn", F.lit(3))
+        .withColumn("_deleted", F.lit(False))
+    )
+    left.merge_cdc(ev, epoch_id=2)
+    right = _mk_right(spark, str(tmp_path / "r"))
+    right.compact()  # mixed base/delta layouts on the two sides
+    got = bucket_join(left, right, how="inner")
+    assert "charset" in got.columns
+    want = left.read().join(
+        right.read().withColumnRenamed("warc_ts", "warc_ts_r"), "url"
+    ).select(*got.columns)
+    assert _norm(got) == _norm(want)
+    by_url = {r["url"]: r for r in got.collect()}
+    assert by_url["u24"]["charset"] == "utf-8" and by_url["u24"]["n"] == 5024
+    assert by_url["u4"]["charset"] is None  # old files null-backfill
