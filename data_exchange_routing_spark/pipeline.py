@@ -116,6 +116,87 @@ class Warehouse:
             if f.startswith("epoch-") and f.endswith(".json")
         }
 
+    # ---- cross-table snapshot isolation (warehouse-level consistent cuts) --
+    # Each table commits atomically on its own, but an epoch touches SEVERAL
+    # tables (destinations + dead_letter + lineage); a reader joining two of
+    # them mid-epoch could see epoch K in one and not the other. A consistent
+    # cut is a per-table version vector whose committed-epoch guard sets all
+    # agree — the guards already stored in every snapshot double as the
+    # cross-table consistency witness, so verifying a cut costs a few KB of
+    # metadata and zero data IO at any table size.
+
+    PIPELINE_SOURCES = {"dead_letter": "dead_letter", "lineage_metrics": "lineage"}
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "_meta"))
+        )
+
+    def consistent_snapshot(self, max_attempts: int = 20) -> dict[str, int]:
+        """Pin every table at a version such that the pipeline tables'
+        committed-epoch sets are identical (no torn epoch visible). Retries
+        while commits race; raises loudly if no cut stabilizes — e.g. a
+        half-committed epoch from a crashed driver (redeliver it to heal).
+        Non-pipeline tables (user tables under the same root) are pinned at
+        their current version without joining the epoch predicate."""
+        pipeline_tables = set(DESTINATION_TABLES) | {"dead_letter", "lineage_metrics"}
+        last = None
+        for _ in range(max_attempts):
+            pins: dict[str, int] = {}
+            sets: dict[str, frozenset] = {}
+            for name in self.list_tables():
+                t = self.table(name)
+                v = t.current_version()
+                pins[name] = v
+                if name in pipeline_tables and v > 0:
+                    src = self.PIPELINE_SOURCES.get(name, "cdc")
+                    sets[name] = frozenset(t.snapshot(v).epochs(src))
+            if len(set(sets.values())) <= 1:
+                return pins
+            last = {k: sorted(v) for k, v in sets.items()}
+        raise RuntimeError(
+            f"no consistent cut after {max_attempts} attempts; "
+            f"epoch sets disagree (torn epoch?): {last}"
+        )
+
+    def publish_snapshot(self, tag: str, pins: dict[str, int] | None = None) -> dict[str, int]:
+        """Persist a consistent cut under a name (Iceberg tag analog).
+        Exclusive-create: publishing an existing tag raises."""
+        from data_exchange_routing_spark.lake.table import _atomic_write_json
+
+        if not tag.replace("_", "").replace("-", "").isalnum():
+            raise ValueError(f"invalid tag {tag!r}")
+        pins = pins if pins is not None else self.consistent_snapshot()
+        d = os.path.join(self.root, "_snapshots")
+        os.makedirs(d, exist_ok=True)
+        try:
+            _atomic_write_json(os.path.join(d, f"{tag}.json"), pins)
+        except FileExistsError:
+            raise ValueError(f"snapshot tag {tag!r} already exists") from None
+        return pins
+
+    def read_consistent(self, tag: str | None = None) -> dict[str, "DataFrame"]:
+        """Time-travel reads of every table pinned to one consistent cut —
+        either a published tag or a fresh cut. Joins across the returned
+        DataFrames are snapshot-isolated: no later epoch leaks in. A tag
+        whose pinned versions were expired (expire_snapshots) fails loudly
+        on read. Tables created after the tag are absent from the dict."""
+        if tag is not None:
+            path = os.path.join(self.root, "_snapshots", f"{tag}.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"no snapshot tag {tag!r} in {self.root}")
+            with open(path) as f:
+                pins = json.load(f)
+        else:
+            pins = self.consistent_snapshot()
+        return {
+            name: self.table(name).read(version=v)
+            for name, v in pins.items()
+            if v > 0
+        }
+
     # ---- promoted-meta-key registry (open-world schema, amortized O(1)) ----
     def _promote_registry_path(self) -> str:
         return os.path.join(self.root, "_checkpoints", "promoted_meta_keys.json")

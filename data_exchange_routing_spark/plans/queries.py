@@ -2217,6 +2217,85 @@ def lake_bucket_join(spark, sf_dir):
     return bucket_join(left, right, how="left").select("url", "n_chars", "lang", "score")
 
 
+@q(
+    "cdc_consistent_cut_read",
+    # Warehouse-level snapshot isolation (pipeline.py:Warehouse.
+    # publish_snapshot/read_consistent): a tag published after epochs {0,1}
+    # pins EVERY table's version in one consistent cut; reading web_pages AND
+    # web_pages_pdf through the tag after the full replay moved on must
+    # return the prefix state of BOTH — the oracle recomputes that two-table
+    # prefix in closed form (epoch_hint = lsn%4, route index = lsn%4, so the
+    # {0,1} cut holds exactly the html + pdf routes).
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    typed AS (
+      SELECT lsn, warc_ts, user_id, event_type,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op,
+        CASE WHEN lsn % 29 = 0 THEN 'application/octet-stream'
+             WHEN lsn % 29 = 1 THEN 'application/xml'
+             WHEN lsn % 4 = 0 THEN 'text/html'
+             WHEN lsn % 4 = 1 THEN 'application/pdf'
+             WHEN lsn % 4 = 2 THEN 'text/plain'
+             ELSE 'application/json' END AS ct
+      FROM ev
+      WHERE lsn % 4 IN (0, 1)
+        AND lsn % 43 <> 0 AND lsn % 41 <> 0
+    ),
+    routed AS (
+      SELECT * FROM typed WHERE ct IN ('text/html', 'application/pdf')
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY ct, user_id ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM routed
+    )
+    SELECT
+      CASE ct WHEN 'text/html' THEN 'web_pages' ELSE 'web_pages_pdf' END
+        AS table_name,
+      'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+        || CAST(user_id AS VARCHAR) AS url,
+      warc_ts,
+      'T P ' || CAST(user_id AS VARCHAR) || ' rev ' || CAST(lsn AS VARCHAR)
+        || ' & type ' || event_type AS text,
+      CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+        WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_consistent_cut_read(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_change_events_from_events,
+    )
+
+    events = derive_change_events_from_events(ld(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="cdc_cut_")
+    events.write.mode("overwrite").partitionBy("epoch_hint").parquet(f"{root}/events")
+    wh = Warehouse(spark, f"{root}/wh", n_buckets=8)
+    replay(wh, f"{root}/events", stop_after_epoch=1, max_concurrent_epochs=1)
+    wh.publish_snapshot("cut01")
+    replay(wh, f"{root}/events", max_concurrent_epochs=1)  # epochs 2..3 land
+    views = wh.read_consistent("cut01")
+    out = None
+    for name in ("web_pages", "web_pages_pdf"):
+        part = views[name].select(
+            F.lit(name).alias("table_name"), "url", "warc_ts", "text", "lang"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed

@@ -1,0 +1,76 @@
+"""Warehouse-level consistent cuts: cross-table snapshot isolation."""
+
+import pytest
+
+from data_exchange_routing_spark.pipeline import Warehouse, replay
+from data_exchange_routing_spark.schemas import WEB_PAGES
+from data_exchange_routing_spark.sources.configs import DESTINATION_TABLES
+from data_exchange_routing_spark.sources.datagen import write_change_events
+
+
+def _mk_wh(spark, tmp_path, n_epochs=3):
+    events = str(tmp_path / "events")
+    write_change_events(spark, events, 400, 60, n_epochs=n_epochs)
+    wh = Warehouse(spark, str(tmp_path / "wh"), n_buckets=8)
+    return wh, events
+
+
+def _norm(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_consistent_snapshot_and_fresh_cut_reads(spark, tmp_path):
+    wh, events = _mk_wh(spark, tmp_path)
+    replay(wh, events)
+    pins = wh.consistent_snapshot()
+    assert set(DESTINATION_TABLES) <= set(pins)
+    views = wh.read_consistent()
+    assert _norm(views["web_pages"]) == _norm(wh.table("web_pages").read())
+    assert views["dead_letter"].count() == wh.table("dead_letter").read().count()
+
+
+def test_published_tag_pins_prefix_state_across_later_epochs(spark, tmp_path):
+    wh, events = _mk_wh(spark, tmp_path, n_epochs=3)
+    replay(wh, events, stop_after_epoch=0, max_concurrent_epochs=1)
+    want_pages = _norm(wh.table("web_pages").read())
+    want_dead = wh.table("dead_letter").read().count()
+    wh.publish_snapshot("after_epoch0")
+    replay(wh, events, max_concurrent_epochs=1)  # epochs 1..2 land
+    assert _norm(wh.table("web_pages").read()) != want_pages  # state moved on
+    views = wh.read_consistent("after_epoch0")
+    assert _norm(views["web_pages"]) == want_pages
+    assert views["dead_letter"].count() == want_dead
+
+
+def test_torn_epoch_is_detected_then_heals(spark, tmp_path):
+    wh, events = _mk_wh(spark, tmp_path)
+    replay(wh, events)
+    pipeline_tables = sorted(set(DESTINATION_TABLES))
+    # half-committed epoch: the guard lands on ONE destination table only
+    wh.table(pipeline_tables[0]).commit_staged_files(
+        [], WEB_PAGES, epoch_id=99, source="cdc"
+    )
+    with pytest.raises(RuntimeError, match="torn epoch"):
+        wh.consistent_snapshot(max_attempts=2)
+    for name in pipeline_tables[1:]:
+        wh.table(name).commit_staged_files([], WEB_PAGES, epoch_id=99, source="cdc")
+    wh.table("dead_letter").commit_staged_files(
+        [], wh.table("dead_letter").snapshot().schema(), epoch_id=99, source="dead_letter"
+    )
+    wh.table("lineage_metrics").commit_staged_files(
+        [], wh.table("lineage_metrics").snapshot().schema(), epoch_id=99, source="lineage"
+    )
+    pins = wh.consistent_snapshot()
+    assert pins["web_pages"] >= 1
+
+
+def test_duplicate_tag_and_missing_tag_raise(spark, tmp_path):
+    wh, events = _mk_wh(spark, tmp_path, n_epochs=2)
+    replay(wh, events)
+    wh.publish_snapshot("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        wh.publish_snapshot("v1")
+    with pytest.raises(FileNotFoundError, match="no snapshot tag"):
+        wh.read_consistent("nope")
+    with pytest.raises(ValueError, match="invalid tag"):
+        wh.publish_snapshot("../escape")
