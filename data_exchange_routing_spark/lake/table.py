@@ -229,6 +229,68 @@ class LakeTable:
         # read / compact path works unchanged against the branch head.
         self._snap_prefix = "snapshot-"
 
+    # --------------------------------------------------- table props (bloom)
+    def _props(self) -> dict:
+        p = os.path.join(self.meta_dir, "props.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _bloom_entry(self, df: DataFrame) -> dict | None:
+        """One packed bitmap per configured bloom column over this commit's
+        batch: ONE distributed job whose shuffle carries only DISTINCT bit
+        positions (<= bloom_bits per column, independent of batch size) —
+        the same build shape as functions/novelty.py. NULLs are never
+        recorded (a NULL probe is rejected at read instead)."""
+        props = self._props()
+        cols = [c for c in props.get("bloom_cols", []) if c in df.columns]
+        if not cols:
+            return None
+        import base64
+
+        import numpy as np
+
+        from data_exchange_routing_spark.functions.novelty import bloom_positions
+
+        bits, hashes = props["bloom_bits"], props["bloom_hashes"]
+        pos = None
+        for ci, c in enumerate(cols):
+            p = df.select(
+                F.lit(ci).alias("ci"),
+                F.explode(
+                    bloom_positions(F.col(c).cast("string"), bits, hashes)
+                ).alias("p"),
+            )
+            pos = p if pos is None else pos.union(p)
+        by_col: dict[int, list[int]] = {}
+        for r in pos.distinct().collect():
+            by_col.setdefault(r["ci"], []).append(r["p"])
+        out = {}
+        for ci, c in enumerate(cols):
+            bitmap = np.zeros(bits, dtype=bool)
+            bitmap[by_col.get(ci, [])] = True
+            out[c] = base64.b64encode(np.packbits(bitmap).tobytes()).decode("ascii")
+        return out
+
+    @staticmethod
+    def _bloom_probe(b64: str, value, n_bits: int, n_hashes: int) -> bool:
+        """Python twin of the build hashing (novelty._h1h2_py): True iff the
+        packed bitmap MIGHT contain value — no false negatives."""
+        import base64
+
+        import numpy as np
+
+        from data_exchange_routing_spark.functions.novelty import _h1h2_py
+
+        packed = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+        h1, h2 = _h1h2_py(str(value))
+        for i in range(n_hashes):
+            p = (h1 + i * h2) % n_bits
+            if not (packed[p // 8] >> (7 - (p % 8)) & 1):
+                return False
+        return True
+
     # ------------------------------------------------------------ lifecycle
     @classmethod
     def create(
@@ -238,11 +300,37 @@ class LakeTable:
         schema: T.StructType,
         key: str | None = None,
         n_buckets: int = 16,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 5,
     ) -> "LakeTable":
-        """Create an empty table. ``key`` enables CDC merge semantics."""
+        """Create an empty table. ``key`` enables CDC merge semantics.
+
+        ``bloom_cols`` (append-only tables) records a per-commit Bloom bitmap
+        over each listed column in the manifest, enabling file skipping for
+        point predicates on NON-key columns — the Iceberg/Delta bloom-filter
+        index analog at manifest level (zero file opens for pruned files)."""
         t = cls(spark, path)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
+        if bloom_cols:
+            if key is not None:
+                raise ValueError(
+                    "bloom_cols requires an append-only (unkeyed) table: "
+                    "pruning a keyed table's delta files by a non-key "
+                    "predicate would resolve stale revisions"
+                )
+            missing = [c for c in bloom_cols if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"bloom_cols not in schema: {missing}")
+            _atomic_write_json(
+                os.path.join(t.meta_dir, "props.json"),
+                {
+                    "bloom_cols": list(bloom_cols),
+                    "bloom_bits": bloom_bits,
+                    "bloom_hashes": bloom_hashes,
+                },
+            )
         if t.current_version() == 0:
             stored = schema
             if key is not None:
@@ -366,6 +454,7 @@ class LakeTable:
         version: int | None = None,
         ts_filter: tuple | None = None,
         include_tombstones: bool = False,
+        bloom_eq: tuple | None = None,
     ) -> DataFrame:
         """Current resolved state. ``buckets`` prunes files from the manifest
         before Spark ever lists them (partition pruning).
@@ -394,6 +483,36 @@ class LakeTable:
             # bucket-selective read / point_read silently misses live rows.
             keep = set(buckets) | {-1}
             files = [f for f in files if f["bucket"] in keep]
+        if bloom_eq is not None:
+            # point predicate on a NON-key column of an append-only table:
+            # files whose manifest Bloom bitmap says "definitely absent" are
+            # never opened; the exact row predicate still applies afterwards
+            # (no false negatives => result exact). Files lacking a bitmap
+            # (pre-index commits, compaction rewrites) are never pruned.
+            if snap.key is not None:
+                raise ValueError(
+                    "bloom_eq requires an append-only (unkeyed) table; a "
+                    "bloom-pruned current-state read of a keyed table is "
+                    "not well-defined"
+                )
+            col, value = bloom_eq
+            props = self._props()
+            if col not in props.get("bloom_cols", []):
+                raise ValueError(
+                    f"column {col!r} has no bloom index on this table "
+                    f"(bloom_cols={props.get('bloom_cols', [])})"
+                )
+            if value is None:
+                raise ValueError("bloom_eq cannot probe NULL (never indexed)")
+            bits, hashes = props["bloom_bits"], props["bloom_hashes"]
+            files = [
+                f
+                for f in files
+                if (f.get("bloom") or {}).get(col) is None
+                or self._bloom_probe(f["bloom"][col], value, bits, hashes)
+            ]
+            df = self._read_files(snap, files, with_internal=with_internal)
+            return df.filter(F.col(col) == F.lit(value))
         if ts_filter is not None:
             # time-scoped scan of an APPEND-ONLY table: (col, lo, hi) prunes
             # files whose manifest ts_stats range misses [lo, hi] — the
@@ -807,6 +926,31 @@ class LakeTable:
             "rows": len(rows),
             "bytes": os.path.getsize(full),
         }
+        props = self._props()
+        bcols = [c for c in props.get("bloom_cols", []) if c in schema.fieldNames()]
+        if bcols:
+            # driver-local rows: build the bitmaps in pure Python with the
+            # byte-identical hash twin — zero Spark jobs, same as the commit
+            import base64
+
+            import numpy as np
+
+            from data_exchange_routing_spark.functions.novelty import _h1h2_py
+
+            bits, hashes = props["bloom_bits"], props["bloom_hashes"]
+            idx = {f.name: i for i, f in enumerate(schema.fields)}
+            bloom = {}
+            for c in bcols:
+                bitmap = np.zeros(bits, dtype=bool)
+                for row in rows:
+                    v = row[idx[c]]
+                    if v is None:
+                        continue
+                    h1, h2 = _h1h2_py(str(v))
+                    for i in range(hashes):
+                        bitmap[(h1 + i * h2) % bits] = True
+                bloom[c] = base64.b64encode(np.packbits(bitmap).tobytes()).decode("ascii")
+            entry["bloom"] = bloom
         return self.commit_staged_files([entry], schema, epoch_id=epoch_id, source=source)
 
     def merge_cdc(
@@ -987,6 +1131,14 @@ class LakeTable:
         if bucketed:
             out = out.withColumn(BUCKET_COL, self._bucket_expr(snap))
         files = self._stage_files(out, snap, snap.version + 1, bucketed)
+        if not bucketed:
+            # opt-in bloom index: one extra pass over the batch whose shuffle
+            # carries only distinct bit positions; attached to this commit's
+            # manifest entries (one bitmap per commit per indexed column)
+            bloom = self._bloom_entry(out)
+            if bloom:
+                for e in files:
+                    e["bloom"] = bloom
 
         # optimistic-concurrency commit loop (Iceberg-style): losers of the
         # exclusive-create race re-read the new snapshot and retry on top.

@@ -2296,6 +2296,47 @@ def cdc_consistent_cut_read(spark, sf_dir):
     return out
 
 
+@q(
+    "events_bloom_point_scan",
+    # Manifest-level bloom file index (lake/table.py:create(bloom_cols=) +
+    # read(bloom_eq=)): a point predicate on a NON-key column prunes whole
+    # files from the manifest before Spark lists them (no false negatives =>
+    # exact). The events table is ingested as 4 epoch commits split by
+    # event_id % 4 so the probe provably skips commits (gated in
+    # test_bloom_index.py); the oracle is the plain predicate scan.
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE user_id = 7 AND ts IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def events_bloom_point_scan(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="bloom_idx_"), schema, bloom_cols=["user_id"]
+    )
+    for k in range(4):
+        t.append(
+            ev.filter(F.col("event_id") % 4 == k).select(
+                "event_id", "user_id", "event_type", "value"
+            ),
+            epoch_id=k,
+        )
+    return t.read(bloom_eq=("user_id", 7)).orderBy("event_id")
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed
