@@ -2337,6 +2337,162 @@ def events_bloom_point_scan(spark, sf_dir):
     return t.read(bloom_eq=("user_id", 7)).orderBy("event_id")
 
 
+@q(
+    "web_host_triangles",
+    # Per-host triangle participation over the extracted link graph — the
+    # classic link-farm/clustering signal. functions/graph.py:triangle_counts
+    # orients edges low->high by (degree, id) so each triangle is found
+    # exactly once and hub wedges never explode; the oracle counts the same
+    # triangles from the raw-id orientation (the triangle SET is
+    # orientation-independent).
+    f"""
+    WITH {_LINKS_SQL_CTE.strip().rstrip(',')},
+    hedges AS MATERIALIZED (
+      SELECT DISTINCT concat('example', l.doc_id % 4, '.com') AS s,
+             regexp_extract(l.dst_url, '{_HOST_RE}', 1) AS t
+      FROM links l
+      WHERE regexp_extract(l.dst_url, '{_HOST_RE}', 1) <> ''),
+    ed AS MATERIALIZED (
+      SELECT least(s, t) AS u, greatest(s, t) AS v
+      FROM hedges WHERE s <> t GROUP BY 1, 2),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM ed e1
+      JOIN ed e2 ON e2.u = e1.v
+      JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+    m AS (
+      SELECT a AS host FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT host, count(*) AS n_triangles FROM m GROUP BY 1
+    """,
+)
+def web_host_triangles(spark, sf_dir):
+    # src hosts share the dst namespace (example{0..3}.com) so the host
+    # graph is NOT bipartite and actually contains triangles at every SF
+    from data_exchange_routing_spark.functions.graph import triangle_counts
+    from data_exchange_routing_spark.operators.parse import extract_links, host_of
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("concat('example', doc_id % 4, '.com')").alias("src_host"),
+        F.encode(F.expr(_LINK_HTML_SYNTH), "UTF-8").alias("html"),
+    )
+    links = extract_links(d, html_col="html", id_cols=("doc_id", "src_host"))
+    hedges = (
+        links.select("src_host", host_of(F.col("dst_url")).alias("dst_host"))
+        .filter(F.col("dst_host") != "")
+        .distinct()
+    )
+    return triangle_counts(hedges, "src_host", "dst_host").select(
+        F.col("node").alias("host"), "n_triangles"
+    )
+
+
+@q(
+    "events_funnel_conversion",
+    # Ordered funnel analysis (view -> click -> purchase per user, each stage
+    # strictly after the previous): three map-side-combinable min-ts aggs
+    # chained by user_id joins — never a per-user event sort. The standard
+    # web-analytics conversion query.
+    """
+    WITH ev AS (SELECT user_id, event_type, ts FROM events WHERE ts IS NOT NULL),
+    v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM ev e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM ev e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT u.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                WHEN v.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = ld(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+@q(
+    "doc_editdist_confirm",
+    # Edit-distance confirmation stage of a near-dup pipeline: prefix-
+    # blocked candidate pairs (the closed-form stand-in for LSH candidates) verified by exact Levenshtein on a fixed text prefix —
+    # Spark's levenshtein() and DuckDB's agree symbol-for-symbol. At scale
+    # the candidate set is the sub-quadratic LSH output; the DP cost is
+    # per-pair and bounded by the prefix cap.
+    """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 80) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.t, b.t) AS dist
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 20
+    """,
+)
+def doc_editdist_confirm(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 16).alias("blk"),
+        F.substring("text", 1, 80).alias("t"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
+    )
+    return pairs.filter(F.col("dist") <= 20)
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed

@@ -145,3 +145,34 @@ def test_pagerank_drops_nonpositive_edges_and_conserves_mass(spark):
     # only (b -> a) survives: nodes {a, b}; a is dangling
     assert set(got) == {"a", "b"}
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Degree-ordered compact-forward triangle counts == brute-force
+    enumeration over a deterministic pseudo-random graph (self-loops,
+    duplicate and reversed edges included in the input)."""
+    from itertools import combinations
+
+    from data_exchange_routing_spark.functions.graph import triangle_counts
+
+    edges = [
+        (f"n{a}", f"n{b}")
+        for a in range(20)
+        for b in range(20)
+        if a != b and (a * 31 + b * 17) % 7 < 2
+    ]
+    edges += [(b, a) for a, b in edges[:30]] + [("n1", "n1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[str, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict[str, int] = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    assert got == want and sum(want.values()) % 3 == 0 and want
