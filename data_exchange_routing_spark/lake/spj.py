@@ -76,12 +76,17 @@ def bucket_join(
     how: str = "inner",
     rsuffix: str = "_r",
     batch_rows: int = 1 << 16,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Shuffle-free equi-join of two co-bucketed keyed tables on their keys.
 
     Output columns: the left key (named as on the left), every public left
     column, then every public right column except its key — right columns
-    whose names clash with a left column get ``rsuffix``.
+    whose names clash with a left column get ``rsuffix``. ``columns``
+    restricts the output to the named source columns (key always included)
+    AND pushes the projection into the per-file parquet reads — only the
+    requested columns plus the resolve columns (key, warc_ts, _lsn,
+    _deleted) are ever decoded, the column-pruning a 100 TB scan needs.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"bucket_join supports inner/left, got {how!r}")
@@ -105,21 +110,47 @@ def bucket_join(
         for f in rsnap.schema().fields
         if f.name not in INTERNAL_COLS and f.name != rkey
     ]
+    if columns is not None:
+        known = {f.name for f in lschema} | {f.name for f in rschema}
+        unknown = [c for c in columns if c not in known]
+        if unknown:
+            raise ValueError(f"columns not on either side: {unknown}")
+        keep = set(columns)
+        lschema = [f for f in lschema if f.name == lkey or f.name in keep]
+        rschema = [f for f in rschema if f.name in keep]
     lnames = [f.name for f in lschema]
     rename = {f.name: (f.name + rsuffix if f.name in lnames else f.name) for f in rschema}
     out_fields = [T.StructField(f.name, f.dataType, f.nullable) for f in lschema] + [
         T.StructField(rename[f.name], f.dataType, True) for f in rschema
     ]
     out_schema = T.StructType(out_fields)
-    l_dtypes = {f.name: _pandas_dtype_hint(f.dataType) for f in lsnap.schema().fields}
-    r_dtypes = {f.name: _pandas_dtype_hint(f.dataType) for f in rsnap.schema().fields}
+    resolve_cols = ["warc_ts", LSN_COL, DELETED_COL]
+    l_need = dict.fromkeys([lkey, *resolve_cols] + [f.name for f in lschema])
+    r_need = dict.fromkeys([rkey, *resolve_cols] + [f.name for f in rschema])
+    l_dtypes = {
+        f.name: _pandas_dtype_hint(f.dataType)
+        for f in lsnap.schema().fields
+        if f.name in l_need
+    }
+    r_dtypes = {
+        f.name: _pandas_dtype_hint(f.dataType)
+        for f in rsnap.schema().fields
+        if f.name in r_need
+    }
 
     def _task(batches):
         import pandas as pd
         import pyarrow.parquet as pq
 
         def _load(paths: list[str], want: dict) -> pd.DataFrame:
-            frames = [pq.read_table(p).to_pandas() for p in paths]
+            frames = []
+            for p in paths:
+                # projection pushdown: decode only the needed columns that
+                # this file actually has (older files may predate evolution)
+                avail = set(pq.read_schema(p).names)
+                frames.append(
+                    pq.read_table(p, columns=[c for c in want if c in avail]).to_pandas()
+                )
             if frames:
                 df = pd.concat(frames, ignore_index=True, sort=False)
             else:

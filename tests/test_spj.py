@@ -170,3 +170,14 @@ def test_bucket_join_after_schema_evolution_and_compaction(spark, tmp_path):
     by_url = {r["url"]: r for r in got.collect()}
     assert by_url["u24"]["charset"] == "utf-8" and by_url["u24"]["n"] == 5024
     assert by_url["u4"]["charset"] is None  # old files null-backfill
+
+
+def test_bucket_join_column_projection(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    right = _mk_right(spark, str(tmp_path / "r"))
+    got = bucket_join(left, right, how="left", columns=["n", "score"])
+    assert got.columns == ["url", "n", "score"]
+    want = left.read().join(right.read(), "url", "left").select("url", "n", "score")
+    assert _norm(got) == _norm(want)
+    with pytest.raises(ValueError, match="columns not on either side"):
+        bucket_join(left, right, columns=["nope"])
