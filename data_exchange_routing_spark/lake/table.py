@@ -1732,6 +1732,117 @@ class LakeTable:
         )
         return self.merge_cdc(tomb, epoch_id=epoch_id, source=source)
 
+    def expire_data(self, col: str, cutoff, keep_nulls: bool = True) -> dict:
+        """Retention delete on an append-only table: drop every row whose
+        ``col`` (timestamp) orders strictly before ``cutoff``.
+
+        Scale shape (the GDPR/TTL workhorse): files whose manifest
+        ``ts_stats`` range is wholly below the cutoff are dropped
+        METADATA-ONLY — zero reads, zero writes, any file size — which at a
+        steady ingest rate is ~all expired data (each epoch's files age out
+        together). Only files STRADDLING the cutoff (at most one epoch's
+        worth per retention run) are rewritten with the exact row filter;
+        files wholly inside the window are untouched. Files without stats
+        (all-NULL column, legacy) rewrite conservatively. NULL ``col`` rows
+        have unknown age: kept by default (``keep_nulls=False`` drops them).
+
+        Old files stay referenced by older snapshots for time travel until
+        ``expire_snapshots`` + ``vacuum_orphans`` reclaim them, exactly like
+        every other rewrite. Concurrent-append safe: the commit aborts on
+        version conflict (retry next maintenance cycle) rather than dropping
+        the concurrent batch."""
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError(
+                "expire_data requires an append-only (unkeyed) table; keyed "
+                "tables delete by predicate with delete_where (tombstones)"
+            )
+        iso = cutoff.isoformat()
+        drop, keep, straddle = [], [], []
+        for f in snap.files:
+            rng = (f.get("ts_stats") or {}).get(col)
+            if rng is None:
+                straddle.append(f)
+            elif rng[1] < iso:
+                drop.append(f)
+            elif rng[0] >= iso:
+                keep.append(f)
+            else:
+                straddle.append(f)
+        new_files: list[dict] = []
+        if straddle:
+            df = self._read_files(snap, straddle, with_internal=True)
+            pred = F.col(col) >= F.lit(cutoff)
+            if keep_nulls:
+                pred = pred | F.col(col).isNull()
+            df = df.filter(pred)
+            new_files = self._stage_files(
+                df, snap, snap.version + 1, bucketed=False, n_files=len(straddle)
+            )
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            committed_epochs=snap.committed_epochs,
+            summary={
+                "operation": "expire-data",
+                "col": col,
+                "cutoff": iso,
+                "files_dropped": len(drop),
+                "files_rewritten": len(straddle),
+            },
+        )
+        new.replace_files(keep + new_files)
+        try:
+            self._write_snapshot(new)
+        except FileExistsError:
+            return {"skipped": True, "reason": "commit-conflict"}
+        return {
+            "skipped": False,
+            "version": new.version,
+            "files_dropped": len(drop),
+            "files_rewritten": len(straddle),
+            "files_kept": len(keep),
+        }
+
+    def clone_to(self, dest_path: str) -> "LakeTable":
+        """Zero-copy clone (Delta shallow-clone analog, hardlink flavor):
+        data files are HARDLINKED into the clone (O(#files) metadata ops,
+        zero bytes copied, any table size), the current snapshot is re-rooted
+        as the clone's version 1. The clone then evolves independently —
+        commits, compaction, vacuum on either side never touch the other's
+        row data (hardlinked blocks are shared until either side's vacuum
+        unlinks its own name; the inode lives while any name does). The
+        dev/test-on-prod-data primitive."""
+        snap = self.snapshot()
+        dest = LakeTable(self.spark, dest_path)
+        if dest.exists():
+            raise ValueError(f"destination already has a lake table: {dest_path}")
+        os.makedirs(dest.meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(dest.path, _DATA_DIR), exist_ok=True)
+        entries = []
+        for f in snap.files:
+            src = os.path.join(self.path, f["path"])
+            rel = os.path.join(_DATA_DIR, f"clone-{uuid.uuid4().hex[:12]}.parquet")
+            os.link(src, os.path.join(dest.path, rel))
+            entries.append(dict(f, path=rel))
+        props = self._props()
+        if props:
+            _atomic_write_json(os.path.join(dest.meta_dir, "props.json"), props)
+        new = Snapshot(
+            version=1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            committed_epochs=dict(snap.committed_epochs),
+            summary={"operation": "clone", "source": self.path,
+                     "source_version": snap.version},
+        )
+        new.replace_files(entries)
+        dest._write_snapshot(new)
+        return dest
+
     def point_read(self, key_value: str) -> DataFrame:
         """Resolved row(s) for one key with full pruning: the key hashes to
         one bucket (manifest prunes every other bucket's files before any

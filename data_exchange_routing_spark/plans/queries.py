@@ -2493,6 +2493,44 @@ def doc_editdist_confirm(spark, sf_dir):
     return pairs.filter(F.col("dist") <= 20)
 
 
+@q(
+    "events_retention_expiry",
+    # Metadata-only retention (lake/table.py:expire_data): events land as 6
+    # commits split by 5-day age band, so expiring everything before Jan 16
+    # drops the first 3 files from the manifest WITHOUT reading them (gated
+    # in test_retention_clone.py) and rewrites at most the straddling file.
+    # The oracle is the plain age predicate.
+    """
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-16' ORDER BY event_id
+    """,
+)
+def events_retention_expiry(spark, sf_dir):
+    import tempfile
+    from datetime import datetime
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="retention_"), schema)
+    band = F.floor(F.dayofmonth("ts") / 5)
+    for k in range(7):
+        part = ev.filter(band == k).select("event_id", "ts", "user_id", "value")
+        t.append(part, epoch_id=k)
+    res = t.expire_data("ts", datetime(2024, 1, 16))
+    assert res["files_dropped"] >= 2, res  # whole age bands went metadata-only
+    return t.read().orderBy("event_id")
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed
