@@ -1843,6 +1843,93 @@ class LakeTable:
         dest._write_snapshot(new)
         return dest
 
+    def lookup_join(
+        self,
+        probe: DataFrame,
+        probe_key: str | None = None,
+        columns: list[str] | None = None,
+        how: str = "left",
+    ) -> DataFrame:
+        """Enrich a batch with this keyed table's current state — the
+        stream-side dimension/state lookup of a CDC pipeline (foreachBatch
+        enrichment against a 100 TB table).
+
+        Scale shape: one tiny job computes the distinct buckets the probe's
+        keys hash to (<= n_buckets rows out), the table side is read
+        bucket-pruned to exactly those buckets, and the join shuffles
+        O(probe + touched buckets) — never O(table). A point-y batch
+        touching k keys scans at most k buckets' files. ``columns``
+        restricts the state side (plus its key) before the join, so column
+        pruning reaches the parquet scan.
+        """
+        snap = self.snapshot()
+        if snap.key is None:
+            raise ValueError("lookup_join requires a keyed table")
+        key = snap.key
+        pk = probe_key or key
+        if pk not in probe.columns:
+            raise ValueError(f"probe has no column {pk!r}")
+        b_expr = F.pmod(F.xxhash64(F.col(pk)), F.lit(snap.n_buckets)).cast("int")
+        buckets = sorted(
+            r[0]
+            for r in probe.select(b_expr.alias("_b")).distinct().collect()
+            if r[0] is not None
+        )
+        state = self.read(buckets=buckets)
+        if columns is not None:
+            missing = [c for c in columns if c not in state.columns]
+            if missing:
+                raise ValueError(f"columns not on table: {missing}")
+            state = state.select(key, *[c for c in columns if c != key])
+        clash = set(probe.columns) - {pk}
+        state = state.select(
+            *[
+                F.col(c).alias(pk if c == key else (c + "_t" if c in clash else c))
+                for c in state.columns
+            ]
+        )
+        return probe.join(state, pk, how)
+
+    def diff(self, other: "LakeTable", columns: list[str] | None = None) -> DataFrame:
+        """Anti-entropy table comparison (migration/backfill validation):
+        one row per key whose current state differs between the two keyed
+        tables — ``status`` in {left_only, right_only, changed}.
+
+        Equality is md5 over the canonical JSON of the compared columns
+        (sorted names, shared subset unless ``columns`` pins them), computed
+        map-side on each resolved state; the full-outer join then carries
+        only (key, hash) — O(keys) shuffle width regardless of row width.
+        Matching keys with equal hashes drop out; the output is the
+        (usually tiny) disagreement set."""
+        lsnap, rsnap = self.snapshot(), other.snapshot()
+        if lsnap.key is None or rsnap.key is None:
+            raise ValueError("diff requires keyed tables on both sides")
+        lkey, rkey = lsnap.key, rsnap.key
+        if columns is None:
+            shared = {f.name for f in lsnap.schema().fields} & {
+                f.name for f in rsnap.schema().fields
+            }
+            columns = sorted(shared - {lkey, rkey, *INTERNAL_COLS})
+        fp = lambda df, key: df.select(  # noqa: E731
+            F.col(key).alias("_k"),
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(columns)]))).alias("_h"),
+        )
+        l = fp(self.read(), lkey)
+        r = fp(other.read(), rkey)
+        j = l.alias("l").join(r.alias("r"), F.col("l._k") == F.col("r._k"), "full_outer")
+        status = (
+            F.when(F.col("r._k").isNull(), F.lit("left_only"))
+            .when(F.col("l._k").isNull(), F.lit("right_only"))
+            .when(F.col("l._h") != F.col("r._h"), F.lit("changed"))
+        )
+        return (
+            j.select(
+                F.coalesce(F.col("l._k"), F.col("r._k")).alias(lkey),
+                status.alias("status"),
+            )
+            .filter(F.col("status").isNotNull())
+        )
+
     def point_read(self, key_value: str) -> DataFrame:
         """Resolved row(s) for one key with full pruning: the key hashes to
         one bucket (manifest prunes every other bucket's files before any

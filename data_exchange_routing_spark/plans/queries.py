@@ -2531,6 +2531,157 @@ def events_retention_expiry(spark, sf_dir):
     return t.read().orderBy("event_id")
 
 
+@q(
+    "events_state_lookup_join",
+    # Bucket-pruned state enrichment (lake/table.py:lookup_join): a probe
+    # batch joins against the keyed table's CURRENT resolved state reading
+    # only the buckets the probe's keys hash to — O(probe + touched buckets),
+    # never O(table). The probe (doc_id % 11 == 0 urls plus misses) is
+    # closed-form, so the oracle is a plain LEFT JOIN against the documents
+    # source.
+    """
+    WITH probe AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url, doc_id AS probe_id
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT 'miss-' || CAST(doc_id AS VARCHAR), doc_id
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT p.url, p.probe_id, d.n_chars, d.lang
+    FROM probe p
+    LEFT JOIN (SELECT CAST(doc_id AS VARCHAR) AS url, n_chars, lang
+               FROM documents) d ON d.url = p.url
+    """,
+)
+def events_state_lookup_join(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="lookup_"), schema, key="url", n_buckets=16
+    )
+    t.merge_cdc(
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "lang",
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    probe = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(F.col("doc_id").cast("string").alias("url"), F.col("doc_id").alias("probe_id"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                F.concat(F.lit("miss-"), F.col("doc_id").cast("string")).alias("url"),
+                F.col("doc_id").alias("probe_id"),
+            )
+        )
+    )
+    return t.lookup_join(probe, columns=["n_chars", "lang"])
+
+
+@q(
+    "lake_table_diff",
+    # Anti-entropy diff (lake/table.py:diff): one row per key whose current
+    # state differs between two keyed tables — left_only / right_only /
+    # changed. The two tables derive from `documents` with closed-form
+    # divergences, so the oracle recomputes the disagreement set relationally.
+    """
+    WITH a AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url, n_chars, lang
+      FROM documents
+    ), b AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 13 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+             lang
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT 'extra-' || CAST(doc_id AS VARCHAR), doc_id, 'xx'
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT coalesce(a.url, b.url) AS url,
+           CASE WHEN b.url IS NULL THEN 'left_only'
+                WHEN a.url IS NULL THEN 'right_only'
+                WHEN a.n_chars <> b.n_chars OR a.lang <> b.lang THEN 'changed'
+           END AS status
+    FROM a FULL OUTER JOIN b ON a.url = b.url
+    WHERE b.url IS NULL OR a.url IS NULL
+       OR a.n_chars <> b.n_chars OR a.lang <> b.lang
+    """,
+)
+def lake_table_diff(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    ts0 = F.to_timestamp(F.lit("2024-01-01"))
+
+    def mk(prefix, df):
+        t = LakeTable.create(
+            spark, tempfile.mkdtemp(prefix=prefix), schema, key="url", n_buckets=8
+        )
+        t.merge_cdc(
+            df.withColumn("_lsn", F.lit(1)).withColumn("_deleted", F.lit(False)),
+            epoch_id=0,
+        )
+        return t
+
+    a = mk(
+        "diff_a_",
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            ts0.alias("warc_ts"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "lang",
+        ),
+    )
+    b_rows = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            ts0.alias("warc_ts"),
+            F.when(F.col("doc_id") % 13 == 0, F.col("n_chars") + 1)
+            .otherwise(F.col("n_chars"))
+            .cast("long")
+            .alias("n_chars"),
+            "lang",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 50 == 0).select(
+                F.concat(F.lit("extra-"), F.col("doc_id").cast("string")).alias("url"),
+                ts0.alias("warc_ts"),
+                F.col("doc_id").cast("long").alias("n_chars"),
+                F.lit("xx").alias("lang"),
+            )
+        )
+    )
+    b = mk("diff_b_", b_rows)
+    return a.diff(b, columns=["n_chars", "lang"])
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed

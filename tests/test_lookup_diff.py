@@ -1,0 +1,88 @@
+"""lookup_join (bucket-pruned state enrichment) and diff (anti-entropy)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_exchange_routing_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, path, n_rows=200, n_buckets=16, mutate=None):
+    t = LakeTable.create(spark, path, SCHEMA, key="url", n_buckets=n_buckets)
+    df = spark.range(n_rows).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+        F.col("id").alias("n"),
+        F.lit("en").alias("lang"),
+    )
+    if mutate:
+        df = mutate(df)
+    t.merge_cdc(
+        df.withColumn("_lsn", F.lit(1)).withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    return t
+
+
+def test_lookup_join_matches_plain_join_and_null_fills(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    probe = spark.createDataFrame(
+        [("u3", "a"), ("u7", "b"), ("nope", "c"), (None, "d")],
+        "url string, tag string",
+    )
+    got = t.lookup_join(probe, columns=["n"])
+    want = probe.join(t.read().select("url", "n"), "url", "left")
+    key = lambda t: tuple(map(repr, t))  # noqa: E731 — None-safe ordering
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    rows = {r["url"]: r for r in got.collect() if r["url"] is not None}
+    assert rows["u3"]["n"] == 3 and rows["nope"]["n"] is None
+
+
+def test_lookup_join_renamed_key_and_clash_suffix(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    probe = spark.createDataFrame(
+        [("u5", 99)], "page string, n int"  # probe has its own 'n'
+    )
+    got = t.lookup_join(probe, probe_key="page", columns=["n", "lang"])
+    row = got.collect()[0]
+    assert row["n"] == 99 and row["n_t"] == 5 and row["lang"] == "en"
+    with pytest.raises(ValueError, match="no column"):
+        t.lookup_join(probe, probe_key="missing")
+    with pytest.raises(ValueError, match="columns not on table"):
+        t.lookup_join(probe, probe_key="page", columns=["zzz"])
+
+
+def test_diff_reports_only_disagreements(spark, tmp_path):
+    a = _mk(spark, str(tmp_path / "a"), n_rows=50)
+    b = _mk(
+        spark,
+        str(tmp_path / "b"),
+        n_rows=52,  # u50, u51 right_only
+        mutate=lambda df: df.withColumn(
+            "n", F.when(F.col("url") == "u7", F.lit(777)).otherwise(F.col("n"))
+        ),
+    )
+    # delete u3 on the right -> left_only
+    b.delete_where(F.col("url") == "u3")
+    got = {r["url"]: r["status"] for r in a.diff(b).collect()}
+    assert got == {
+        "u3": "left_only",
+        "u7": "changed",
+        "u50": "right_only",
+        "u51": "right_only",
+    }
+    assert a.diff(a).count() == 0  # self-diff is empty
+    # pinned columns: ignoring n hides the u7 change
+    got2 = {r["url"]: r["status"] for r in a.diff(b, columns=["lang"]).collect()}
+    assert "u7" not in got2 and got2["u3"] == "left_only"
