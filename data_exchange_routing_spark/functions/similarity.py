@@ -143,6 +143,86 @@ def ivf_train_centroids(
     return [[float(x) for x in row] for row in C]
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Full-corpus distributed spherical k-means (Lloyd): unlike
+    ``ivf_train_centroids`` (driver-side SAMPLE refinement), every iteration
+    here assigns and partially-sums over the ENTIRE corpus — the shape that
+    holds at 10^9 vectors.
+
+    Per round: assignment is a pure map-side projection (centroids folded in
+    as literals, argmax cosine, ties to the smaller centroid id); the
+    centroid update is ONE map-side-combinable agg over the exploded (dim,
+    value) pairs — shuffle width k x d rows (centroid count x dimensionality,
+    independent of corpus size) — and the k x d result is collected to the
+    driver to build the next round's literals. No lineage growth: each round
+    recomputes from the base scan with fresh literals, so no checkpointing
+    is needed (contrast connected_components, whose state is a DataFrame).
+
+    Deterministic init: the k vectors with the smallest (xxhash64(id), id).
+    Empty clusters keep their previous centroid. Returns (centroids,
+    assignment DataFrame (id_col, cluster)).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("i"), _dvec(F.col(vec_col)).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("i")))
+        .orderBy("h", "i")
+        .limit(k)
+        .collect()
+    )
+    C = np.array([r["v"] for r in rows], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    base = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+    base = base.withColumn("vnorm", vec_norm(F.col("vec")))
+
+    def _assign(cents):
+        import math
+
+        sims = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col("vec"), F.array(*[F.lit(x) for x in c]))
+                        / (F.col("vnorm") * F.lit(math.sqrt(sum(x * x for x in c)) or 1.0))
+                    ).alias("c_sim"),
+                    F.lit(-j).alias("neg_id"),  # ties -> smaller centroid id
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        best = F.element_at(F.array_sort(sims), -1)
+        return base.withColumn("cluster", (-best["neg_id"]).cast("int"))
+
+    for _ in range(n_iter):
+        assigned = _assign([list(c) for c in C])
+        sums = (
+            assigned.select("cluster", F.posexplode("vec").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], np.zeros(C.shape[1]))[r["d"]] = r["s"]
+        for j, vec in acc.items():
+            norm = np.linalg.norm(vec)
+            if norm > 1e-12:
+                newC[j] = vec / norm
+        C = newC
+    final = _assign([list(c) for c in C]).select(
+        F.col("vid").alias(id_col), "cluster"
+    )
+    return [[float(x) for x in row] for row in C], final
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,

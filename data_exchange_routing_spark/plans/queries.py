@@ -2682,6 +2682,17 @@ def lake_table_diff(spark, sf_dir):
     return a.diff(b, columns=["n_chars", "lang"])
 
 
+@q("emb_kmeans_clusters", None)
+def emb_kmeans_clusters(spark, sf_dir):
+    """Full-corpus distributed k-means cluster sizes (rows-only: centroid
+    sums are distributed double reductions, not bit-stable cross-engine; the
+    hard gate is the numpy-Lloyd twin in tests/test_kmeans.py, exact
+    assignment equality + centroids to 1e-9)."""
+    emb = ld(spark, sf_dir, "embeddings")
+    _, assigned = SIM.kmeans_fit(emb, k=6, n_iter=4)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary media columns -> typed features via mapInPandas (decode stubbed
