@@ -713,18 +713,28 @@ class LakeTable:
                 if ts_cols:
                     ts_stats: dict[str, list[str]] = {}
                     incomplete: set[str] = set()
+                    ts_nulls: set[str] = set()
                     for rg in range(md.num_row_groups):
                         for ci in range(md.num_columns):
                             col = md.row_group(rg).column(ci)
                             name = col.path_in_schema
-                            if name not in ts_cols or name in incomplete:
+                            if name not in ts_cols:
                                 continue
                             s = col.statistics
+                            if s is not None and (s.null_count or 0) > 0:
+                                # NULL presence marker (see expire_data):
+                                # tracked even for incomplete-stats columns
+                                ts_nulls.add(name)
+                            if name in incomplete:
+                                continue
                             if s is None or not s.has_min_max:
                                 # a stats-less row group poisons the column:
                                 # its range is unknown, so never prune on it
                                 incomplete.add(name)
                                 ts_stats.pop(name, None)
+                                if s is None:
+                                    # unknown null count => assume present
+                                    ts_nulls.add(name)
                                 continue
                             lo, hi = s.min.isoformat(), s.max.isoformat()
                             cur = ts_stats.get(name)
@@ -734,6 +744,8 @@ class LakeTable:
                             )
                     if ts_stats:
                         entry["ts_stats"] = ts_stats
+                    if ts_nulls:
+                        entry["ts_nulls"] = sorted(ts_nulls)
                 # merge-key range from the footers: manifest-level file
                 # pruning for point reads (Iceberg column-stats analog)
                 if snap.key is not None:
@@ -926,6 +938,30 @@ class LakeTable:
             "rows": len(rows),
             "bytes": os.path.getsize(full),
         }
+        # timestamp ranges in pure Python (rows are driver-local) — the same
+        # manifest stats the Spark write path records from parquet footers,
+        # so ts-pruned reads and metadata-only expire_data cover this path
+        idx_ts = [
+            (i, f.name)
+            for i, f in enumerate(schema.fields)
+            if isinstance(f.dataType, T.TimestampType)
+        ]
+        ts_stats = {}
+        ts_nulls = []
+        for i, name in idx_ts:
+            vals = [row[i] for row in rows if row[i] is not None]
+            if vals:
+                # range of the non-null values: valid for ts_filter read
+                # pruning (its exact predicate excludes NULLs anyway)
+                ts_stats[name] = [min(vals).isoformat(), max(vals).isoformat()]
+            if len(vals) != len(rows):
+                # NULL presence marker: expire_data must NOT metadata-drop a
+                # file whose NULL rows keep_nulls promised to keep
+                ts_nulls.append(name)
+        if ts_stats:
+            entry["ts_stats"] = ts_stats
+        if ts_nulls:
+            entry["ts_nulls"] = ts_nulls
         props = self._props()
         bcols = [c for c in props.get("bloom_cols", []) if c in schema.fieldNames()]
         if bcols:
@@ -1761,11 +1797,16 @@ class LakeTable:
         drop, keep, straddle = [], [], []
         for f in snap.files:
             rng = (f.get("ts_stats") or {}).get(col)
+            has_nulls = col in (f.get("ts_nulls") or [])
             if rng is None:
                 straddle.append(f)
             elif rng[1] < iso:
-                drop.append(f)
-            elif rng[0] >= iso:
+                # a NULL-bearing file can't be metadata-dropped when NULL
+                # rows are being kept: the drop would lose them
+                (straddle if (keep_nulls and has_nulls) else drop).append(f)
+            elif rng[0] >= iso and not (has_nulls and not keep_nulls):
+                # wholly inside the window — untouched (unless NULL rows must
+                # be deleted, which needs the exact rewrite)
                 keep.append(f)
             else:
                 straddle.append(f)

@@ -586,6 +586,7 @@ def maintain(
     expire_keep_last: int | None = None,
     target_rows_per_bucket: int | None = None,
     minor: bool = False,
+    retention: dict | None = None,
 ) -> dict:
     """One incremental maintenance cycle — the ops loop a 100 TB deployment
     runs between (or concurrently with) epochs. Per destination table: rank
@@ -605,7 +606,14 @@ def maintain(
     rebucketed to the next power of two that restores rows/bucket <= target
     — the growth path 16 -> 256 -> 1024 as the table grows. The rebucket
     already rewrites everything resolved, so selective compaction is skipped
-    for that table this cycle."""
+    for that table this cycle.
+
+    ``retention`` = {table_name: (ts_col, cutoff_datetime)} applies
+    metadata-only data expiry (``LakeTable.expire_data``) to the named
+    APPEND-ONLY tables each cycle — the control-plane tables (lineage,
+    dead_letter) grow forever otherwise; whole age-band files drop without a
+    read. Keyed destination tables refuse (retention there is delete_where's
+    job)."""
     report: dict = {}
     for dest in sorted(set(DESTINATION_TABLES)):
         t = wh.table(dest)
@@ -649,4 +657,10 @@ def maintain(
             entry["expire"] = t.expire_snapshots(keep_last=expire_keep_last)
             entry["vacuum"] = t.vacuum_orphans()
         report[dest] = entry
+    for name, (col, cutoff) in (retention or {}).items():
+        t = wh.table(name)
+        report.setdefault(name, {})["retention"] = t.expire_data(col, cutoff)
+        if expire_keep_last is not None:
+            t.expire_snapshots(keep_last=expire_keep_last)
+            t.vacuum_orphans()
     return report

@@ -111,3 +111,46 @@ def test_clone_then_source_vacuum_keeps_clone_readable(spark, tmp_path):
     t.vacuum_orphans()
     # the clone's hardlinked names keep the shared inodes alive
     assert c.read().count() == 300
+
+
+def test_maintain_applies_control_plane_retention(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from data_exchange_routing_spark.pipeline import Warehouse, maintain, replay
+    from data_exchange_routing_spark.sources.datagen import write_change_events
+
+    events = str(tmp_path / "events")
+    write_change_events(spark, events, 300, 50, n_epochs=2)
+    wh = Warehouse(spark, str(tmp_path / "wh"), n_buckets=8)
+    replay(wh, events)
+    assert wh.table("lineage_metrics").read().count() > 0
+    pages_before = wh.table("web_pages").read().count()
+    future = datetime.now() + timedelta(days=1)
+    rep = maintain(wh, retention={"lineage_metrics": ("end_ts", future)})
+    assert rep["lineage_metrics"]["retention"]["skipped"] is False
+    assert wh.table("lineage_metrics").read().count() == 0  # all aged out
+    assert wh.table("web_pages").read().count() == pages_before  # untouched
+    assert wh.table("dead_letter").read().count() > 0  # not configured
+
+
+def test_expire_never_metadata_drops_null_bearing_files(spark, tmp_path):
+    """A file whose non-null range is wholly expired but which carries NULL-ts
+    rows must be REWRITTEN (keeping the NULLs), never metadata-dropped."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 1), (2, None, 2)], SCHEMA
+        ),
+        epoch_id=0,
+    )
+    res = t.expire_data("ts", datetime(2024, 6, 1))  # range wholly expired
+    assert res["files_dropped"] == 0 and res["files_rewritten"] == 1
+    assert [r["event_id"] for r in t.read().collect()] == [2]  # NULL kept
+    # driver-local append_rows records the same stats: all-non-null old file
+    # IS metadata-dropped
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA)
+    t2.append_rows([(1, datetime(2024, 1, 1), 1)], SCHEMA, epoch_id=0)
+    t2.append_rows([(2, datetime(2024, 9, 1), 2)], SCHEMA, epoch_id=1)
+    res2 = t2.expire_data("ts", datetime(2024, 6, 1))
+    assert res2["files_dropped"] == 1 and res2["files_rewritten"] == 0
+    assert [r["event_id"] for r in t2.read().collect()] == [2]
