@@ -86,3 +86,38 @@ def test_diff_reports_only_disagreements(spark, tmp_path):
     # pinned columns: ignoring n hides the u7 change
     got2 = {r["url"]: r["status"] for r in a.diff(b, columns=["lang"]).collect()}
     assert "u7" not in got2 and got2["u3"] == "left_only"
+
+
+def test_lookup_join_in_streaming_foreachbatch(spark, tmp_path):
+    """The stream-side enrichment shape: each micro-batch enriches against
+    the keyed table's CURRENT state via lookup_join inside foreachBatch;
+    the drained result equals the one-shot batch join."""
+    dim = _mk(spark, str(tmp_path / "dim"), n_rows=100)
+    src_dir = str(tmp_path / "src")
+    probe = spark.range(150).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),  # 100 hits, 50 misses
+        (F.col("id") * 2).alias("x"),
+    )
+    probe.repartition(5).write.parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("url string, x long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+
+    def enrich(batch, _epoch):
+        dim.lookup_join(batch, columns=["n", "lang"]).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(
+        map(tuple, probe.join(dim.read().select("url", "n", "lang"), "url", "left").collect())
+    )
+    assert got == want and len(got) == 150
