@@ -242,6 +242,7 @@ def apply_epoch(
     events: DataFrame,
     epoch_id: int,
     dedup_strategy: str = "local",
+    route_config: DataFrame | None = None,
 ) -> dict:
     """Apply one micro-batch of change events. Idempotent: re-running any
     epoch (crash replay, at-least-once redelivery of the whole batch) is a
@@ -267,7 +268,8 @@ def apply_epoch(
     from pyspark.sql import Observation
 
     t0 = time.time()
-    route_config = default_route_config(wh.spark)
+    if route_config is None:
+        route_config = default_route_config(wh.spark)
 
     # No .persist(): the batch is re-derived from columnar parquet if a
     # second pass is ever needed. Vectorized re-scan + predicate pushdown is
@@ -577,6 +579,71 @@ def warehouse_health(wh: Warehouse) -> dict:
             out["ok"] = False
             out["tables"][name] = {"error": str(e)}
     return out
+
+
+def reprocess_dead_letters(
+    wh: Warehouse,
+    events_dir: str,
+    epoch_id: int,
+    stages: tuple = ("route",),
+    route_config: DataFrame | None = None,
+    dedup_strategy: str = "local",
+) -> dict:
+    """Fix-and-resubmit: re-ingest exactly the events that previously
+    dead-lettered in the given ``stages``, under a (typically corrected)
+    route config — the operational loop after a config gap is fixed.
+
+    Shape: the dead-letter table yields the failed lsn set (a tiny distinct
+    over an error table), the original event log is semi-joined down to just
+    those events (predicate reaches the parquet scan), and the slice
+    re-applies as ONE fresh epoch through the normal ``apply_epoch`` path —
+    so exactly-once holds (re-running this call with the same ``epoch_id``
+    is a no-op), rows that still fail dead-letter again under the new
+    config, and rows that now route merge into their destinations with full
+    lineage. Resolution markers (stage='resolved', error=the original
+    stage) are appended for the lsns that now succeeded, so error-rate
+    dashboards see the drain. Cost is O(failed events), never O(log).
+    """
+    # early-out on redelivery: the destination epoch guards are the truth
+    # (pick any destination — apply_epoch commits the id to all of them)
+    probe = wh.table(sorted(set(DESTINATION_TABLES))[0])
+    if probe.snapshot().epoch_committed("cdc", epoch_id):
+        return {"skipped": True, "epoch_id": epoch_id}
+    dl = (
+        wh.table("dead_letter")
+        .read()
+        .filter(F.col("stage").isin(*stages))
+        .select("lsn")
+        .distinct()
+    )
+    events = wh.spark.read.parquet(events_dir).join(dl, "lsn", "semi")
+    stats = apply_epoch(
+        wh, events, epoch_id, dedup_strategy=dedup_strategy, route_config=route_config
+    )
+    if stats.get("skipped"):
+        return stats
+    # which of the retried lsns STILL fail under the new config? Recompute
+    # the validity/routing split (metadata-only columns, no text work).
+    cfg = route_config if route_config is not None else default_route_config(wh.spark)
+    batch = coalesce_routing_keys(normalize_meta_keys(events))
+    valid, dead_v = split_valid(batch)
+    routed, dead_r = split_routed(annotate_routes(valid, cfg))
+    still = dead_v.select("lsn").union(dead_r.select("lsn")).distinct()
+    resolved = [r["lsn"] for r in dl.join(still, "lsn", "left_anti").collect()]
+    if resolved:
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        wh.table("dead_letter").append_rows(
+            [(None, lsn, f"reprocessed as epoch {epoch_id}", "resolved", now, None)
+             for lsn in sorted(resolved)],
+            DEAD_LETTER,
+            epoch_id=epoch_id,
+            source="dead_letter_resolution",
+        )
+    stats["retried_lsns"] = dl.count()
+    stats["resolved_lsns"] = len(resolved)
+    return stats
 
 
 def maintain(
