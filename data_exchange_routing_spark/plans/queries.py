@@ -2682,6 +2682,72 @@ def lake_table_diff(spark, sf_dir):
     return a.diff(b, columns=["n_chars", "lang"])
 
 
+@q(
+    "cdc_change_feed_read",
+    # Incremental change feed (lake/table.py:read_changes — the engine's CDC
+    # OUTPUT surface): after the full serial replay, the feed of
+    # web_pages_plain from its create version is exactly epoch 2's per-user
+    # winner rows (epoch_hint = lsn%4 = route index, so plain receives only
+    # the lsn%4==2 slice), tombstones flagged 'delete'. The oracle recomputes
+    # those winners in closed form.
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    typed AS (
+      SELECT lsn, warc_ts, user_id, event_type,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op
+      FROM ev
+      WHERE lsn % 4 = 2
+        AND lsn % 43 <> 0 AND lsn % 41 <> 0
+        AND lsn % 29 NOT IN (0, 1)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM typed
+    )
+    SELECT
+      'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+        || CAST(user_id AS VARCHAR) AS url,
+      warc_ts,
+      CASE WHEN op = 'D' THEN NULL
+           ELSE 'T P ' || CAST(user_id AS VARCHAR) || ' rev ' || CAST(lsn AS VARCHAR)
+                || ' & type ' || event_type END AS text,
+      CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+        WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang,
+      CASE WHEN user_id % 2 = 0 THEN 'utf-8' ELSE 'latin-1' END AS charset,
+      CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS change_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_change_feed_read(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_change_events_from_events,
+    )
+
+    events = derive_change_events_from_events(ld(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="cdc_feed_")
+    events.write.mode("overwrite").partitionBy("epoch_hint").parquet(f"{root}/events")
+    wh = Warehouse(spark, f"{root}/wh", n_buckets=8)
+    replay(wh, f"{root}/events", max_concurrent_epochs=1)
+    feed = wh.table("web_pages_plain").read_changes(from_version=1)
+    return feed.select(
+        "url", "warc_ts", "text", "lang", "charset",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid
