@@ -18,8 +18,8 @@ network — no Exchange appears anywhere in the plan (asserted in tests). At
 the quantity ``compact()``/``rebucket()`` keep bounded; parallelism is
 ``n_buckets`` (rebucket() raises it as the table grows).
 
-Requirements (checked, loud errors): both tables keyed, equal n_buckets, no
-unbucketed (bucket == -1) files — the same "matching partition spec" contract
+Supports inner / left / full-outer. Requirements (checked, loud errors):
+both tables keyed, equal n_buckets, no unbucketed (bucket == -1) files — the same "matching partition spec" contract
 Iceberg SPJ enforces.
 
 Resolution parity: the local resolve mirrors ``LakeTable._resolve`` exactly —
@@ -88,8 +88,8 @@ def bucket_join(
     requested columns plus the resolve columns (key, warc_ts, _lsn,
     _deleted) are ever decoded, the column-pruning a 100 TB scan needs.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"bucket_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"bucket_join supports inner/left/full, got {how!r}")
     lsnap, rsnap = left.snapshot(), right.snapshot()
     lf, rf = _files_by_bucket(left, "bucket_join"), _files_by_bucket(right, "bucket_join")
     if lsnap.n_buckets != rsnap.n_buckets:
@@ -192,9 +192,18 @@ def bucket_join(
                     {c: pd.Series(dtype=r_dtypes[c]) for c in rcols}
                 )
                 r = r.rename(columns=rename)
-                j = l.merge(r, left_on=lkey, right_on=rkey, how=how, suffixes=("", rsuffix))
-                if rkey != lkey and rkey in j.columns and rkey not in out_schema.names:
-                    j = j.drop(columns=[rkey])
+                j = l.merge(
+                    r,
+                    left_on=lkey,
+                    right_on=rkey,
+                    how="outer" if how == "full" else how,
+                    suffixes=("", rsuffix),
+                )
+                if rkey != lkey and rkey in j.columns:
+                    if how == "full":  # right-only rows carry the key in rkey
+                        j[lkey] = j[lkey].where(j[lkey].notna(), j[rkey])
+                    if rkey not in out_schema.names:
+                        j = j.drop(columns=[rkey])
                 j = j[[f.name for f in out_fields]]
                 for start in range(0, max(len(j), 1), batch_rows):
                     yield j.iloc[start : start + batch_rows]

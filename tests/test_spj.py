@@ -139,8 +139,8 @@ def test_bucket_join_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="keyed"):
         bucket_join(left, unkeyed)
-    with pytest.raises(ValueError, match="inner/left"):
-        bucket_join(left, left, how="full")
+    with pytest.raises(ValueError, match="inner/left/full"):
+        bucket_join(left, left, how="cross")
 
 
 def test_bucket_join_after_schema_evolution_and_compaction(spark, tmp_path):
@@ -181,3 +181,41 @@ def test_bucket_join_column_projection(spark, tmp_path):
     assert _norm(got) == _norm(want)
     with pytest.raises(ValueError, match="columns not on either side"):
         bucket_join(left, right, columns=["nope"])
+
+
+def test_bucket_join_full_outer_and_empty_side(spark, tmp_path):
+    left = _mk_left(spark, str(tmp_path / "l"))
+    right = _mk_right(spark, str(tmp_path / "r"), key="page_url")
+    got = bucket_join(left, right, how="full", columns=["n", "score"])
+    want = left.read().select("url", "n").join(
+        right.read().select(F.col("page_url").alias("url"), "score"), "url", "full"
+    )
+    key = lambda t: tuple(map(repr, t))  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    # right-only key (u20 is tombstoned on the right, u1 left-only; right has
+    # even ids only -> left-only odds appear, and nothing is right-only here;
+    # delete a LEFT key to force right-only)
+    left.delete_where(F.col("url") == "u10")
+    got2 = {r["url"]: r for r in bucket_join(left, right, how="full").collect()}
+    assert got2["u10"]["n"] is None and got2["u10"]["score"] == 5.0
+
+    # empty side: a fresh table with zero data files joins cleanly
+    empty = LakeTable.create(
+        spark,
+        str(tmp_path / "empty"),
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("z", T.LongType()),
+            ]
+        ),
+        key="url",
+        n_buckets=8,
+    )
+    assert bucket_join(left, empty, how="inner").count() == 0
+    n_left = left.read().count()
+    lo = bucket_join(left, empty, how="left")
+    assert lo.count() == n_left and lo.filter(F.col("z").isNotNull()).count() == 0
