@@ -788,12 +788,74 @@ class LakeTable:
             return new
         return cur
 
+    def _dropped_cols(self) -> set[str]:
+        if not os.path.isdir(self.meta_dir):
+            return set()
+        return {
+            f[len("dropped-") : -len(".json")]
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("dropped-") and f.endswith(".json")
+        }
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only DROP COLUMN: the column leaves the snapshot schema,
+        so readers stop requesting it — old files keep the bytes, ignored
+        (zero rewrites at any table size; Iceberg drop-column analog).
+
+        Resurrection guard: this format maps parquet columns BY NAME (no
+        Iceberg field ids), so re-adding a same-named column while any
+        pre-drop file survives would silently resurrect the old values into
+        the new column. A ``_meta/dropped-<name>.json`` marker therefore
+        blocks the name from schema evolution until a FULL rewrite
+        (``compact()`` on keyed tables / ``rewrite_files()`` on append-only)
+        has physically purged the bytes, which clears the marker."""
+        snap = self.snapshot()
+        protected = {snap.key, "warc_ts", *INTERNAL_COLS}
+        if name in protected:
+            raise ValueError(f"cannot drop {name!r} (key/ordering/internal column)")
+        if name not in snap.schema().fieldNames():
+            raise ValueError(f"no column {name!r} on {self.path}")
+        marker = os.path.join(self.meta_dir, f"dropped-{name}.json")
+        for _attempt in range(50):
+            snap = self.snapshot()
+            fields = [f for f in snap.schema().fields if f.name != name]
+            new = Snapshot(
+                version=snap.version + 1,
+                schema_json=json.dumps(T.StructType(fields).jsonValue()),
+                n_buckets=snap.n_buckets,
+                key=snap.key,
+                segments=snap.segments,
+                tail=snap.tail,
+                committed_epochs=snap.committed_epochs,
+                summary={"operation": "drop-column", "column": name},
+                seg_files=snap.seg_files,
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                continue
+            try:
+                _atomic_write_json(marker, {"dropped_at_version": new.version})
+            except FileExistsError:
+                pass  # dropped before, re-added after a purge, dropped again
+            return {"version": new.version, "column": name}
+        raise RuntimeError(f"drop_column contention exhausted retries on {self.path}")
+
+    def _clear_drop_markers(self) -> None:
+        """Called after a FULL rewrite: every surviving data file was written
+        under the current (post-drop) schema, so dropped names are safe to
+        reuse."""
+        for name in self._dropped_cols():
+            os.unlink(os.path.join(self.meta_dir, f"dropped-{name}.json"))
+
     def _evolved_schema(self, snap: Snapshot, incoming: T.StructType) -> str | None:
         """Schema evolution on commit: new nullable columns from the source
         are appended (reference is additive-only: SURVEY.md §1.3), and
         existing columns WIDEN along the safe promotion lattice
         (int→long, float→double) when the source sends a wider type —
-        metadata-only, no data-file rewrite. Removals/renames unsupported."""
+        metadata-only, no data-file rewrite. Renames unsupported; removals
+        via ``drop_column`` (re-adding a dropped name is refused until a
+        full rewrite purges the old bytes)."""
         current = snap.schema()
         in_by_name = {f.name: f for f in incoming.fields}
         changed = False
@@ -812,6 +874,15 @@ class LakeTable:
             for f in incoming.fields
             if f.name not in have and f.name != BUCKET_COL
         ]
+        if new_fields:
+            dead = self._dropped_cols() & {f.name for f in new_fields}
+            if dead:
+                raise ValueError(
+                    f"column(s) {sorted(dead)} were dropped and their bytes "
+                    "still exist in old files (name-mapped format would "
+                    "resurrect stale values); run a full compact()/"
+                    "rewrite_files() first"
+                )
         if not changed and not new_fields:
             return None
         return json.dumps(T.StructType(out_fields + new_fields).jsonValue())
@@ -1556,6 +1627,10 @@ class LakeTable:
             # a concurrent merge landed after we resolved: abort rather than
             # drop its delta (compaction retries on the next cycle)
             return {"skipped": True, "reason": "commit-conflict"}
+        if buckets is None:
+            # FULL rewrite: every surviving file carries the current schema,
+            # so dropped column names become safe to reuse
+            self._clear_drop_markers()
         return {"skipped": False, "version": new.version, "files": len(files)}
 
     def compact_deltas(self, buckets: list[int] | None = None) -> dict:
@@ -1676,6 +1751,7 @@ class LakeTable:
             self._write_snapshot(new_snap_proto)
         except FileExistsError:
             return {"skipped": True, "reason": "commit-conflict"}
+        self._clear_drop_markers()  # full rewrite purges dropped-column bytes
         return {
             "skipped": False,
             "version": new_snap_proto.version,
@@ -1722,6 +1798,7 @@ class LakeTable:
             # a concurrent append landed after we read: abort rather than
             # drop its rows (retry on the next maintenance cycle)
             return {"skipped": True, "reason": "commit-conflict"}
+        self._clear_drop_markers()  # full rewrite purges dropped-column bytes
         return {"skipped": False, "version": new.version, "files": len(files)}
 
     def history(self) -> list[dict]:

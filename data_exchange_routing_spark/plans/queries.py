@@ -2748,6 +2748,66 @@ def cdc_change_feed_read(spark, sf_dir):
     )
 
 
+@q(
+    "lake_drop_column",
+    # Metadata-only DROP COLUMN (lake/table.py:drop_column): the column
+    # leaves the snapshot schema with zero file rewrites; a later epoch's
+    # rows simply never carry it. The oracle is the projection without the
+    # dropped column over both epochs' LWW state.
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 6 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+      FROM documents
+    )
+    SELECT url, n_chars FROM m
+    """,
+)
+def lake_drop_column(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dropcol_"), schema, key="url", n_buckets=8
+    )
+    t.merge_cdc(
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "lang",
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    t.drop_column("lang")
+    # post-drop epoch: updates no longer carry the column
+    t.merge_cdc(
+        docs.filter(F.col("doc_id") % 6 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-02")).alias("warc_ts"),
+            (F.col("n_chars").cast("long") + 7).alias("n_chars"),
+        )
+        .withColumn("_lsn", F.lit(2))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=1,
+    )
+    assert "lang" not in t.read().columns
+    return t.read().select("url", "n_chars")
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid
