@@ -197,6 +197,34 @@ class Warehouse:
             if v > 0
         }
 
+    def rollback_to(self, tag: str) -> dict:
+        """Disaster recovery: roll every table back to a published consistent
+        cut (see ``publish_snapshot``), then drop the replay checkpoint marks
+        of the undone epochs so the next ``replay()`` redelivers them and
+        reconverges. Each table rollback is individually atomic (Iceberg
+        semantics — a new snapshot with the old content, guards rewound);
+        a crash partway is healed by re-running this call, and readers in
+        between see per-table states that are all AT OR BEFORE the cut."""
+        path = os.path.join(self.root, "_snapshots", f"{tag}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no snapshot tag {tag!r} in {self.root}")
+        with open(path) as f:
+            pins = json.load(f)
+        out = {}
+        for name, v in sorted(pins.items()):
+            if v > 0:
+                out[name] = self.table(name).rollback(v)
+        # epochs committed at the cut (any destination carries the cdc set)
+        dest = next(n for n in sorted(pins) if n in set(DESTINATION_TABLES))
+        snap = self.table(dest).snapshot(pins[dest])
+        kept = snap.epochs("cdc")
+        removed = []
+        for e in sorted(self.completed_epochs()):
+            if e not in kept:
+                os.unlink(self.checkpoint_path(e))
+                removed.append(e)
+        return {"tables": out, "checkpoints_removed": removed}
+
     # ---- promoted-meta-key registry (open-world schema, amortized O(1)) ----
     def _promote_registry_path(self) -> str:
         return os.path.join(self.root, "_checkpoints", "promoted_meta_keys.json")

@@ -74,3 +74,24 @@ def test_duplicate_tag_and_missing_tag_raise(spark, tmp_path):
         wh.read_consistent("nope")
     with pytest.raises(ValueError, match="invalid tag"):
         wh.publish_snapshot("../escape")
+
+
+def test_rollback_to_tag_then_replay_reconverges(spark, tmp_path):
+    wh, events = _mk_wh(spark, tmp_path, n_epochs=3)
+    replay(wh, events, stop_after_epoch=0, max_concurrent_epochs=1)
+    wh.publish_snapshot("good")
+    want_cut = _norm(wh.table("web_pages").read())
+    replay(wh, events, max_concurrent_epochs=1)
+    want_full = _norm(wh.table("web_pages").read())
+    assert want_full != want_cut
+
+    res = wh.rollback_to("good")
+    assert set(res["checkpoints_removed"]) == {1, 2}
+    assert _norm(wh.table("web_pages").read()) == want_cut
+    # guards rewound on every pipeline table — the cut's epoch set only
+    assert wh.table("dead_letter").snapshot().epochs("dead_letter") == {0}
+    assert wh.table("web_pages").snapshot().epochs("cdc") == {0}
+
+    # the undone epochs redeliver and the warehouse reconverges exactly
+    replay(wh, events, max_concurrent_epochs=1)
+    assert _norm(wh.table("web_pages").read()) == want_full
