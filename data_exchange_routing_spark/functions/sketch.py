@@ -79,3 +79,74 @@ def heavy_hitters(
         .orderBy(F.desc("est"), F.asc(key_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------- histogram
+# Fixed-bin histogram: the third mergeable sketch (CMS = frequencies,
+# HLL = distincts, histogram = the value DISTRIBUTION / quantiles). Bin
+# counts are plain longs, so partials from partitions / epochs / tables
+# merge by elementwise addition — the property that lets a rollup view
+# maintain an incrementally-updatable quantile estimate where Spark's
+# percentile_approx exposes no partial state. Bin edges are fixed by config
+# ([lo, hi) split into k equal bins + underflow/overflow), so the grid is
+# deterministic and carries an exact cross-engine oracle (DuckDB
+# width_bucket computes the identical bins).
+
+
+def histogram_bin(col, lo: float, hi: float, k: int):
+    """Bin ordinal expression: 0 = underflow (< lo), 1..k = in-range,
+    k+1 = overflow (>= hi). NULLs yield NULL (dropped by the count agg)."""
+    span = (hi - lo) or 1.0
+    raw = F.floor((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(k)).cast("long")
+    return (
+        F.when(col.isNull(), F.lit(None).cast("long"))
+        .when(col.cast("double") < lo, F.lit(0))
+        .when(col.cast("double") >= hi, F.lit(k + 1))
+        .otherwise(raw + 1)
+    )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    k: int = 32,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """(group cols..., bin, c) — at most k+2 rows per group, map-side
+    pre-combined before the shuffle (cardinality-independent, like CMS)."""
+    keys = list(by or [])
+    binned = df.select(*keys, histogram_bin(F.col(col), lo, hi, k).alias("bin"))
+    return (
+        binned.filter(F.col("bin").isNotNull())
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_quantile(rows: list, q: float, lo: float, hi: float, k: int) -> float:
+    """Quantile estimate from (bin, c) rows: linear interpolation within the
+    containing bin (error bounded by the bin width). Underflow/overflow
+    clamp to lo/hi. Driver-side — the histogram is k+2 rows."""
+    counts = {int(r["bin"]): int(r["c"]) for r in rows}
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("empty histogram")
+    target = q * total
+    span = (hi - lo) or 1.0
+    run = 0
+    for b in range(0, k + 2):
+        c = counts.get(b, 0)
+        if c == 0:
+            continue
+        if run + c >= target:
+            if b == 0:
+                return lo
+            if b == k + 1:
+                return hi
+            frac = (target - run) / c
+            left = lo + (b - 1) * span / k
+            return left + frac * span / k
+        run += c
+    return hi

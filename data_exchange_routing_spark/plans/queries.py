@@ -2808,6 +2808,35 @@ def lake_drop_column(spark, sf_dir):
     return t.read().select("url", "n_chars")
 
 
+@q(
+    "events_value_histogram",
+    # Mergeable fixed-bin histogram sketch (functions/sketch.py): per
+    # (event_type, bin) counts over value in [0, 500) x 20 bins + under/
+    # overflow — partials merge by addition (the distribution/quantile
+    # member of the sketch family next to CMS and HLL). The oracle mirrors
+    # the bin expression literally (same IEEE double ops), so counts match
+    # exactly.
+    """
+    SELECT event_type, bin, count(*) AS c
+    FROM (
+      SELECT event_type,
+             CASE WHEN value IS NULL THEN NULL
+                  WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 21
+                  ELSE CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT) + 1
+             END AS bin
+      FROM events
+    ) WHERE bin IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sketch import histogram_sketch
+
+    ev = ld(spark, sf_dir, "events")
+    return histogram_sketch(ev, "value", 0.0, 500.0, k=20, by=["event_type"])
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid

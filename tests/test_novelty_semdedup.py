@@ -214,3 +214,36 @@ def test_hard_negatives_exclude_dup_band(spark):
     for r in rows:
         per.setdefault(r["anchor_id"], []).append(r["rk"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2 for v in per.values())
+
+
+def test_histogram_sketch_merges_and_quantile_bounded(spark):
+    """Partials from two halves merge by addition to the one-shot grid, and
+    the histogram quantile lands within one bin width of the exact value."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_routing_spark.functions.sketch import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    df = spark.range(10000).select((F.col("id") % 997).cast("double").alias("v"))
+    lo, hi, k = 0.0, 1000.0, 25
+    whole = {
+        r["bin"]: r["c"] for r in histogram_sketch(df, "v", lo, hi, k).collect()
+    }
+    h1 = histogram_sketch(df.filter(F.col("id") % 2 == 0), "v", lo, hi, k).collect()
+    h2 = histogram_sketch(df.filter(F.col("id") % 2 == 1), "v", lo, hi, k).collect()
+    merged: dict = {}
+    for r in list(h1) + list(h2):
+        merged[r["bin"]] = merged.get(r["bin"], 0) + r["c"]
+    assert merged == whole  # mergeable by addition
+
+    rows = [{"bin": b, "c": c} for b, c in whole.items()]
+    est = histogram_quantile(rows, 0.5, lo, hi, k)
+    exact = df.agg(F.expr("percentile(v, 0.5)")).collect()[0][0]
+    assert abs(est - exact) <= (hi - lo) / k  # within one bin width
+    # under/overflow clamp
+    df2 = spark.createDataFrame([(-5.0,), (9999.0,), (1.0,)], "v double")
+    rows2 = histogram_sketch(df2, "v", lo, hi, k).collect()
+    assert histogram_quantile(rows2, 0.01, lo, hi, k) == lo
+    assert histogram_quantile(rows2, 0.99, lo, hi, k) == hi
