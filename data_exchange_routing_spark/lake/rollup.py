@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 from data_exchange_routing_spark.lake.table import LakeTable
 
-_KINDS = {"count", "sum", "min", "max", "approx_distinct"}
+_KINDS = {"count", "sum", "min", "max", "approx_distinct", "histogram"}
 _REAGG = {
     "count": F.sum,
     "sum": F.sum,
@@ -45,9 +45,14 @@ class RollupView:
     """
 
     def __init__(self, spark: SparkSession, path: str, group_by: list[str], aggs: dict):
-        for out, (kind, _col) in aggs.items():
+        for out, spec in aggs.items():
+            kind = spec[0]
             if kind not in _KINDS:
                 raise ValueError(f"{out}: unsupported aggregate kind {kind!r}")
+            if kind == "histogram" and (len(spec) != 3 or len(spec[2]) != 3):
+                raise ValueError(
+                    f"{out}: histogram spec is ('histogram', col, (lo, hi, k))"
+                )
         self.spark = spark
         self.group_by = list(group_by)
         self.aggs = dict(aggs)
@@ -68,12 +73,28 @@ class RollupView:
         return view
 
     def _exprs(self):
+        from data_exchange_routing_spark.functions.sketch import histogram_bin
+
         out = []
-        for name, (kind, col) in self.aggs.items():
+        for name, spec in self.aggs.items():
+            kind, col = spec[0], spec[1]
             if kind == "count":
                 out.append(F.count(F.lit(1)).alias(name))
             elif kind == "approx_distinct":
                 out.append(F.hll_sketch_agg(F.col(col)).alias(name))
+            elif kind == "histogram":
+                lo, hi, k = spec[2]
+                b = histogram_bin(F.col(col), lo, hi, k)
+                # k+2 conditional sums, one agg, map-side combinable — the
+                # partial is an array<long> that merges by elementwise add
+                out.append(
+                    F.array(
+                        *[
+                            F.sum(F.when(b == i, 1).otherwise(0)).cast("long")
+                            for i in range(k + 2)
+                        ]
+                    ).alias(name)
+                )
             else:
                 out.append(getattr(F, kind)(F.col(col)).alias(name))
         return out
@@ -91,9 +112,16 @@ class RollupView:
         representation (sketches stay binary/mergeable) — the compaction
         form, not the user-facing finished aggregate."""
         parts = self.table.read()
-        aggs = [
-            _REAGG[kind](F.col(name)).alias(name) for name, (kind, _c) in self.aggs.items()
-        ]
+        aggs = []
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "histogram":
+                k = spec[2][2]
+                aggs.append(
+                    F.array(*[F.sum(F.col(name)[i]) for i in range(k + 2)]).alias(name)
+                )
+            else:
+                aggs.append(_REAGG[kind](F.col(name)).alias(name))
         return parts.groupBy(*self.group_by).agg(*aggs)
 
     def read(self) -> DataFrame:
@@ -103,11 +131,52 @@ class RollupView:
         folded = self._folded_partials()
         finish = [
             F.hll_sketch_estimate(F.col(name)).alias(name)
-            if kind == "approx_distinct"
+            if spec[0] == "approx_distinct"
             else F.col(name)
-            for name, (kind, _c) in self.aggs.items()
+            for name, spec in self.aggs.items()
         ]
         return folded.select(*self.group_by, *finish)
+
+    def quantile(self, name: str, q: float) -> DataFrame:
+        """Per-group quantile estimate from a maintained histogram column —
+        a pure expression scan over the folded k+2-long arrays (linear
+        interpolation inside the containing bin, under/overflow clamped to
+        the range edges; error <= one bin width). No extra data pass beyond
+        the partial fold itself."""
+        spec = self.aggs[name]
+        if spec[0] != "histogram":
+            raise ValueError(f"{name!r} is not a histogram aggregate")
+        lo, hi, k = spec[2]
+        span = (hi - lo) or 1.0
+        counts = F.col(name)
+        total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+        target = F.lit(q) * total.cast("double")
+        entries = F.zip_with(
+            F.sequence(F.lit(0), F.lit(k + 1)),
+            counts,
+            lambda b, c: F.struct(b.alias("b"), c.alias("c")),
+        )
+
+        def step(acc, e):
+            c = e["c"].cast("double")
+            b = e["b"].cast("double")
+            left = F.lit(lo) + (b - 1) * F.lit(span / k)
+            val = (
+                F.when(e["b"] == 0, F.lit(float(lo)))
+                .when(e["b"] == k + 1, F.lit(float(hi)))
+                .otherwise(left + ((target - acc["run"]) / c) * F.lit(span / k))
+            )
+            hit = acc["ans"].isNull() & (c > 0) & (acc["run"] + c >= target)
+            return F.struct(
+                (acc["run"] + c).alias("run"),
+                F.coalesce(acc["ans"], F.when(hit, val)).alias("ans"),
+            )
+
+        acc0 = F.struct(
+            F.lit(0.0).alias("run"), F.lit(None).cast("double").alias("ans")
+        )
+        est = F.aggregate(entries, acc0, step)["ans"]
+        return self._folded_partials().select(*self.group_by, est.alias(f"{name}_q{q}"))
 
     def compact(self) -> dict:
         """Merge all partials into one row per group (append-only table:

@@ -140,3 +140,58 @@ def test_rollup_hll_distinct_matches_one_shot_sketch(spark, tmpdir_path):
 def test_rollup_rejects_unknown_aggregate(spark, tmpdir_path):
     with pytest.raises(ValueError, match="unsupported aggregate"):
         RollupView(spark, os.path.join(tmpdir_path, "x"), ["a"], {"m": ("median", "v")})
+
+
+def test_rollup_histogram_incremental_quantile(spark, tmp_path):
+    """Histogram partials maintained across epochs fold to the one-shot
+    grid; the expression-based per-group quantile matches the driver-side
+    helper and stays within one bin width of the exact percentile."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.functions.sketch import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+    from data_exchange_routing_spark.lake.rollup import RollupView
+
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lo, hi, k = 0.0, 100.0, 20
+    view = RollupView.create(
+        spark,
+        str(tmp_path / "view"),
+        group_by=["grp"],
+        aggs={"h": ("histogram", "v", (lo, hi, k)), "n": ("count", "v")},
+        batch_schema=schema,
+    )
+    full = spark.range(3000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+        ((F.col("id") * 37) % 101).cast("double").alias("v"),
+    )
+    for e in range(3):
+        view.apply_epoch(full.filter(F.col("id") % 3 == e), epoch_id=e)
+    got = {r["grp"]: list(r["h"]) for r in view.read().collect()}
+    want = {}
+    for r in histogram_sketch(full, "v", lo, hi, k, by=["grp"]).collect():
+        want.setdefault(r["grp"], [0] * (k + 2))[r["bin"]] = r["c"]
+    assert got == want  # 3-epoch fold == one-shot grid
+
+    qdf = {r["grp"]: r["h_q0.5"] for r in view.quantile("h", 0.5).collect()}
+    for grp in ("a", "b"):
+        rows = [{"bin": b, "c": c} for b, c in enumerate(got[grp]) if c]
+        assert abs(qdf[grp] - histogram_quantile(rows, 0.5, lo, hi, k)) < 1e-9
+        exact = (
+            full.filter(F.col("grp") == grp)
+            .agg(F.expr("percentile(v, 0.5)"))
+            .collect()[0][0]
+        )
+        assert abs(qdf[grp] - exact) <= (hi - lo) / k
+    # re-delivery is a no-op; compaction preserves the grid
+    view.apply_epoch(full, epoch_id=1)
+    view.compact()
+    assert {r["grp"]: list(r["h"]) for r in view.read().collect()} == want
