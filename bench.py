@@ -243,6 +243,12 @@ def main_default() -> None:
                 **_host_noise(_cpu0, _cpu_sample()),
                 "host_mem_gbps_start": _gbps0,
                 "host_mem_gbps_end": _page_touch_gbps(),
+                # explicit legibility flag: this record was taken inside a
+                # hypervisor degraded-paging window (healthy ~5 GB/s; such
+                # windows slow ALL memory-touching work 2-20x — see
+                # BENCH/BASELINE.md host-noise sections). Compare against
+                # same-flag records only.
+                "host_degraded": bool(_gbps0 < 0.5),
             }
         )
     )
