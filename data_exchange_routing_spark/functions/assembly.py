@@ -228,3 +228,52 @@ def negative_pairs(
     return pairs.join(
         df.select(F.col(id_col).alias("neg_id")), "neg_id", "left_semi"
     ).select("anchor_id", "neg_id", "pair_rank")
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> dict:
+    """Final-mile training-data export: the corpus in a deterministic
+    epoch-shuffle order, written as ``n_shards`` balanced parquet shards
+    plus a driver-side manifest (rows/bytes per shard from parquet footers,
+    no extra scan).
+
+    Shard assignment is ``global_rank % n_shards`` — round-robin over the
+    deterministic permutation, so shard sizes differ by at most one row and
+    every shard is itself an unbiased sample in replayable order (change
+    ``salt`` per epoch for a fresh permutation). ONE corpus shuffle (the
+    rank's bucket exchange) + one write; shard files are
+    ``shard=<k>/part-*.parquet`` with rows ordered by rank WITHIN each
+    shard, so a dataloader reading shard k sequentially sees the global
+    order's k-th residue class.
+    """
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    ranked = global_index(df, id_col=id_col, salt=salt)
+    shard = (F.col("global_rank") % n_shards).cast("int").alias("shard")
+    out = (
+        ranked.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "global_rank")
+    )
+    out.write.mode("error").partitionBy("shard").parquet(out_dir)
+    manifest = {}
+    for k in range(n_shards):
+        files = sorted(glob.glob(os.path.join(out_dir, f"shard={k}", "*.parquet")))
+        rows = sum(_pq.read_metadata(p).num_rows for p in files)
+        manifest[k] = {
+            "files": [os.path.relpath(p, out_dir) for p in files],
+            "rows": rows,
+            "bytes": sum(os.path.getsize(p) for p in files),
+        }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        _json.dump({"n_shards": n_shards, "salt": salt, "shards": manifest}, f)
+    return manifest

@@ -2837,6 +2837,40 @@ def events_value_histogram(spark, sf_dir):
     return histogram_sketch(ev, "value", 0.0, 500.0, k=20, by=["event_type"])
 
 
+@q(
+    "doc_training_shards",
+    # Final-mile shard export (functions/assembly.py:export_training_shards):
+    # deterministic epoch-shuffle order cut round-robin into balanced
+    # shards; reading the written files back must reproduce the closed-form
+    # (doc, shard, rank) assignment exactly — the oracle recomputes it from
+    # the md5 permutation.
+    f"""
+    WITH h AS (SELECT doc_id, n_chars, {_SHUF_FRAC_SQL} AS frac FROM documents),
+    r AS (SELECT doc_id, n_chars,
+                 CAST(row_number() OVER (ORDER BY frac, doc_id) - 1 AS BIGINT)
+                   AS global_rank
+          FROM h)
+    SELECT doc_id, n_chars, global_rank,
+           CAST(global_rank % 8 AS INT) AS shard
+    FROM r
+    """,
+)
+def doc_training_shards(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.functions.assembly import export_training_shards
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = tempfile.mkdtemp(prefix="shards_") + "/out"
+    manifest = export_training_shards(docs, out, n_shards=8)
+    # balance invariant: round-robin shard sizes differ by at most one
+    sizes = [m["rows"] for m in manifest.values()]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    return spark.read.parquet(out).select(
+        "doc_id", "n_chars", "global_rank", F.col("shard").cast("int").alias("shard")
+    )
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid
