@@ -238,3 +238,35 @@ def test_inverted_index_stoplist_before_window(spark):
     # Window appears after (above) a join on token in the plan tree
     w_ix = plan.index("Window")
     assert "Join" in plan[w_ix:], "kept-token join must run below the window"
+
+
+def test_funnel_has_no_window_or_sort(spark):
+    """The funnel is three chained min-ts aggregations — a per-user event
+    sort (Window/Sort over raw events) would be the O(events log events)
+    anti-pattern at 10^10 events."""
+    plan = _plan(spark, "events_funnel_conversion")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_histogram_sketch_single_agg_no_explode_shuffle(spark):
+    """k+2 conditional sums in ONE map-side-combinable aggregation: exactly
+    one shuffle (the group agg), no Expand/posexplode of per-row bins."""
+    plan = _plan(spark, "events_value_histogram")
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange + AQE read
+    assert "HashAggregate" in plan and "Generate" not in plan
+
+
+def test_triangles_degree_orientation_bounded_joins(spark):
+    """Exactly the compact-forward joins (wedge + closure + degree
+    annotations), never a cartesian product."""
+    plan = _plan(spark, "web_host_triangles")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_retention_scan_reads_only_surviving_files(spark):
+    """After expire_data the read plan lists only kept/rewritten files —
+    dropped age bands are absent from the scan's file listing."""
+    df = QUERIES["events_retention_expiry"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
