@@ -2871,6 +2871,50 @@ def doc_training_shards(spark, sf_dir):
     )
 
 
+@q(
+    "doc_corpus_report",
+    # Dataset-card report (the per-release "nutrition label" a training-data
+    # pipeline publishes): per language — doc count, corpus share, whitespace
+    # tokens, char stats, exact-dup rate (1 - distinct md5 / docs). ONE
+    # grouped pass; every measure is an exact expression both engines share.
+    """
+    WITH d AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+             length(text) AS n_chars,
+             md5(text) AS h
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM d)
+    SELECT lang,
+           count(*) AS n_docs,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS corpus_share,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) AS dup_rate
+    FROM d GROUP BY lang
+    """,
+)
+def doc_corpus_report(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("h"),
+    )
+    total = d.count()
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.count(F.lit(1)) / F.lit(total), 6).alias("corpus_share"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid
