@@ -31,11 +31,16 @@ def interval_join(
     [left_ts - lookback, left_ts]. Works identically on batch DataFrames
     (the tests cross-check streaming vs batch results).
 
-    ``how`` supports "inner" and "left_outer"; for the streaming outer join
-    Spark emits the null-padded left rows only once the watermark passes the
-    row's join range (availableNow drains flush them at end-of-input).
+    ``how`` supports "inner", "left_outer" and "full_outer"; for the
+    streaming outer joins Spark emits the null-padded rows only once the
+    watermark passes the row's join range. availableNow drains do NOT
+    force-close state still inside the watermark at end-of-input (observed
+    Spark semantics), so production streams should carry punctuation/
+    heartbeat events to flush tail rows — the full-outer test models this
+    with far-future sentinels. Full-outer right-side rows null-pad the LEFT
+    columns; consumers key on coalesce of both sides.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported join type: {how}")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right

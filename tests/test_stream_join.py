@@ -146,3 +146,74 @@ def test_interval_join_suffixes_clashing_right_columns(spark):
     assert out.columns == ["user_id", "ts", "src", "user_id_r", "ts_r", "src_r", "extra"]
     row = out.collect()[0]
     assert row["src"] == "L" and row["src_r"] == "R" and row["extra"] == 7
+
+
+def test_stream_full_outer_interval_join(spark, split_dirs, tmpdir_path):
+    """Streaming full-outer drain equals the batch full join: unmatched rows
+    from BOTH sides appear null-padded once the watermark passes them.
+
+    Spark semantics note (observed, not a bug): availableNow does NOT
+    force-close join state still inside the watermark at end-of-input, so
+    rows near the stream end would stay unflushed. Production streams carry
+    punctuation/heartbeat events for exactly this; the test appends one
+    far-future sentinel per side (excluded from the comparison) to advance
+    both watermarks past all real rows."""
+    from pyspark.sql import functions as F
+
+    # sentinel rows push each stream's watermark beyond every real row;
+    # 10 days apart so the sentinels cannot join each other
+    for side, days, dest in (("purchases", 20, "full_l"), ("views", 10, "full_r")):
+        base = spark.read.parquet(split_dirs + "/" + side)
+        hi = base.agg(F.max("ts")).collect()[0][0]
+        sent = spark.createDataFrame(
+            [(-1, -1, hi + __import__("datetime").timedelta(days=days))], SCHEMA
+        )
+        base.unionByName(sent).write.mode("overwrite").parquet(
+            os.path.join(tmpdir_path, dest)
+        )
+    full_l = os.path.join(tmpdir_path, "full_l")
+    full_r = os.path.join(tmpdir_path, "full_r")
+    batch_l = spark.read.parquet(split_dirs + "/purchases")
+    batch_r = spark.read.parquet(split_dirs + "/views").withColumnRenamed(
+        "event_id", "view_event_id"
+    )
+    _k = lambda t: tuple(map(repr, t))  # noqa: E731 — None-safe ordering
+    expected = sorted(
+        (
+            (r["event_id"], r["view_event_id"])
+            for r in interval_join(
+                batch_l, batch_r, on="user_id", left_ts="ts", right_ts="ts",
+                how="full_outer",
+            ).select("event_id", "view_event_id").collect()
+        ),
+        key=_k,
+    )
+    assert any(a is None for a, _ in expected)  # right-only rows exist
+    assert any(b is None for _, b in expected)  # left-only rows exist
+
+    sl = spark.readStream.schema(SCHEMA).parquet(full_l)
+    sr = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(full_r)
+        .withColumnRenamed("event_id", "view_event_id")
+    )
+    out = os.path.join(tmpdir_path, "out_full")
+    q = (
+        interval_join(sl, sr, on="user_id", left_ts="ts", right_ts="ts", how="full_outer")
+        .select("event_id", "view_event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ckpt_full"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (
+            (r["event_id"], r["view_event_id"])
+            for r in spark.read.parquet(out).collect()
+            if r["event_id"] != -1 and r["view_event_id"] != -1
+        ),
+        key=_k,
+    )
+    assert got == expected
