@@ -2915,6 +2915,77 @@ def doc_corpus_report(spark, sf_dir):
     )
 
 
+@q(
+    "cdc_ivm_aggregate",
+    # Incremental view maintenance (lake/ivm.py:KeyedAggView): a GROUP BY
+    # over a keyed CDC table maintained from its change feed with
+    # RETRACTION — updates that move a key between groups subtract the old
+    # contribution and add the new, deletes decrement. The oracle is the
+    # plain aggregate over the closed-form final state, so the hash compare
+    # proves the incremental fold equals the from-scratch GROUP BY.
+    """
+    WITH final AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 4 = 0 THEN 'fr' ELSE lang END AS lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000 ELSE n_chars END AS n
+      FROM documents WHERE doc_id % 9 <> 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS DOUBLE) AS sum_n
+    FROM final GROUP BY lang
+    """,
+)
+def cdc_ivm_aggregate(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.ivm import KeyedAggView
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="ivm_")
+    src = LakeTable.create(spark, f"{root}/src", schema, key="url", n_buckets=8)
+    view = KeyedAggView.create(
+        spark, f"{root}/view", key="url", group_by=["lang"],
+        sums={"sum_n": "n"}, source_schema=schema, n_buckets=8,
+    )
+    epochs = [
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n"),
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        docs.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 9 == 0))
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-02")).alias("warc_ts"),
+            F.lit("fr").alias("lang"),
+            (F.col("n_chars").cast("long") + 1000).alias("n"),
+        )
+        .withColumn("_lsn", F.lit(2))
+        .withColumn("_deleted", F.col("url").cast("long") % 9 == 0),
+    ]
+    prev_v = src.current_version()
+    for e, batch in enumerate(epochs):
+        src.merge_cdc(batch, epoch_id=e)
+        cur_v = src.current_version()
+        view.apply_changes(
+            src.read_changes(prev_v, cur_v, with_internal=True), epoch_id=e
+        )
+        prev_v = cur_v
+    return view.read()
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid

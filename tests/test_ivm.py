@@ -1,0 +1,123 @@
+"""Incremental view maintenance over a keyed CDC table: retraction,
+group moves, deletes, out-of-order revisions, crash redelivery."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_exchange_routing_spark.lake.ivm import KeyedAggView
+from data_exchange_routing_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, ts string, lang string, n long, _lsn long, _deleted boolean"
+    ).select(
+        "url", F.to_timestamp("ts").alias("warc_ts"), "lang", "n", "_lsn", "_deleted"
+    )
+
+
+def _expected(src):
+    return sorted(
+        tuple(r)
+        for r in src.read()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("n").cast("double")).alias("sum_n"))
+        .collect()
+    )
+
+
+def _got(view):
+    return sorted(tuple(r) for r in view.read().collect())
+
+
+def test_ivm_tracks_source_through_updates_deletes_and_ooo(spark, tmp_path):
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, key="url", n_buckets=8)
+    view = KeyedAggView.create(
+        spark, str(tmp_path / "view"), key="url", group_by=["lang"],
+        sums={"sum_n": "n"}, source_schema=SCHEMA, n_buckets=8,
+    )
+    epochs = [
+        # epoch 0: inserts across two groups
+        [(f"u{i}", "2024-01-01 00:00:00", "en" if i % 2 == 0 else "de", i, 1, False)
+         for i in range(20)],
+        # epoch 1: group moves (en->fr for %4) + value changes + two deletes
+        [(f"u{i}", "2024-01-02 00:00:00", "fr", i + 100, 2, False)
+         for i in range(0, 20, 4)]
+        + [("u1", "2024-01-02 00:00:00", "de", 0, 2, True),
+           ("u3", "2024-01-02 00:00:00", "de", 0, 2, True)],
+        # epoch 2: out-of-order stale revisions (older ts) that must LOSE,
+        # plus a genuine newer update and a delete-then... revive of u1
+        [("u0", "2023-12-01 00:00:00", "zz", 999, 3, False),  # stale: loses
+         ("u2", "2024-01-03 00:00:00", "en", 500, 3, False),  # wins
+         ("u1", "2024-01-03 00:00:00", "en", 7, 3, False)],   # revives
+    ]
+    prev_v = src.current_version()
+    for e, rows in enumerate(epochs):
+        src.merge_cdc(_batch(spark, rows), epoch_id=e)
+        cur_v = src.current_version()
+        feed = src.read_changes(prev_v, cur_v, with_internal=True)
+        view.apply_changes(feed, epoch_id=e)
+        prev_v = cur_v
+        assert _got(view) == _expected(src), f"epoch {e}"
+    # the stale zz revision must not have leaked a group
+    assert all(r[0] != "zz" for r in _got(view))
+
+    # redelivery of the last feed batch is a no-op
+    res = view.apply_changes(
+        src.read_changes(prev_v - 1, prev_v, with_internal=True), epoch_id=2
+    )
+    assert res["skipped"] is True
+    assert _got(view) == _expected(src)
+
+    # compaction preserves the aggregate
+    view.compact()
+    assert _got(view) == _expected(src)
+
+
+def test_ivm_crash_between_commits_heals_on_redelivery(spark, tmp_path, monkeypatch):
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, key="url", n_buckets=8)
+    view = KeyedAggView.create(
+        spark, str(tmp_path / "view"), key="url", group_by=["lang"],
+        sums={"sum_n": "n"}, source_schema=SCHEMA, n_buckets=8,
+    )
+    v0 = src.current_version()
+    src.merge_cdc(
+        _batch(spark, [(f"u{i}", "2024-01-01 00:00:00", "en", i, 1, False) for i in range(8)]),
+        epoch_id=0,
+    )
+    feed0 = src.read_changes(v0, with_internal=True)
+    view.apply_changes(feed0, epoch_id=0)
+    v1 = src.current_version()
+    src.merge_cdc(
+        _batch(spark, [("u0", "2024-01-02 00:00:00", "de", 1000, 2, False)]), epoch_id=1
+    )
+    feed1 = src.read_changes(v1, with_internal=True)
+
+    # crash AFTER the adjustment append, BEFORE the contribution merge
+    real_merge = view.contrib.merge_cdc
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(view.contrib, "merge_cdc", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        view.apply_changes(feed1, epoch_id=1)
+    monkeypatch.setattr(view.contrib, "merge_cdc", real_merge)
+
+    # redelivery: adjustment append skips by guard, contribution re-applies
+    res = view.apply_changes(feed1, epoch_id=1)
+    assert res["skipped"] is False
+    assert res["adjust"]["skipped"] is True and res["contrib"]["skipped"] is False
+    assert _got(view) == _expected(src)
+    # and a THIRD delivery is a full no-op
+    assert view.apply_changes(feed1, epoch_id=1)["skipped"] is True
