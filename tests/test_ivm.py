@@ -121,3 +121,38 @@ def test_ivm_crash_between_commits_heals_on_redelivery(spark, tmp_path, monkeypa
     assert _got(view) == _expected(src)
     # and a THIRD delivery is a full no-op
     assert view.apply_changes(feed1, epoch_id=1)["skipped"] is True
+
+
+def test_ivm_driven_by_changefeed_consumer(spark, tmp_path):
+    """Composition: the durable-cursor ChangeFeedConsumer drives the IVM
+    view (epoch id = the feed's to_version, unique and ordered); an
+    interrupted drain resumes from the cursor and the view converges."""
+    from data_exchange_routing_spark.lake.changefeed import ChangeFeedConsumer
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, key="url", n_buckets=8)
+    view = KeyedAggView.create(
+        spark, str(tmp_path / "view"), key="url", group_by=["lang"],
+        sums={"sum_n": "n"}, source_schema=SCHEMA, n_buckets=8,
+    )
+    consumer = ChangeFeedConsumer(
+        spark, src.path, consumer_id="ivm", with_internal=True
+    )
+
+    def fold(changes, _from_v, to_v):
+        view.apply_changes(changes, epoch_id=to_v)
+
+    for e in range(3):
+        rows = [
+            (f"u{i}", f"2024-01-0{e + 1} 00:00:00",
+             "en" if (i + e) % 2 == 0 else "de", i * (e + 1), e + 1,
+             e == 2 and i % 5 == 0)
+            for i in range(15)
+        ]
+        src.merge_cdc(_batch(spark, rows), epoch_id=e)
+        consumer.drain(fold, max_versions_per_batch=1)
+        assert _got(view) == _expected(src), f"epoch {e}"
+
+    # a fresh consumer object resumes from the durable cursor: nothing new
+    c2 = ChangeFeedConsumer(spark, src.path, consumer_id="ivm", with_internal=True)
+    assert c2.drain(fold)["processed_versions"] == 0
+    assert _got(view) == _expected(src)
