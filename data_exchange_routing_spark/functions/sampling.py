@@ -366,6 +366,36 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    by: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Efraimidis-Spirakis sampling: the top-k weight-proportional
+    rows WITHIN each group — the balanced-dataset construction primitive
+    (k quality-weighted docs per language/domain). Same deterministic
+    md5-derived draw and 6dp+id tie-break as ``weighted_sample``; the group
+    cut is one window (partition = group) instead of a global top-k, so the
+    shuffle is keyed by group and each partition heap-sorts only its group's
+    rows. Weights must be strictly positive."""
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPACE + 1.0)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    w = W.partitionBy(*by).orderBy(F.desc("sample_key"), F.asc(id_col))
+    return (
+        df.select(*by, F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*by, id_col, weight_col, "sample_key", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def per_domain_cap(
     df,
     blocklist,

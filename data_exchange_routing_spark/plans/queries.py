@@ -4688,6 +4688,32 @@ def doc_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "doc_weighted_sample_per_lang",
+    # Per-group Efraimidis-Spirakis sampling: top-10 weight-proportional
+    # docs WITHIN each language — the balanced-dataset construction
+    # primitive. Same deterministic draw; the cut is a per-group window.
+    """
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+                      / 4294967297.0) / n_chars::DOUBLE, 6) AS sample_key
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, sample_key, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rk FROM s)
+    WHERE rk <= 10
+    """,
+)
+def doc_weighted_sample_per_lang(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sampling import weighted_sample_per_group
+
+    return weighted_sample_per_group(
+        ld(spark, sf_dir, "documents"), "n_chars", k=10, by=["lang"]
+    )
+
+
+@q(
     "doc_negative_pairs",
     # Deterministic uniform negative sampling (contrastive training): each
     # anchor pairs with k=2 md5-offset partners on the contiguous id ring.
