@@ -2008,7 +2008,13 @@ class LakeTable:
         )
         return probe.join(state, pk, how)
 
-    def diff(self, other: "LakeTable", columns: list[str] | None = None) -> DataFrame:
+    def diff(
+        self,
+        other: "LakeTable",
+        columns: list[str] | None = None,
+        version: int | None = None,
+        other_version: int | None = None,
+    ) -> DataFrame:
         """Anti-entropy table comparison (migration/backfill validation):
         one row per key whose current state differs between the two keyed
         tables — ``status`` in {left_only, right_only, changed}.
@@ -2018,8 +2024,15 @@ class LakeTable:
         map-side on each resolved state; the full-outer join then carries
         only (key, hash) — O(keys) shuffle width regardless of row width.
         Matching keys with equal hashes drop out; the output is the
-        (usually tiny) disagreement set."""
-        lsnap, rsnap = self.snapshot(), other.snapshot()
+        (usually tiny) disagreement set.
+
+        ``version``/``other_version`` pin either side to a snapshot, so
+        ``t.diff(t, version=v1, other_version=v2)`` is the NET state change
+        between two points in table history (release-notes semantics —
+        unlike the change feed, which streams every intermediate revision):
+        left_only = keys deleted since v1, right_only = created, changed =
+        whose resolved row differs."""
+        lsnap, rsnap = self.snapshot(version), other.snapshot(other_version)
         if lsnap.key is None or rsnap.key is None:
             raise ValueError("diff requires keyed tables on both sides")
         lkey, rkey = lsnap.key, rsnap.key
@@ -2027,13 +2040,16 @@ class LakeTable:
             shared = {f.name for f in lsnap.schema().fields} & {
                 f.name for f in rsnap.schema().fields
             }
-            columns = sorted(shared - {lkey, rkey, *INTERNAL_COLS})
+            # warc_ts is CDC ordering metadata, not payload: two states
+            # whose rows differ only in event time are "equal" by default
+            # (pin columns=["warc_ts", ...] to compare it too)
+            columns = sorted(shared - {lkey, rkey, "warc_ts", *INTERNAL_COLS})
         fp = lambda df, key: df.select(  # noqa: E731
             F.col(key).alias("_k"),
             F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(columns)]))).alias("_h"),
         )
-        l = fp(self.read(), lkey)
-        r = fp(other.read(), rkey)
+        l = fp(self.read(version=version), lkey)
+        r = fp(other.read(version=other_version), rkey)
         j = l.alias("l").join(r.alias("r"), F.col("l._k") == F.col("r._k"), "full_outer")
         status = (
             F.when(F.col("r._k").isNull(), F.lit("left_only"))

@@ -121,3 +121,27 @@ def test_lookup_join_in_streaming_foreachbatch(spark, tmp_path):
         map(tuple, probe.join(dim.read().select("url", "n", "lang"), "url", "left").collect())
     )
     assert got == want and len(got) == 150
+
+
+def test_diff_between_versions_is_net_change(spark, tmp_path):
+    """t.diff(t, version=v1, other_version=v2): the NET state change between
+    two snapshots — intermediate revisions (touched then reverted) drop out,
+    unlike the change feed which streams every revision."""
+    t = _mk(spark, str(tmp_path / "t"), n_rows=30)
+    v1 = t.current_version()
+    # epoch: create u100, change u5, touch-and-revert u7 (net no-op), delete u9
+    ts2 = F.to_timestamp(F.lit("2024-01-02"))
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("u100", 100), ("u5", 555), ("u7", 7), ("u9", 0)], "url string, n long"
+        ).select(
+            "url", ts2.alias("warc_ts"), "n", F.lit("en").alias("lang"),
+            F.lit(2).alias("_lsn"), (F.col("url") == "u9").alias("_deleted"),
+        ),
+        epoch_id=1,
+    )
+    v2 = t.current_version()
+    got = {r["url"]: r["status"] for r in t.diff(t, version=v1, other_version=v2).collect()}
+    # u7's new revision has identical public values -> net no-op, absent
+    assert got == {"u100": "right_only", "u5": "changed", "u9": "left_only"}
+    assert t.diff(t, version=v2, other_version=v2).count() == 0
