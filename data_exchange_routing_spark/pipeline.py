@@ -225,6 +225,70 @@ class Warehouse:
                 removed.append(e)
         return {"tables": out, "checkpoints_removed": removed}
 
+    # ---------------------------------------------- snapshot-keyed results
+    def cached_result(
+        self,
+        name: str,
+        fn,
+        tables: list[str] | None = None,
+    ) -> tuple["DataFrame", dict]:
+        """Serving-layer memoization: the result of ``fn()`` (a DataFrame)
+        is materialized under a fingerprint of its input tables' CURRENT
+        version vector. While no input table commits, repeat calls serve the
+        stored parquet without recomputation; any commit to any input table
+        changes the fingerprint and the next call recomputes — correct
+        invalidation for free from the snapshot versions (the same vector
+        consistent cuts pin). Returns (df, {"hit": bool, "fingerprint":
+        ...}). Publication is an atomic directory rename, so concurrent
+        computers race safely (the loser serves the winner's files).
+        ``vacuum_cache`` reclaims superseded fingerprints."""
+        import hashlib
+        import shutil
+        import uuid as _uuid
+
+        pins = {
+            t: self.table(t).current_version()
+            for t in (tables if tables is not None else self.list_tables())
+        }
+        fp = hashlib.md5(json.dumps(pins, sort_keys=True).encode()).hexdigest()[:16]
+        base = os.path.join(self.root, "_cache", name)
+        dest = os.path.join(base, fp)
+        if os.path.isdir(dest):
+            return self.spark.read.parquet(dest), {"hit": True, "fingerprint": fp}
+        os.makedirs(base, exist_ok=True)
+        tmp = os.path.join(base, f".tmp-{_uuid.uuid4().hex[:8]}")
+        fn().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        return self.spark.read.parquet(dest), {"hit": False, "fingerprint": fp}
+
+    def vacuum_cache(self, name: str | None = None) -> dict:
+        """Drop every cached fingerprint that no longer matches its query's
+        current input versions is unknowable per-entry (inputs aren't stored
+        per fp), so the policy is: keep each query's newest entry by mtime,
+        drop the rest — superseded results are never served again anyway."""
+        import shutil
+
+        root = os.path.join(self.root, "_cache")
+        if not os.path.isdir(root):
+            return {"removed": 0}
+        removed = 0
+        names = [name] if name else os.listdir(root)
+        for n in names:
+            d = os.path.join(root, n)
+            if not os.path.isdir(d):
+                continue
+            entries = sorted(
+                (e for e in os.listdir(d) if not e.startswith(".tmp-")),
+                key=lambda e: os.path.getmtime(os.path.join(d, e)),
+            )
+            for e in entries[:-1]:
+                shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+                removed += 1
+        return {"removed": removed}
+
     # ---- promoted-meta-key registry (open-world schema, amortized O(1)) ----
     def _promote_registry_path(self) -> str:
         return os.path.join(self.root, "_checkpoints", "promoted_meta_keys.json")

@@ -95,3 +95,34 @@ def test_rollback_to_tag_then_replay_reconverges(spark, tmp_path):
     # the undone epochs redeliver and the warehouse reconverges exactly
     replay(wh, events, max_concurrent_epochs=1)
     assert _norm(wh.table("web_pages").read()) == want_full
+
+
+def test_cached_result_hits_until_input_commits(spark, tmp_path):
+    wh, events = _mk_wh(spark, tmp_path, n_epochs=2)
+    replay(wh, events, stop_after_epoch=0, max_concurrent_epochs=1)
+    calls = {"n": 0}
+
+    def q():
+        calls["n"] += 1
+        return (
+            wh.table("web_pages").read().groupBy("lang").count()
+        )
+
+    df1, info1 = wh.cached_result("lang_counts", q, tables=["web_pages"])
+    want = sorted(map(tuple, df1.collect()))
+    assert info1["hit"] is False and calls["n"] == 1
+    df2, info2 = wh.cached_result("lang_counts", q, tables=["web_pages"])
+    assert info2["hit"] is True and calls["n"] == 1  # served, not recomputed
+    assert sorted(map(tuple, df2.collect())) == want
+
+    replay(wh, events, max_concurrent_epochs=1)  # epoch 1 commits -> invalidate
+    df3, info3 = wh.cached_result("lang_counts", q, tables=["web_pages"])
+    assert info3["hit"] is False and calls["n"] == 2
+    assert info3["fingerprint"] != info1["fingerprint"]
+    assert sorted(map(tuple, df3.collect())) == sorted(
+        map(tuple, wh.table("web_pages").read().groupBy("lang").count().collect())
+    )
+    # vacuum keeps the newest fingerprint only; the hit still serves
+    assert wh.vacuum_cache()["removed"] == 1
+    _, info4 = wh.cached_result("lang_counts", q, tables=["web_pages"])
+    assert info4["hit"] is True and calls["n"] == 2
