@@ -176,8 +176,12 @@ def main_default() -> None:
     # the hypervisor's degraded-paging windows slow ALL memory-touching work
     # 2-20x (disclosed in every record); don't start a timed headline run
     # inside one if waiting out a bounded window can avoid it
+    # bounded wait: degraded windows can outlast any reasonable budget
+    # (a >6h window was observed 2026-08-18/19); after the timeout the run
+    # proceeds and the record carries host_degraded=true + the gbps probes,
+    # so a slow-window record exists rather than no record at all
     _gbps0 = _wait_healthy_host(
-        timeout_s=float(os.environ.get("BENCH_HEALTHY_TIMEOUT_SEC", "1800"))
+        timeout_s=float(os.environ.get("BENCH_HEALTHY_TIMEOUT_SEC", "600"))
     )
     _use_tmpfs_scratch()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
