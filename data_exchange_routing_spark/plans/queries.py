@@ -2986,6 +2986,75 @@ def cdc_ivm_aggregate(spark, sf_dir):
     return view.read()
 
 
+@q(
+    "cdc_ivm_from_replay",
+    # End-to-end composition: the FULL CDC replay builds web_pages (validate
+    # -> route -> dedup -> extract -> epoch-guarded merges), then the IVM
+    # view is maintained purely from web_pages' CHANGE FEED (one consumer
+    # drain, one batch per commit) — per-language live-row counts through
+    # real tombstones, LWW updates and mid-stream schema evolution. The
+    # oracle aggregates the closed-form final state.
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    typed AS (
+      SELECT lsn, warc_ts, user_id,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op
+      FROM ev
+      WHERE lsn % 43 <> 0 AND lsn % 41 <> 0
+        AND lsn % 29 NOT IN (0, 1) AND lsn % 4 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM typed
+    )
+    SELECT
+      CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+        WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    GROUP BY 1
+    """,
+)
+def cdc_ivm_from_replay(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.changefeed import ChangeFeedConsumer
+    from data_exchange_routing_spark.lake.ivm import KeyedAggView
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.schemas import WEB_PAGES
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_change_events_from_events,
+    )
+
+    events = derive_change_events_from_events(ld(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="ivm_replay_")
+    events.write.mode("overwrite").partitionBy("epoch_hint").parquet(f"{root}/events")
+    wh = Warehouse(spark, f"{root}/wh", n_buckets=8)
+    replay(wh, f"{root}/events", max_concurrent_epochs=1)
+    view = KeyedAggView.create(
+        spark, f"{root}/view", key="url", group_by=["lang"], sums={},
+        source_schema=WEB_PAGES, n_buckets=8,
+    )
+    consumer = ChangeFeedConsumer(
+        spark, wh.table_path("web_pages"), consumer_id="ivm", with_internal=True
+    )
+    consumer.drain(
+        lambda changes, _f, to_v: view.apply_changes(changes, epoch_id=to_v),
+        max_versions_per_batch=1,
+    )
+    return view.read()
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid
