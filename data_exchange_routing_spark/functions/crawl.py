@@ -1,0 +1,101 @@
+"""Crawl-politeness operators: robots-rule URL filtering and per-host
+frontier scheduling.
+
+A web-corpus pipeline does not only consume crawls — it plans them. Two
+operators every crawler control loop needs, both expressed as pure
+DataFrame plans:
+
+- ``robots_filter``: REP (robots-exclusion, RFC 9309) longest-prefix-match
+  allow/disallow resolution of a URL set against a per-host rule table.
+  Google's published semantics: the most specific (longest) matching rule
+  wins, ``allow`` wins length ties, no matching rule means allowed.
+- ``frontier_schedule``: per-host politeness waves — each host fetches at
+  most ``concurrency`` URLs per wave, highest-priority first, so the
+  frontier is emitted as (wave, slot) coordinates a fetch fleet can drain
+  without hammering any origin.
+
+Scale shape: the rule table is control-plane sized (crawler configs are
+KB–MB) and broadcast, so the URL side NEVER shuffles for the filter; the
+rule resolution is one map-side-combinable ``max_by`` aggregation keyed by
+URL. Scheduling is one window shuffle keyed by host — the same exchange a
+per-host cap already pays — and priorities use deterministic orderings so
+replanning on a different cluster size yields identical waves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Resolve REP rules for each URL row.
+
+    ``rules`` columns: (host, rule in {'allow', 'disallow'}, prefix).
+    Appends ``allowed`` (boolean), ``matched_rule``, ``matched_prefix``
+    (NULL when no rule matched). Longest prefix wins; 'allow' beats
+    'disallow' on equal length; rows whose host has no matching rule are
+    allowed.
+
+    Plan: broadcast left join on host + startswith (rules are tiny), then
+    ONE max_by agg per URL row over (prefix length, is-allow) — map-side
+    combinable, no window, no second shuffle.
+    """
+    r = rules.select(
+        F.col("host").alias("_r_host"),
+        F.col("rule").alias("_r_rule"),
+        F.col("prefix").alias("_r_prefix"),
+    )
+    joined = urls.join(
+        F.broadcast(r),
+        (F.col(host_col) == F.col("_r_host"))
+        & F.col(path_col).startswith(F.col("_r_prefix")),
+        "left",
+    )
+    # total deterministic preference order: longer prefix first, allow over
+    # disallow on ties (is_allow is 1/0), then the prefix string itself so
+    # duplicate-length distinct rules cannot flip nondeterministically
+    pref = F.struct(
+        F.length("_r_prefix").alias("l"),
+        (F.col("_r_rule") == "allow").cast("int").alias("a"),
+        F.col("_r_prefix").alias("p"),
+        F.col("_r_rule").alias("r"),
+    )
+    key_cols = [c for c in urls.columns]
+    won = (
+        joined.groupBy(*key_cols)
+        .agg(F.max_by(F.struct("_r_rule", "_r_prefix"), pref).alias("_win"))
+    )
+    return won.select(
+        *key_cols,
+        F.coalesce(F.col("_win._r_rule") == "allow", F.lit(True)).alias("allowed"),
+        F.col("_win._r_rule").alias("matched_rule"),
+        F.col("_win._r_prefix").alias("matched_prefix"),
+    )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    host_col: str = "host",
+    priority_cols: list | None = None,
+    concurrency: int = 2,
+) -> DataFrame:
+    """Assign (wave, slot) politeness coordinates per host.
+
+    Within each host, rows are ranked by ``priority_cols`` (a deterministic
+    total order — callers should end it with the URL itself); rank r maps to
+    wave = r // concurrency, slot = r % concurrency. Wave w of every host
+    can be fetched concurrently while no host sees more than ``concurrency``
+    in-flight requests.
+    """
+    order = priority_cols if priority_cols is not None else [F.col("url").asc()]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    rk = F.row_number().over(w) - 1
+    return urls.withColumn("wave", (rk / concurrency).cast("long")).withColumn(
+        "slot", (rk % concurrency).cast("long")
+    )

@@ -150,3 +150,95 @@ def histogram_quantile(rows: list, q: float, lo: float, hi: float, k: int) -> fl
             return left + frac * span / k
         run += c
     return hi
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: mergeable DISTINCT-count estimation with set algebra
+# ---------------------------------------------------------------------------
+#
+# CMS answers frequency point queries and the histogram sketch answers
+# quantiles; the third member of the mergeable-sketch family a 100 TB engine
+# needs is distinct counting WITH set operations — "how many distinct users
+# did A and B share?" is not answerable from two HLLs without the full sets.
+# KMV / bottom-k (Bar-Yossef et al. 2002; Beyer et al. 2007, SIGMOD — the
+# construction behind the DataSketches theta sketch) keeps the k smallest
+# distinct hash values of a key set. The k-th smallest hash U_(k), viewed as
+# a fraction of the hash space, estimates density: D ≈ (k-1)/U_(k); unions
+# merge by taking the k smallest of the combined sketches; intersections use
+# the theta trick (count surviving common hashes below min(theta_a, theta_b),
+# divide by theta).
+#
+# Determinism contract (same as CMS): the "uniform" hash is the first 60 bits
+# of md5, so sketches — and therefore the estimates — are bit-identical
+# across engines and cluster sizes; DuckDB computes the same sketch with
+# ('0x' || substr(md5(x), 1, 15))::BIGINT and carries an EXACT oracle.
+#
+# Physical shape: distinct-of-hashes is one map-side-combinable aggregation;
+# the k-smallest cut is TakeOrdered (per-partition top-k heaps merged on the
+# driver) — never a global sort. The sketch itself (≤ k longs) is
+# control-plane sized from then on: estimates and set ops are driver-trivial
+# or broadcast joins.
+
+KMV_SPACE = float(1 << 60)  # hash values are uniform in [0, 2^60)
+
+
+def kmv_hash(col) -> "F.Column":
+    """First 60 bits of md5 as a long — uniform, deterministic, and exactly
+    reproducible in DuckDB (15 hex digits fit BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """The k smallest distinct key hashes: one column ``h``, ≤ k rows."""
+    return (
+        df.select(kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Union sketch: k smallest of the combined hash sets. Associative and
+    commutative — partial sketches from partitions/epochs/tables fold the
+    same way."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """One row (n_kept, est): exact count when the set never filled the
+    sketch (n < k ⇒ every distinct hash is present), else (k-1)/U_(k)."""
+    return sketch.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("_max_h")
+    ).select(
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("_max_h").cast("double"))
+        .alias("est"),
+    )
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """One row (n_common, est): theta-sketch intersection. theta_x is the
+    sketch's k-th smallest hash when full, else the whole hash space; common
+    hashes below min(theta_a, theta_b) are an unbiased sample of the true
+    intersection at sampling rate theta/space."""
+
+    def _theta(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(KMV_SPACE))
+            .otherwise(F.max("h").cast("double"))
+            .alias("theta")
+        )
+
+    theta = (
+        _theta(a).crossJoin(_theta(b).withColumnRenamed("theta", "_tb"))
+        .select(F.least("theta", "_tb").alias("theta"))
+    )
+    common = a.join(b, "h", "inner").crossJoin(theta).filter(F.col("h") < F.col("theta"))
+    return common.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(F.count(F.lit(1)) * F.lit(KMV_SPACE) / F.first("theta"), 4).alias("est"),
+    ).select(
+        "n_common", F.coalesce("est", F.lit(0.0)).alias("est")
+    )

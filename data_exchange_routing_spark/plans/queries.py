@@ -5127,3 +5127,247 @@ def doc_bm25_topk(spark, sf_dir):
     return bm25_topk(
         ld(spark, sf_dir, "documents"), _BM25_QUERY, k=5, k1=_BM25_K1, b=_BM25_B
     )
+
+
+# =====================================================================
+# Round-2 (cont.): KMV distinct-set algebra, journey transitions, crawl
+# politeness, robots filtering, containment near-dup, HITS
+# =====================================================================
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)
+
+
+def _kmv_sql(k: int = _KMV_K) -> str:
+    """DuckDB twin of functions/sketch.py KMV: identical md5-60-bit hashes,
+    identical k-smallest cut, identical estimators — the sketch is
+    deterministic so the oracle is EXACT."""
+    space = f"{_KMV_SPACE!r}"
+    est = (
+        "CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        "ELSE {km1}.0 * {space} / CAST(m AS DOUBLE) END"
+    ).format(k=k, km1=k - 1, space=space)
+    theta = f"CASE WHEN n < {k} THEN {space} ELSE CAST(m AS DOUBLE) END"
+    return f"""
+    WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events WHERE event_type = 'view'),
+    ka AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT {k}),
+    hb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events WHERE event_type = 'purchase'),
+    kb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT {k}),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT {k}),
+    sa AS (SELECT count(*) AS n, max(h) AS m FROM ka),
+    sb AS (SELECT count(*) AS n, max(h) AS m FROM kb),
+    su AS (SELECT count(*) AS n, max(h) AS m FROM ku),
+    th AS (SELECT least((SELECT {theta} FROM sa), (SELECT {theta} FROM sb)) AS theta),
+    common AS (SELECT ka.h FROM ka JOIN kb USING (h), th WHERE ka.h < th.theta)
+    SELECT (SELECT n FROM sa) AS n_a,
+           round((SELECT {est} FROM sa), 4) AS est_a,
+           (SELECT n FROM sb) AS n_b,
+           round((SELECT {est} FROM sb), 4) AS est_b,
+           round((SELECT {est} FROM su), 4) AS est_union,
+           (SELECT count(*) FROM common) AS n_common,
+           round((SELECT count(*) FROM common) * {space} / (SELECT theta FROM th), 4) AS est_inter
+    """
+
+
+@q(
+    "events_kmv_distinct",
+    # Distinct-set ALGEBRA sketch (theta/KMV — Beyer et al. 2007): distinct
+    # viewers, distinct purchasers, their union AND intersection, all from
+    # two k=64-long mergeable sketches. HLL (events_approx_distinct_users)
+    # cannot intersect; KMV is the sketch that answers audience-overlap at
+    # 100 TB without holding the key sets. Deterministic md5 hashing makes
+    # the estimates bit-identical cross-engine => EXACT oracle.
+    _kmv_sql(),
+)
+def events_kmv_distinct(spark, sf_dir):
+    from data_exchange_routing_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = ld(spark, sf_dir, "events")
+    k = _KMV_K
+    ka = kmv_sketch(ev.filter(F.col("event_type") == "view"), "user_id", k).cache()
+    kb = kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id", k).cache()
+    ea = kmv_estimate(ka, k).select(
+        F.col("n_kept").alias("n_a"), F.round("est", 4).alias("est_a")
+    )
+    eb = kmv_estimate(kb, k).select(
+        F.col("n_kept").alias("n_b"), F.round("est", 4).alias("est_b")
+    )
+    eu = kmv_estimate(kmv_merge(ka, kb, k), k).select(F.round("est", 4).alias("est_union"))
+    ei = kmv_intersect_estimate(ka, kb, k).select(
+        "n_common", F.col("est").alias("est_inter")
+    )
+    return ea.crossJoin(eb).crossJoin(eu).crossJoin(ei)
+
+
+@q(
+    "events_markov_transitions",
+    # User-journey transition matrix: P(next event type | current) from each
+    # user's time-ordered stream — the Markov-chain summary behind funnel /
+    # session analytics. ONE window shuffle (by user) + one count agg; the
+    # probability normalization is a second window over the tiny
+    # (type x type) matrix, never the events.
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS prev_type, next_type, count(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    ev = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wp), 6)
+    )
+
+
+# per-host REP rule table shared by the Spark query and the oracle —
+# control-plane sized, exercises longest-match, allow-beats-disallow ties,
+# rule-free hosts, and case-sensitive prefixes ('/Path/' not '/path/')
+_ROBOTS_RULES = [
+    ("example0.com", "disallow", "/Path/"),
+    ("example0.com", "allow", "/Path/1"),
+    ("example1.com", "disallow", "/"),
+    ("example2.com", "allow", "/"),
+    ("example2.com", "disallow", "/Path/2"),
+]
+_ROBOTS_VALUES = ", ".join(f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)
+
+_CANON_URL_SQL_CTE = f"""
+    u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    cs AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS base FROM u),
+    cp AS (SELECT doc_id, url, base,
+                  regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+           FROM cs),
+    cr AS (SELECT doc_id, url,
+                  regexp_replace(regexp_replace(lower(prefix), '^(http://.*):80$', '\\1'),
+                                 '^(https://.*):443$', '\\1') AS auth,
+                  substr(base, length(prefix) + 1) AS rest
+           FROM cp),
+    cx AS (SELECT doc_id, url, auth,
+                  regexp_extract(rest, '^([^?]*)', 1) AS path,
+                  regexp_extract(rest, '\\?(.*)$', 1) AS query
+           FROM cr),
+    ck AS (SELECT doc_id, url, auth, path,
+                  array_to_string(list_sort(list_filter(string_split(query, '&'),
+                    y -> y <> '' AND NOT regexp_matches(y, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') AS q2
+           FROM cx),
+    canon AS (
+      SELECT doc_id,
+             auth || path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS url_canonical,
+             regexp_extract(auth, '^[a-z][a-z0-9+.-]*://([^/?#:@]+)', 1) AS host,
+             path
+      FROM ck)
+"""
+
+
+@q(
+    "web_robots_filter",
+    # REP (RFC 9309) URL filtering: longest-prefix-match allow/disallow per
+    # host, allow wins length ties, rule-free hosts pass. The rule table is
+    # broadcast so the URL corpus never shuffles for the filter; resolution
+    # is one map-side-combinable max_by per URL.
+    f"""
+    WITH {_CANON_URL_SQL_CTE},
+    rules(r_host, r_rule, r_prefix) AS (VALUES {_ROBOTS_VALUES}),
+    m AS (
+      SELECT c.doc_id, c.url_canonical, c.host, c.path, r.r_rule, r.r_prefix,
+             row_number() OVER (
+               PARTITION BY c.doc_id
+               ORDER BY length(r.r_prefix) DESC,
+                        CASE WHEN r.r_rule = 'allow' THEN 1 ELSE 0 END DESC,
+                        r.r_prefix DESC, r.r_rule DESC
+             ) AS rk
+      FROM canon c LEFT JOIN rules r
+        ON c.host = r.r_host AND starts_with(c.path, r.r_prefix)
+    )
+    SELECT doc_id, url_canonical, host, path,
+           coalesce(r_rule = 'allow', TRUE) AS allowed,
+           r_rule AS matched_rule, r_prefix AS matched_prefix
+    FROM m WHERE rk = 1
+    """,
+)
+def web_robots_filter(spark, sf_dir):
+    from data_exchange_routing_spark.functions.crawl import robots_filter
+    from data_exchange_routing_spark.operators.parse import canonicalize_url, host_of
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    canon = canonicalize_url(d).select(
+        "doc_id",
+        "url_canonical",
+        host_of(F.col("url_canonical")).alias("host"),
+        F.regexp_extract("url_canonical", "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1).alias("path"),
+    )
+    rules = canon.sparkSession.createDataFrame(_ROBOTS_RULES, "host string, rule string, prefix string")
+    return robots_filter(canon, rules)
+
+
+@q(
+    "web_crawl_frontier",
+    # Per-host politeness scheduling: highest-priority URLs first, at most
+    # `concurrency` fetches per host per wave — the frontier emitted as
+    # (wave, slot) coordinates a fetch fleet drains directly. ONE window
+    # shuffle keyed by host; deterministic ordering so replanning at a
+    # different cluster size yields identical waves.
+    f"""
+    WITH {_CANON_URL_SQL_CTE},
+    pri AS (
+      SELECT c.doc_id, c.url_canonical, c.host, d.n_chars
+      FROM canon c JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, url_canonical, host, n_chars,
+             row_number() OVER (
+               PARTITION BY host ORDER BY n_chars DESC, url_canonical ASC, doc_id ASC
+             ) - 1 AS r
+      FROM pri
+    )
+    SELECT doc_id, url_canonical, host, r // 2 AS wave, r % 2 AS slot FROM rk
+    """,
+)
+def web_crawl_frontier(spark, sf_dir):
+    from data_exchange_routing_spark.functions.crawl import frontier_schedule
+    from data_exchange_routing_spark.operators.parse import canonicalize_url, host_of
+
+    docs = ld(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "n_chars", F.expr(_URL_SYNTH_SPARK).alias("url"))
+    canon = canonicalize_url(d).select(
+        "doc_id", "n_chars", "url_canonical",
+        host_of(F.col("url_canonical")).alias("host"),
+    )
+    sched = frontier_schedule(
+        canon,
+        host_col="host",
+        priority_cols=[F.col("n_chars").desc(), F.col("url_canonical").asc(), F.col("doc_id").asc()],
+        concurrency=2,
+    )
+    return sched.select("doc_id", "url_canonical", "host", "wave", "slot")
