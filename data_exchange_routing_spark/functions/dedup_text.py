@@ -449,3 +449,47 @@ def dedup_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set CONTAINMENT
+    C(A⊆B) = |A∩B| / |A| (Broder 1997's resemblance companion). Jaccard
+    misses quote-inclusion — a short doc wholly embedded in a long one has
+    tiny Jaccard but containment 1.0 — and containment is the signal used to
+    drop quoted/boilerplate-wrapped variants while keeping the superset doc.
+
+    Emits (doc_a < doc_b) pairs with both directions (cont_ab = how much of
+    A is inside B, cont_ba) where max(cont_ab, cont_ba) >= threshold.
+
+    Same exact/quadratic-in-co-shingled-docs contract as ``jaccard_pairs``
+    (the small-scale twin); at 100 TB the candidate side is
+    ``minhash_lsh_candidates`` output and this verifies candidates only.
+    Plan: one shingle relation scanned twice (the unavoidable self-join
+    sides) with per-doc sizes as a window over the same relation.
+    """
+    from pyspark.sql import Window as W
+
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("cont_ab", F.round(F.col("n_common") / F.col("n_a"), 6))
+        .withColumn("cont_ba", F.round(F.col("n_common") / F.col("n_b"), 6))
+        .filter(F.greatest("cont_ab", "cont_ba") >= threshold)
+        .select("doc_a", "doc_b", "cont_ab", "cont_ba")
+    )

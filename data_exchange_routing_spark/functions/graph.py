@@ -219,3 +219,69 @@ def dedup_cluster_survivors(
     keep_clustered = in_cluster.groupBy("component").agg(F.min(id_col).alias(id_col))
     untouched = docs.select(id_col).join(in_cluster, id_col, "left_anti")
     return keep_clustered.select(id_col).union(untouched).distinct()
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a (weighted) link
+    graph — the complementary host-quality signal to PageRank: authorities
+    are pages good hubs point AT, hubs are pages that point at good
+    authorities. Fixed iteration count and L1 (sum-to-1) normalization keep
+    the computation deterministic enough for an EXACT unrolled-SQL oracle
+    (the classic formulation L2-normalizes; with a fixed per-round
+    normalization the ranking and the fixed point's direction are the same,
+    only the scale convention differs).
+
+    Physical shape per round: two edge⋈vector joins + two sum-by-node aggs —
+    the edge list is the pre-aggregated HOST graph (orders of magnitude
+    smaller than the page corpus); each round's vectors are eagerly
+    ``localCheckpoint``ed so lineage stays O(1) like ``pagerank`` /
+    ``connected_components``. Normalization scalars are single-row aggs.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("_w"),
+    ).filter(F.col("_w") > 0)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
+    hub = nodes.withColumn("hub", F.lit(1.0 / n))
+    auth = nodes.withColumn("authority", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hub, e["_s"] == hub["node"])
+            .select(F.col("_d").alias("node"), (F.col("hub") * F.col("_w")).alias("_x"))
+            .groupBy("node")
+            .agg(F.sum("_x").alias("_a"))
+        )
+        a_tot = a_raw.agg(F.sum("_a")).collect()[0][0] or 1.0
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .select("node", (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(a_tot)).alias("authority"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth, e["_d"] == auth["node"])
+            .select(F.col("_s").alias("node"), (F.col("authority") * F.col("_w")).alias("_x"))
+            .groupBy("node")
+            .agg(F.sum("_x").alias("_h"))
+        )
+        h_tot = h_raw.agg(F.sum("_h")).collect()[0][0] or 1.0
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .select("node", (F.coalesce(F.col("_h"), F.lit(0.0)) / F.lit(h_tot)).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node")

@@ -5371,3 +5371,108 @@ def web_crawl_frontier(spark, sf_dir):
         concurrency=2,
     )
     return sched.select("doc_id", "url_canonical", "host", "wave", "slot")
+
+
+@q(
+    "doc_containment_pairs",
+    # Asymmetric near-dup: shingle-set containment |A∩B|/|A| (Broder 1997) —
+    # catches a short doc quoted wholesale inside a long one, which Jaccard
+    # (symmetric denominator) misses. Exact small-scale twin; at 100 TB the
+    # pair side is the LSH candidate stream and this verifies candidates.
+    f"""
+    WITH sh AS ({_shingle_sql()}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / sa.n_sh, 6) AS cont_ab,
+           round(n_common * 1.0 / sb.n_sh, 6) AS cont_ba
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(round(n_common * 1.0 / sa.n_sh, 6),
+                   round(n_common * 1.0 / sb.n_sh, 6)) >= 0.12
+    """,
+)
+def doc_containment_pairs(spark, sf_dir):
+    return DT.containment_pairs(ld(spark, sf_dir, "documents"), threshold=0.12)
+
+
+def _hits_sql(n_iter: int = 5) -> str:
+    """Unrolled fixed-iteration HITS twin of functions/graph.py:hits — L1
+    normalization per half-round; every vector CTE MATERIALIZED for the same
+    4^k-inlining reason as _pagerank_sql."""
+    ctes = [
+        _LINKS_SQL_CTE.strip().rstrip(","),
+        """
+    hedges AS MATERIALIZED (
+      SELECT concat('site', l.doc_id % 4, '.org') AS s,
+             regexp_extract(l.dst_url, '{h}', 1) AS t,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM links l
+      WHERE regexp_extract(l.dst_url, '{h}', 1) <> ''
+      GROUP BY 1, 2)""".replace("{h}", _HOST_RE),
+        "nodes AS MATERIALIZED (SELECT s AS node FROM hedges UNION SELECT t FROM hedges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes)",
+        "hub0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT c FROM nn) AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"araw{i} AS MATERIALIZED (SELECT e.t AS node, sum(h.hub * e.w) AS x "
+            f"FROM hedges e JOIN hub{p} h ON h.node = e.s GROUP BY 1)"
+        )
+        ctes.append(
+            f"auth{i} AS MATERIALIZED (SELECT n.node, "
+            f"coalesce(a.x, 0) / (SELECT sum(x) FROM araw{i}) AS authority "
+            f"FROM nodes n LEFT JOIN araw{i} a USING (node))"
+        )
+        ctes.append(
+            f"hraw{i} AS MATERIALIZED (SELECT e.s AS node, sum(a.authority * e.w) AS x "
+            f"FROM hedges e JOIN auth{i} a ON a.node = e.t GROUP BY 1)"
+        )
+        ctes.append(
+            f"hub{i} AS MATERIALIZED (SELECT n.node, "
+            f"coalesce(h.x, 0) / (SELECT sum(x) FROM hraw{i}) AS hub "
+            f"FROM nodes n LEFT JOIN hraw{i} h USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.node AS host, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority"
+        + f"\nFROM hub{n_iter} h JOIN auth{n_iter} a USING (node)"
+    )
+
+
+@q(
+    "web_host_hits",
+    # HITS hubs/authorities over the extracted host link graph (Kleinberg
+    # 1999): the directory-page vs destination-page decomposition PageRank
+    # flattens. Fixed-iteration L1-normalized power method with an EXACT
+    # unrolled-SQL oracle, per-round localCheckpoint like pagerank.
+    _hits_sql(),
+)
+def web_host_hits(spark, sf_dir):
+    from data_exchange_routing_spark.functions.graph import hits
+    from data_exchange_routing_spark.operators.parse import extract_links, host_of
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("concat('site', doc_id % 4, '.org')").alias("src_host"),
+        F.encode(F.expr(_LINK_HTML_SYNTH), "UTF-8").alias("html"),
+    )
+    links = extract_links(d, html_col="html", id_cols=("doc_id", "src_host"))
+    hedges = (
+        links.select("src_host", host_of(F.col("dst_url")).alias("dst_host"))
+        .filter(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    hv = hits(hedges, "src_host", "dst_host", "w", n_iter=5)
+    return hv.select(
+        F.col("node").alias("host"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
