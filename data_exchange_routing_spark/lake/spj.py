@@ -91,6 +91,17 @@ def bucket_join(
     if how not in ("inner", "left", "full"):
         raise ValueError(f"bucket_join supports inner/left/full, got {how!r}")
     lsnap, rsnap = left.snapshot(), right.snapshot()
+    for side, tbl, snap in (("left", left, lsnap), ("right", right, rsnap)):
+        live = tbl._live_renames(snap)
+        if live:
+            # the executor-side pyarrow reads project by CURRENT name only;
+            # files written before a rename would silently null the renamed
+            # column here — refuse loudly instead
+            raise ValueError(
+                f"{side} table has live column renames {sorted(live)}; "
+                "bucket_join reads files by current name — run a full "
+                "compact()/rewrite_files() to purge old-name bytes first"
+            )
     lf, rf = _files_by_bucket(left, "bucket_join"), _files_by_bucket(right, "bucket_join")
     if lsnap.n_buckets != rsnap.n_buckets:
         raise ValueError(

@@ -431,7 +431,32 @@ class LakeTable:
     def _read_files(self, snap: Snapshot, files: list[dict], with_internal: bool) -> DataFrame:
         schema = snap.schema()
         paths = [os.path.join(self.path, f["path"]) for f in files]
-        if paths:
+        renames = self._live_renames(snap)
+        if paths and renames:
+            # name-mapped RENAME COLUMN read path: request the alias names
+            # alongside the schema (files written pre-rename store the bytes
+            # under the old name; spark.read.schema nulls whichever name a
+            # file lacks) and coalesce newest-name-first — pure
+            # column-presence resolution, since no file carries two alias
+            # generations of the same column
+            by_name = {f.name: f for f in schema.fields}
+            taken = set(schema.fieldNames())
+            extra: list[T.StructField] = []
+            for cur, aliases in renames.items():
+                for a in aliases:
+                    if a not in taken:
+                        extra.append(T.StructField(a, by_name[cur].dataType, True))
+                        taken.add(a)
+            df = self.spark.read.schema(T.StructType(schema.fields + extra)).parquet(*paths)
+            df = df.select(
+                *[
+                    F.coalesce(F.col(f.name), *[F.col(a) for a in renames[f.name]]).alias(f.name)
+                    if f.name in renames
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+        elif paths:
             df = self.spark.read.schema(schema).parquet(*paths)
         else:
             df = self.spark.createDataFrame([], schema)
@@ -838,15 +863,137 @@ class LakeTable:
                 _atomic_write_json(marker, {"dropped_at_version": new.version})
             except FileExistsError:
                 pass  # dropped before, re-added after a purge, dropped again
+            # a renamed column's bytes live under its alias names too — every
+            # one of them must be resurrection-guarded, and the alias map
+            # itself is dead once the column is gone
+            for alias in self._rename_markers().get(name, []):
+                try:
+                    _atomic_write_json(
+                        os.path.join(self.meta_dir, f"dropped-{alias}.json"),
+                        {"dropped_at_version": new.version, "alias_of": name},
+                    )
+                except FileExistsError:
+                    pass
+            rm = os.path.join(self.meta_dir, f"renamed-{name}.json")
+            if os.path.exists(rm):
+                os.unlink(rm)
             return {"version": new.version, "column": name}
         raise RuntimeError(f"drop_column contention exhausted retries on {self.path}")
 
     def _clear_drop_markers(self) -> None:
         """Called after a FULL rewrite: every surviving data file was written
-        under the current (post-drop) schema, so dropped names are safe to
-        reuse."""
+        under the current (post-drop, post-rename) schema, so dropped names
+        are safe to reuse and rename alias maps are obsolete. EXCEPT while
+        branches exist: a branch's snapshots still reference pre-rewrite
+        files (manifest refs are shared, never copied), so the old bytes —
+        and the alias maps that make them readable — must survive until the
+        branch is published or aborted."""
+        if self.list_branches():
+            return
         for name in self._dropped_cols():
             os.unlink(os.path.join(self.meta_dir, f"dropped-{name}.json"))
+        for name in self._rename_markers():
+            os.unlink(os.path.join(self.meta_dir, f"renamed-{name}.json"))
+
+    # ------------------------------------------------------ RENAME COLUMN
+
+    def _rename_markers(self) -> dict[str, list[str]]:
+        """{current_name: [prior names, newest first]} from
+        ``_meta/renamed-<current>.json`` markers (table-level, shared with
+        branches exactly like dropped-column markers)."""
+        if not os.path.isdir(self.meta_dir):
+            return {}
+        out: dict[str, list[str]] = {}
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("renamed-") and f.endswith(".json"):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    out[f[len("renamed-") : -len(".json")]] = json.load(fh)["aliases"]
+        return out
+
+    def _live_renames(self, snap: Snapshot) -> dict[str, list[str]]:
+        """Markers whose current name exists in THIS snapshot's schema —
+        time travel to a pre-rename version sees the old name in its schema
+        and the marker goes inert (the old name reads directly)."""
+        names = set(snap.schema().fieldNames())
+        return {c: a for c, a in self._rename_markers().items() if c in names}
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only RENAME COLUMN (Iceberg rename analog for a
+        name-mapped format): the snapshot schema carries the new name, and a
+        ``_meta/renamed-<new>.json`` alias marker teaches every read path to
+        coalesce the old files' bytes (stored under the old name) into the
+        new column — zero rewrites at any table size. Renames chain: a→b→c
+        folds into one marker (c: [b, a]).
+
+        Refused: the key / ordering / internal columns (their names are
+        load-bearing across merge/resolve), bloom-indexed columns (per-file
+        bitmap entries are name-keyed), renaming onto a dropped or aliased
+        name (old bytes under the target name would resurrect into the new
+        column), and renaming onto an existing column. A FULL
+        compact()/rewrite_files() purges old-name bytes and clears markers —
+        unless branches still reference pre-rewrite files (see
+        ``_clear_drop_markers``). ``bucket_join`` (executor-side pyarrow
+        reads) refuses tables with live renames rather than silently nulling
+        pre-rename files."""
+        snap = self.snapshot()
+        protected = {snap.key, "warc_ts", *INTERNAL_COLS, BUCKET_COL}
+        if old in protected or new in protected:
+            raise ValueError(f"cannot rename {old!r} -> {new!r} (key/ordering/internal name)")
+        fields = snap.schema().fieldNames()
+        if old not in fields:
+            raise ValueError(f"no column {old!r} on {self.path}")
+        if new in fields:
+            raise ValueError(f"column {new!r} already exists on {self.path}")
+        if new in self._dropped_cols():
+            raise ValueError(
+                f"{new!r} was dropped and its bytes still exist in old files "
+                "(name-mapped rename would resurrect stale values); run a "
+                "full compact()/rewrite_files() first"
+            )
+        markers = self._rename_markers()
+        live_alias_names = {a for als in markers.values() for a in als}
+        if new in live_alias_names or new in markers:
+            raise ValueError(
+                f"{new!r} appears in a rename alias map (old files may still "
+                "store bytes under it); run a full compact()/rewrite_files() first"
+            )
+        if old in self._props().get("bloom_cols", []):
+            raise ValueError(
+                f"{old!r} is bloom-indexed (per-file bitmaps are name-keyed); "
+                "drop/rebuild the index or rewrite before renaming"
+            )
+        for _attempt in range(50):
+            snap = self.snapshot()
+            new_fields = [
+                T.StructField(new, f.dataType, True) if f.name == old else f
+                for f in snap.schema().fields
+            ]
+            nxt = Snapshot(
+                version=snap.version + 1,
+                schema_json=json.dumps(T.StructType(new_fields).jsonValue()),
+                n_buckets=snap.n_buckets,
+                key=snap.key,
+                segments=snap.segments,
+                tail=snap.tail,
+                committed_epochs=snap.committed_epochs,
+                summary={"operation": "rename-column", "from": old, "to": new},
+                seg_files=snap.seg_files,
+            )
+            try:
+                self._write_snapshot(nxt)
+            except FileExistsError:
+                continue
+            aliases = [old] + markers.get(old, [])
+            _atomic_write_json(
+                os.path.join(self.meta_dir, f"renamed-{new}.json"), {"aliases": aliases}
+            )
+            if old in markers:
+                # chain fold: crash between the two ops leaves the old marker
+                # behind, inert (its current-name is no longer in any live
+                # schema) and GC'd by the next full-rewrite clear
+                os.unlink(os.path.join(self.meta_dir, f"renamed-{old}.json"))
+            return {"version": nxt.version, "from": old, "to": new, "aliases": aliases}
+        raise RuntimeError(f"rename_column contention exhausted retries on {self.path}")
 
     def _evolved_schema(self, snap: Snapshot, incoming: T.StructType) -> str | None:
         """Schema evolution on commit: new nullable columns from the source
@@ -875,13 +1022,21 @@ class LakeTable:
             if f.name not in have and f.name != BUCKET_COL
         ]
         if new_fields:
-            dead = self._dropped_cols() & {f.name for f in new_fields}
+            names = {f.name for f in new_fields}
+            dead = self._dropped_cols() & names
             if dead:
                 raise ValueError(
                     f"column(s) {sorted(dead)} were dropped and their bytes "
                     "still exist in old files (name-mapped format would "
                     "resurrect stale values); run a full compact()/"
                     "rewrite_files() first"
+                )
+            aliased = {a for als in self._rename_markers().values() for a in als} & names
+            if aliased:
+                raise ValueError(
+                    f"column(s) {sorted(aliased)} are rename aliases — old "
+                    "files still store another column's bytes under these "
+                    "names; run a full compact()/rewrite_files() first"
                 )
         if not changed and not new_fields:
             return None

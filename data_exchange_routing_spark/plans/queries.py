@@ -5476,3 +5476,63 @@ def web_host_hits(spark, sf_dir):
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+@q(
+    "lake_rename_column",
+    # Metadata-only RENAME COLUMN (lake/table.py:rename_column): the alias
+    # marker maps old files' bytes into the new name at read time — zero
+    # rewrites; a post-rename epoch writes under the new name and both file
+    # generations coalesce. The oracle is the LWW state with the column
+    # under its final name.
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 5 = 0 THEN 'renamed-era' ELSE lang END AS language
+      FROM documents
+    )
+    SELECT url, language FROM m
+    """,
+)
+def lake_rename_column(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="renamecol_"), schema, key="url", n_buckets=8
+    )
+    t.merge_cdc(
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            "lang",
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    t.rename_column("lang", "language")
+    # post-rename epoch writes under the NEW name; pre-rename files still
+    # hold bytes under 'lang' and the read coalesces both generations
+    t.merge_cdc(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-02")).alias("warc_ts"),
+            F.lit("renamed-era").alias("language"),
+        )
+        .withColumn("_lsn", F.lit(2))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=1,
+    )
+    assert "lang" not in t.read().columns
+    return t.read().select("url", "language")
