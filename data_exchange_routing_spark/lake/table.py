@@ -917,6 +917,82 @@ class LakeTable:
         names = set(snap.schema().fieldNames())
         return {c: a for c, a in self._rename_markers().items() if c in names}
 
+    # ------------------------------------------------------ CHECK constraints
+
+    def _constraints(self) -> dict[str, str]:
+        """{name: spark-SQL predicate} from ``_meta/constraint-<name>.json``
+        markers (table-level, shared with branches like drop/rename
+        markers)."""
+        if not os.path.isdir(self.meta_dir):
+            return {}
+        out: dict[str, str] = {}
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("constraint-") and f.endswith(".json"):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    out[f[len("constraint-") : -len(".json")]] = json.load(fh)["expr"]
+        return out
+
+    def add_constraint(self, name: str, expr: str, validate: bool = True) -> dict:
+        """Write-time CHECK constraint (Delta ``ADD CONSTRAINT`` analog):
+        every subsequent commit's rows must satisfy ``expr`` (a Spark SQL
+        predicate) or the whole commit aborts loudly BEFORE staging — bad
+        data never reaches the table, the quality contract a lake enforces
+        at the storage layer rather than in every writer.
+
+        SQL CHECK semantics: NULL (unknown) passes — express non-nullness
+        explicitly (``col IS NOT NULL``). Tombstone rows are exempt (their
+        content columns are NULL by construction, and a delete must never be
+        blocked by a content rule). ``validate=True`` scans the CURRENT
+        resolved state first so a constraint can never be added to a table
+        already violating it."""
+        if not name.replace("_", "").replace("-", "").isalnum():
+            raise ValueError(f"invalid constraint name {name!r}")
+        # parse AND analyze now, not at first write: resolving the predicate
+        # against an empty frame of the table schema catches syntax errors
+        # and unknown columns without running a job
+        self.spark.createDataFrame([], self.snapshot().schema()).filter(F.expr(expr)).schema
+        if validate and self.snapshot().files:
+            bad = self.read().filter(F.expr(expr) == False).limit(1).collect()  # noqa: E712
+            if bad:
+                raise ValueError(
+                    f"existing rows violate constraint {name!r} ({expr}); "
+                    f"first violation: {bad[0].asDict()}"
+                )
+        try:
+            _atomic_write_json(
+                os.path.join(self.meta_dir, f"constraint-{name}.json"), {"expr": expr}
+            )
+        except FileExistsError:
+            raise ValueError(f"constraint {name!r} already exists on {self.path}")
+        return {"name": name, "expr": expr}
+
+    def drop_constraint(self, name: str) -> dict:
+        p = os.path.join(self.meta_dir, f"constraint-{name}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        os.unlink(p)
+        return {"name": name}
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Abort the commit if any non-tombstone incoming row definitively
+        violates a constraint (predicate IS FALSE; NULL passes, per SQL
+        CHECK). One early-exit limit(1) probe per constraint over the batch
+        — short-circuits at the first violation; tables without constraints
+        pay nothing."""
+        cons = self._constraints()
+        if not cons:
+            return
+        live = df
+        if DELETED_COL in df.columns:
+            live = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        for name, expr in cons.items():
+            bad = live.filter(F.expr(expr) == False).limit(1).collect()  # noqa: E712
+            if bad:
+                raise ValueError(
+                    f"constraint {name!r} violated ({expr}); commit aborted; "
+                    f"first violation: { {k: v for k, v in bad[0].asDict().items() if not k.startswith('_')} }"
+                )
+
     def rename_column(self, old: str, new: str) -> dict:
         """Metadata-only RENAME COLUMN (Iceberg rename analog for a
         name-mapped format): the snapshot schema carries the new name, and a
@@ -1144,6 +1220,13 @@ class LakeTable:
                 "append_rows() on a keyed table would write unbucketed (-1) "
                 "files that defeat bucket pruning; use merge_cdc() instead"
             )
+
+        if self._constraints() and rows:
+            # constraints are Spark SQL predicates; evaluate them in the one
+            # dialect they're written in (a tiny local job — this path's
+            # zero-Spark-jobs contract holds for constraint-free tables,
+            # which the control-plane tables are)
+            self._enforce_constraints(self.spark.createDataFrame(rows, schema))
 
         arrow_schema = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType), True) for f in schema.fields]
@@ -1390,6 +1473,7 @@ class LakeTable:
         schema = T.StructType.fromJson(json.loads(new_schema_json)) if new_schema_json else snap.schema()
         bucketed = is_cdc and snap.key is not None
         out = self._align(df, schema)
+        self._enforce_constraints(out)
         if bucketed:
             out = out.withColumn(BUCKET_COL, self._bucket_expr(snap))
         files = self._stage_files(out, snap, snap.version + 1, bucketed)

@@ -5536,3 +5536,68 @@ def lake_rename_column(spark, sf_dir):
     )
     assert "lang" not in t.read().columns
     return t.read().select("url", "language")
+
+
+@q(
+    "lake_check_constraint",
+    # Write-time CHECK constraint (lake/table.py:add_constraint): a batch
+    # containing out-of-contract rows aborts BEFORE staging (epoch stays
+    # uncommitted and retriable); the writer fixes the rows and resubmits
+    # the SAME epoch. The oracle is the final LWW state where the bad epoch
+    # landed only in its corrected form.
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 4 = 0 THEN greatest(n_chars - 100000, 0) ELSE n_chars END AS n_chars
+      FROM documents
+    )
+    SELECT url, n_chars FROM m
+    """,
+)
+def lake_check_constraint(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="checkcon_"), schema, key="url", n_buckets=8
+    )
+    t.add_constraint("chars_nonneg", "n_chars >= 0")
+    t.merge_cdc(
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+    bad = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-02")).alias("warc_ts"),
+            (F.col("n_chars").cast("long") - 100000).alias("n_chars"),
+        )
+        .withColumn("_lsn", F.lit(2))
+        .withColumn("_deleted", F.lit(False))
+    )
+    try:
+        t.merge_cdc(bad, epoch_id=1)
+        raise AssertionError("constraint should have aborted the commit")
+    except ValueError:
+        pass
+    # fix-and-resubmit the SAME epoch (it never committed)
+    t.merge_cdc(
+        bad.withColumn("n_chars", F.greatest(F.col("n_chars"), F.lit(0))), epoch_id=1
+    )
+    return t.read().select("url", "n_chars")
