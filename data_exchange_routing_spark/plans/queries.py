@@ -5601,3 +5601,112 @@ def lake_check_constraint(spark, sf_dir):
         bad.withColumn("n_chars", F.greatest(F.col("n_chars"), F.lit(0))), epoch_id=1
     )
     return t.read().select("url", "n_chars")
+
+
+@q(
+    "web_anchor_text",
+    # Anchor-text aggregation: the text OF links pointing at each target URL
+    # — the classic off-page relevance signal (what the web calls a page).
+    # One codegen'd two-group regexp pass (hrefs + anchor texts extracted as
+    # parallel arrays from the same pattern, zipped positionally), one
+    # aggregation keyed by target. No UDF, no second scan.
+    f"""
+    WITH h AS (SELECT doc_id, {_LINK_HTML_SYNTH} AS html FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1)) AS href,
+             unnest(regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 2)) AS anchor
+      FROM h
+    )
+    SELECT href, anchor, count(*) AS n, count(DISTINCT doc_id) AS n_pages
+    FROM pairs WHERE anchor <> ''
+    GROUP BY href, anchor
+    """,
+)
+def web_anchor_text(spark, sf_dir):
+    pat = '<a href="([^"]+)">([^<]*)</a>'
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_LINK_HTML_SYNTH).alias("html")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("html", F.lit(pat), 1).alias("href"),
+                F.regexp_extract_all("html", F.lit(pat), 2).alias("anchor"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.href").alias("href"), F.col("z.anchor").alias("anchor"))
+    return (
+        pairs.filter(F.col("anchor") != "")
+        .groupBy("href", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_pages"))
+    )
+
+
+@q(
+    "events_hourly_ewma",
+    # Trailing exponentially-weighted smoothing + anomaly flag over the
+    # hourly event-rate series (ops monitoring / trend detection). The
+    # corpus collapses to its tiny (event_type x hour) count table FIRST —
+    # the smoothing self-join runs on the pre-aggregated series (24-step
+    # trailing window, closed-form weights (1-a)^lag, adjust=True
+    # normalization), never on raw events. Anomaly = count > 2x smoothed
+    # value of the PRECEDING window.
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT a.event_type, a.h, a.c,
+             sum(b.c * pow(0.7, date_diff('hour', b.h, a.h))) /
+             sum(pow(0.7, date_diff('hour', b.h, a.h))) AS ewma_incl,
+             sum(CASE WHEN b.h < a.h THEN b.c * pow(0.7, date_diff('hour', b.h, a.h)) END) /
+             sum(CASE WHEN b.h < a.h THEN pow(0.7, date_diff('hour', b.h, a.h)) END) AS ewma_prev
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type
+       AND b.h <= a.h AND b.h > a.h - INTERVAL 24 HOURS
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, h, c,
+           round(ewma_incl, 6) AS ewma,
+           coalesce(c > 2 * ewma_prev, FALSE) AS spike
+    FROM sm
+    """,
+)
+def events_hourly_ewma(spark, sf_dir):
+    ev = ld(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    lag_h = (
+        (F.unix_timestamp(F.col("a.h")) - F.unix_timestamp(F.col("b.h"))) / 3600
+    ).cast("long")
+    w = F.pow(F.lit(0.7), lag_h.cast("double"))
+    joined = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.h") <= F.col("a.h"))
+        & (F.col("b.h") > F.col("a.h") - F.expr("INTERVAL 24 HOURS")),
+    )
+    prev = F.col("b.h") < F.col("a.h")
+    sm = joined.groupBy(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.h").alias("h"),
+        F.col("a.c").alias("c"),
+    ).agg(
+        (F.sum(F.col("b.c") * w) / F.sum(w)).alias("ewma_incl"),
+        (
+            F.sum(F.when(prev, F.col("b.c") * w)) / F.sum(F.when(prev, w))
+        ).alias("ewma_prev"),
+    )
+    return sm.select(
+        "event_type",
+        "h",
+        "c",
+        F.round("ewma_incl", 6).alias("ewma"),
+        F.coalesce(F.col("c") > 2 * F.col("ewma_prev"), F.lit(False)).alias("spike"),
+    )
