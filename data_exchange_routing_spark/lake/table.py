@@ -478,6 +478,7 @@ class LakeTable:
         with_internal: bool = False,
         version: int | None = None,
         ts_filter: tuple | None = None,
+        range_filter: tuple | None = None,
         include_tombstones: bool = False,
         bloom_eq: tuple | None = None,
     ) -> DataFrame:
@@ -565,6 +566,39 @@ class LakeTable:
                 )
 
             files = [f for f in files if _overlaps(f)]
+            df = self._read_files(snap, files, with_internal=with_internal)
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+        if range_filter is not None:
+            # numeric range scan of an APPEND-ONLY table: ts_filter's twin
+            # over col_stats (int/long/float/double/date), so measure
+            # predicates prune files from the manifest alone. Same
+            # conservatism: files without recorded stats are never pruned;
+            # NULL rows never match a range predicate, so pruning by value
+            # range cannot lose them.
+            if snap.key is not None:
+                raise ValueError(
+                    "range_filter requires an append-only (unkeyed) table; a "
+                    "value-pruned current-state read of a keyed table is not "
+                    "well-defined"
+                )
+            col, lo, hi = range_filter
+            lo_c = lo.isoformat() if hasattr(lo, "isoformat") else lo
+            hi_c = hi.isoformat() if hasattr(hi, "isoformat") else hi
+
+            def _v_overlaps(f: dict) -> bool:
+                rng = (f.get("col_stats") or {}).get(col)
+                if rng is None:
+                    return True
+                fmin, fmax = rng
+                return (hi_c is None or fmin <= hi_c) and (
+                    lo_c is None or fmax >= lo_c
+                )
+
+            files = [f for f in files if _v_overlaps(f)]
             df = self._read_files(snap, files, with_internal=with_internal)
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
@@ -771,6 +805,53 @@ class LakeTable:
                         entry["ts_stats"] = ts_stats
                     if ts_nulls:
                         entry["ts_nulls"] = sorted(ts_nulls)
+                # numeric-column ranges from the SAME footer walk (no extra
+                # IO): generalizes ts_stats to int/long/float/double/date so
+                # range_filter reads prune files on ANY numeric predicate —
+                # the Iceberg column-stats analog for measures, not just time
+                num_cols = {
+                    f.name
+                    for f in df.schema.fields
+                    if isinstance(
+                        f.dataType,
+                        (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DateType),
+                    )
+                    and f.name not in INTERNAL_COLS
+                    and f.name != BUCKET_COL
+                }
+                if num_cols:
+                    col_stats: dict[str, list] = {}
+                    n_incomplete: set[str] = set()
+                    col_nulls: set[str] = set()
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            col = md.row_group(rg).column(ci)
+                            name = col.path_in_schema
+                            if name not in num_cols:
+                                continue
+                            s = col.statistics
+                            if s is not None and (s.null_count or 0) > 0:
+                                col_nulls.add(name)
+                            if name in n_incomplete:
+                                continue
+                            if s is None or not s.has_min_max:
+                                n_incomplete.add(name)
+                                col_stats.pop(name, None)
+                                if s is None:
+                                    col_nulls.add(name)
+                                continue
+                            lo, hi = s.min, s.max
+                            if hasattr(lo, "isoformat"):
+                                lo, hi = lo.isoformat(), hi.isoformat()
+                            cur = col_stats.get(name)
+                            col_stats[name] = (
+                                [lo, hi] if cur is None
+                                else [min(cur[0], lo), max(cur[1], hi)]
+                            )
+                    if col_stats:
+                        entry["col_stats"] = col_stats
+                    if col_nulls:
+                        entry["col_nulls"] = sorted(col_nulls)
                 # merge-key range from the footers: manifest-level file
                 # pruning for point reads (Iceberg column-stats analog)
                 if snap.key is not None:

@@ -5710,3 +5710,58 @@ def events_hourly_ewma(spark, sf_dir):
         F.round("ewma_incl", 6).alias("ewma"),
         F.coalesce(F.col("c") > 2 * F.col("ewma_prev"), F.lit(False)).alias("spike"),
     )
+
+
+@q(
+    "events_range_scan",
+    # Manifest numeric-stats file pruning (lake/table.py col_stats +
+    # read(range_filter=)): events ingested in value-banded epochs, then a
+    # band-selective scan opens ONLY overlapping files — metadata-only
+    # pruning on a measure column, ts_stats' twin. The in-query assertion
+    # proves files were actually skipped; the oracle is the plain predicate.
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value >= 100.0 AND value <= 300.0
+    """,
+)
+def events_range_scan(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    ev = ld(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="rangescan_"),
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        key=None,
+        n_buckets=1,
+    )
+    # 4 value-banded epoch commits -> 4 files with tight, disjoint stats
+    for e, (lo, hi) in enumerate([(None, 100.0), (100.0, 300.0), (300.0, 450.0), (450.0, None)]):
+        band = ev
+        if lo is not None:
+            band = band.filter(F.col("value") > lo)
+        if hi is not None:
+            band = band.filter(F.col("value") <= hi)
+        t.append(band, epoch_id=e)
+    n_total = len(t.snapshot().files)
+    pruned = t.read(range_filter=("value", 100.0, 300.0))
+    stats = [
+        f for f in t.snapshot().files
+        if (f.get("col_stats") or {}).get("value") is not None
+    ]
+    assert len(stats) == n_total, "every commit should record value stats"
+    kept = [
+        f for f in stats
+        if f["col_stats"]["value"][0] <= 300.0 and f["col_stats"]["value"][1] >= 100.0
+    ]
+    assert len(kept) < n_total, "range scan should prune at least one file"
+    return pruned.select("event_id", "user_id", "value")

@@ -100,3 +100,66 @@ def test_bad_expression_rejected_at_add_time(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         t.add_constraint("c1", "n >= 0")
         t.add_constraint("c1", "n >= 1")
+
+
+# ------------------------------------------------- numeric col_stats pruning
+
+
+def test_range_filter_prunes_files_and_stays_exact(spark, tmp_path):
+    """col_stats generalize ts_stats: a numeric range read must open only
+    files whose recorded range overlaps, and return exactly the plain
+    predicate scan's rows."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        T.StructType(
+            [T.StructField("url", T.StringType()), T.StructField("n", T.LongType())]
+        ),
+        key=None,
+        n_buckets=1,
+    )
+    # 4 epoch commits with disjoint n ranges -> 4 files with tight stats
+    for e in range(4):
+        df = spark.range(e * 100, e * 100 + 100).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"), F.col("id").alias("n")
+        )
+        t.append(df, epoch_id=e)
+    files = t.snapshot().files
+    assert all("col_stats" in f and "n" in f["col_stats"] for f in files)
+
+    got = t.read(range_filter=("n", 150, 249))
+    exact = t.read().filter((F.col("n") >= 150) & (F.col("n") <= 249))
+    assert sorted(r["n"] for r in got.collect()) == sorted(r["n"] for r in exact.collect())
+    # pruning really happened: only the 2 overlapping files' paths are read
+    opened = {
+        f["path"]
+        for f in files
+        if f["col_stats"]["n"][0] <= 249 and f["col_stats"]["n"][1] >= 150
+    }
+    assert len(opened) == 2
+    import os
+
+    read_paths = {
+        os.path.relpath(r["p"].removeprefix("file://"), t.path)
+        for r in got.select(F.input_file_name().alias("p")).distinct().collect()
+    }
+    assert read_paths == opened
+
+    # open-ended bounds + keyed-table refusal
+    assert t.read(range_filter=("n", 350, None)).count() == 50
+    assert t.read(range_filter=("n", None, 49)).count() == 50
+    kt = LakeTable.create(
+        spark,
+        str(tmp_path / "kt"),
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        key="url",
+        n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        kt.read(range_filter=("n", 0, 1))
