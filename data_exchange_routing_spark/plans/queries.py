@@ -5765,3 +5765,108 @@ def events_range_scan(spark, sf_dir):
     ]
     assert len(kept) < n_total, "range scan should prune at least one file"
     return pruned.select("event_id", "user_id", "value")
+
+
+@q(
+    "events_scd2_history",
+    # Slowly-changing-dimension Type 2 derivation: each (user_id, ts) event
+    # is a revision of the user's state; the history row's validity interval
+    # is [its ts, the next revision's ts) with the newest revision open-ended
+    # and flagged current. ONE window shuffle keyed by the entity — the
+    # standard warehouse versioned-dimension build.
+    """
+    SELECT user_id,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           event_type,
+           value,
+           CAST(row_number() OVER w AS BIGINT) AS revision
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_scd2_history(spark, sf_dir):
+    ev = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("long").alias("revision"),
+    )
+
+
+@q(
+    "cdc_scd2_incremental",
+    # SCD Type 2 maintained INCREMENTALLY (lake/scd.py): the event log is
+    # sliced into 4 time-ordered epoch batches and folded one at a time —
+    # each fold touches O(batch + touched keys) via the bucket-pruned
+    # pointer lookup, never the history. The oracle is the closed-form
+    # one-shot window derivation over the whole log; equality IS the
+    # incremental-maintenance soundness theorem (same proof shape as
+    # cdc_bootstrap_switchover).
+    """
+    WITH src AS (
+      SELECT concat('u', user_id) AS url,
+             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+             ts AS warc_ts, event_id AS lsn,
+             event_type AS tier, value AS score
+      FROM events
+    ),
+    chain AS (
+      SELECT *, lead(warc_ts) OVER (PARTITION BY url ORDER BY warc_ts, lsn) AS next_ts
+      FROM src
+    )
+    SELECT url,
+           warc_ts AS valid_from,
+           next_ts AS valid_to,
+           (next_ts IS NULL) AS is_current,
+           tier,
+           round(score, 6) AS score
+    FROM chain WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_incremental(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.scd import Scd2Table
+
+    src_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    src = ld(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("url"),
+        F.when(F.col("event_id") % 19 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.col("event_type").alias("tier"),
+        F.col("value").cast("double").alias("score"),
+    )
+    dim = Scd2Table.create(
+        spark, tempfile.mkdtemp(prefix="scd2_"), "url", ["tier", "score"],
+        src_schema, n_buckets=8,
+    )
+    # 4 time-ordered epoch slices (weekly cuts over the January-2024 window)
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22", "2100-01-01"]
+    lo = "1900-01-01"
+    for e, hi in enumerate(cuts):
+        batch = src.filter(
+            (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi))
+        )
+        dim.apply_batch(batch, epoch_id=e)
+        lo = hi
+    return dim.history().select(
+        "url", "valid_from", "valid_to", "is_current", "tier",
+        F.round("score", 6).alias("score"),
+    )
