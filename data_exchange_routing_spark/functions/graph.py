@@ -85,6 +85,46 @@ def connected_components(
     return parent.select(F.col("x").alias("node"), F.col("p").alias("component"))
 
 
+def min_label_rounds(
+    edges: DataFrame, src: str = "src", dst: str = "dst", rounds: int = 2
+) -> DataFrame:
+    """Synchronous min-label propagation with a FIXED round count.
+
+    Community labeling (label-propagation family) with the deterministic
+    min-label update: each round every node takes the minimum of its own
+    label and its neighbors' labels. Bounded rounds make the result an
+    exact function of the graph (no tie-break randomness), so it carries a
+    full unrolled-SQL oracle (plans/queries.py:web_label_propagation) —
+    the oracle-checked cousin of the convergence-driven
+    ``connected_components`` above: after r rounds each node holds the
+    minimum label within its r-hop neighborhood.
+
+    Scale shape per round: one symmetric edge join + one min-aggregation —
+    the same two shuffles as a CC round — and each round's frontier is
+    eagerly localCheckpoint'd so round k runs O(1) jobs (the round-1
+    verdict's lineage-blowup fix applies here too).
+    """
+    e = _canonical_edges(edges, src, dst)
+    sym = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    ).persist()
+    labels = sym.select("x").distinct().select("x", F.col("x").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("x", "y").withColumnRenamed("lbl", "nl"), "y")
+            .groupBy("x")
+            .agg(F.min("nl").alias("m"))
+        )
+        labels = (
+            labels.join(nbr_min, "x", "left")
+            .select("x", F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels.select(F.col("x").alias("node"), F.col("lbl").alias("community"))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

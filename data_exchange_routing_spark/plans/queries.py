@@ -5870,3 +5870,161 @@ def cdc_scd2_incremental(spark, sf_dir):
         "url", "valid_from", "valid_to", "is_current", "tier",
         F.round("score", 6).alias("score"),
     )
+
+
+# =====================================================================
+# 9. Learned filters + bounded-round graph labels + crawl index
+# =====================================================================
+
+def _logreg_sql(steps: int = 3, lr: float = 1.0) -> str:
+    """Unrolled data-parallel GD twin of functions/linear.py: weights start
+    at zero, each step is one averaged-gradient CTE over the feature CTE,
+    and the chain w1..wN is emitted explicitly (same reason as
+    _pagerank_sql — the iteration count is fixed, so the whole training run
+    is a pure SQL function of the corpus)."""
+    sig = "1.0 / (1.0 + exp(-(b + wx1 * x1 + wx2 * x2 + wx3 * x3)))"
+    ctes = [
+        """
+    f AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             ln(1.0 + greatest(length(text), 1)) / 10.0 AS x1,
+             (greatest(length(text), 1) - length(replace(text, ' ', '')))::DOUBLE
+               / greatest(length(text), 1) AS x2,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS x3
+      FROM documents)""",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS wx1, 0.0 AS wx2, 0.0 AS wx3)",
+    ]
+    for i in range(1, steps + 1):
+        p = i - 1
+        ctes.append(
+            f"g{i} AS (SELECT avg({sig} - y) AS g0, avg(({sig} - y) * x1) AS g1, "
+            f"avg(({sig} - y) * x2) AS g2, avg(({sig} - y) * x3) AS g3 "
+            f"FROM f, w{p})"
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT b - {lr} * g0 AS b, wx1 - {lr} * g1 AS wx1, "
+            f"wx2 - {lr} * g2 AS wx2, wx3 - {lr} * g3 AS wx3 FROM w{p}, g{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, y, round({sig}, 6) AS p_en FROM f, w{steps}"
+    )
+
+
+@q(
+    "doc_lr_quality",
+    # Learned language/quality filter trained IN the engine: data-parallel
+    # full-batch logistic regression — per step ONE map-side-combined global
+    # aggregation (no keyed shuffle), D+1 doubles to the driver; the 100 TB
+    # corpus is scanned `steps` times from the persisted feature projection.
+    # Iterative distributed training with an EXACT unrolled-SQL oracle.
+    _logreg_sql(steps=3, lr=1.0),
+)
+def doc_lr_quality(spark, sf_dir):
+    from data_exchange_routing_spark.functions.linear import (
+        doc_features, logreg_score, logreg_train,
+    )
+
+    feats = doc_features(ld(spark, sf_dir, "documents"))
+    w = logreg_train(feats, steps=3, lr=1.0)
+    return logreg_score(feats, w).select(
+        "doc_id", "y", F.round("p", 6).alias("p_en")
+    )
+
+
+@q(
+    "web_label_propagation",
+    # Bounded-round min-label propagation over the bipartite page↔URL link
+    # graph: after r rounds each node holds the min label of its r-hop
+    # neighborhood (deterministic label-propagation community seed, the
+    # oracle-checked cousin of convergence-driven connected components).
+    # Two shuffles per round, frontier localCheckpoint'd each round.
+    f"""
+    WITH {_LINKS_SQL_CTE},
+    ed AS MATERIALIZED (
+      SELECT DISTINCT 'd:' || CAST(doc_id AS VARCHAR) AS u, 'u:' || dst_url AS v
+      FROM links),
+    sym AS MATERIALIZED (SELECT u AS x, v AS y FROM ed UNION ALL SELECT v, u FROM ed),
+    l0 AS (SELECT DISTINCT x, x AS lbl FROM sym),
+    l1 AS MATERIALIZED (
+      SELECT a.x, least(a.lbl, min(b.lbl)) AS lbl
+      FROM l0 a JOIN sym s ON s.x = a.x JOIN l0 b ON b.x = s.y
+      GROUP BY a.x, a.lbl),
+    l2 AS (
+      SELECT a.x, least(a.lbl, min(b.lbl)) AS lbl
+      FROM l1 a JOIN sym s ON s.x = a.x JOIN l1 b ON b.x = s.y
+      GROUP BY a.x, a.lbl)
+    SELECT x AS node, lbl AS community FROM l2
+    """,
+)
+def web_label_propagation(spark, sf_dir):
+    from data_exchange_routing_spark.functions.graph import min_label_rounds
+    from data_exchange_routing_spark.operators.parse import extract_links
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.expr(_LINK_HTML_SYNTH), "UTF-8").alias("html")
+    )
+    links = extract_links(d, html_col="html", id_cols=("doc_id",))
+    edges = links.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u:"), F.col("dst_url")).alias("dst"),
+    )
+    return min_label_rounds(edges, "src", "dst", rounds=2)
+
+
+@q(
+    "web_surt_index",
+    # CDX-style capture index under SURT keys (Common Crawl / Internet
+    # Archive convention): host components reversed so one sorted index
+    # clusters every subdomain of a registrable domain together — the
+    # layout a 100 TB crawl index range-scans by domain. One aggregation
+    # shuffle + one host-keyed window (same exchange, AQE-coalesced).
+    f"""
+    WITH {_LINKS_SQL_CTE},
+    uu AS (
+      SELECT dst_url, count(*) AS n_captures, count(DISTINCT doc_id) AS n_docs
+      FROM links GROUP BY 1),
+    hh AS (
+      SELECT dst_url, n_captures, n_docs,
+             regexp_extract(dst_url, '{_HOST_RE}', 1) AS host
+      FROM uu),
+    ss AS (
+      SELECT dst_url, n_captures, n_docs, host,
+             array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+               regexp_replace(dst_url, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS surt_key
+      FROM hh WHERE host <> '')
+    SELECT surt_key, dst_url AS url, n_captures, n_docs,
+           row_number() OVER (PARTITION BY host ORDER BY surt_key, dst_url) AS cdx_pos
+    FROM ss
+    """,
+)
+def web_surt_index(spark, sf_dir):
+    from data_exchange_routing_spark.operators.parse import extract_links, host_of
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.expr(_LINK_HTML_SYNTH), "UTF-8").alias("html")
+    )
+    links = extract_links(d, html_col="html", id_cols=("doc_id",))
+    u = links.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    h = u.withColumn("host", host_of(F.col("dst_url"))).filter(F.col("host") != "")
+    s = h.withColumn(
+        "surt_key",
+        F.concat(
+            F.array_join(F.reverse(F.split(F.col("host"), "\\.")), ","),
+            F.lit(")"),
+            F.regexp_replace(F.col("dst_url"), "^[a-z][a-z0-9+.-]*://[^/]*", ""),
+        ),
+    )
+    w = Window.partitionBy("host").orderBy("surt_key", "dst_url")
+    return s.select(
+        "surt_key",
+        F.col("dst_url").alias("url"),
+        "n_captures",
+        "n_docs",
+        F.row_number().over(w).alias("cdx_pos"),
+    )
