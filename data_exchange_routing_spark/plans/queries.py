@@ -6028,3 +6028,78 @@ def web_surt_index(spark, sf_dir):
         "n_docs",
         F.row_number().over(w).alias("cdx_pos"),
     )
+
+
+# Sitemap XML per page: one <url> entry whose <loc> is the SAME messy URL
+# shape as the link-graph synth (scheme/host case, default port, tracking
+# params) so sitemap ingestion exercises the full canonicalization path
+# onto the CDC merge-key space, plus a zero-padded <lastmod> date.
+_SITEMAP_XML_SYNTH = (
+    "concat('<url><loc>HTTP://Example', doc_id % 5, '.COM:80/Page/', doc_id % 7,"
+    " '?utm_source=z&b=2&a=1</loc><lastmod>2024-01-',"
+    " lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0'), '</lastmod></url>')"
+)
+
+# DuckDB uses VARCHAR; keep one synth string per engine dialect for the cast
+_SITEMAP_XML_SYNTH_SQL = _SITEMAP_XML_SYNTH.replace("AS STRING", "AS VARCHAR")
+
+
+@q(
+    "web_sitemap_urls",
+    # Sitemap ingestion (the crawler's OTHER discovery input next to the
+    # link graph): parse <loc>/<lastmod> entries, canonicalize loc onto the
+    # merge-key space, fold duplicate entries to (n_entries, freshest
+    # lastmod) per URL — the crawl scheduler's per-URL freshness feed.
+    # One codegen'd regexp pass + ONE aggregation shuffle.
+    f"""
+    WITH sm AS (SELECT doc_id, {_SITEMAP_XML_SYNTH_SQL} AS xml FROM documents),
+    e AS (SELECT doc_id,
+                 regexp_extract(xml, '<loc>([^<]+)</loc>', 1) AS loc_raw,
+                 CAST(regexp_extract(xml, '<lastmod>([^<]+)</lastmod>', 1) AS DATE) AS lastmod
+          FROM sm),
+    sb AS (SELECT doc_id, lastmod, regexp_replace(loc_raw, '#.*$', '') AS base FROM e),
+    sp AS (SELECT doc_id, lastmod, base,
+                  regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+           FROM sb),
+    sr AS (SELECT doc_id, lastmod,
+                  regexp_replace(regexp_replace(lower(prefix), '^(http://.*):80$', '\\1'),
+                                 '^(https://.*):443$', '\\1') AS auth,
+                  substr(base, length(prefix) + 1) AS rest
+           FROM sp),
+    sx AS (SELECT doc_id, lastmod, auth,
+                  regexp_extract(rest, '^([^?]*)', 1) AS path,
+                  regexp_extract(rest, '\\?(.*)$', 1) AS query
+           FROM sr),
+    sk AS (SELECT doc_id, lastmod, auth, path,
+                  array_to_string(list_sort(list_filter(string_split(query, '&'),
+                    y -> y <> '' AND NOT regexp_matches(y, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') AS q2
+           FROM sx),
+    locs AS (
+      SELECT doc_id, lastmod,
+             auth || path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS loc
+      FROM sk)
+    SELECT regexp_extract(loc, '{_HOST_RE}', 1) AS host,
+           loc, count(*) AS n_entries,
+           CAST(max(lastmod) AS TIMESTAMP) AS last_mod
+    FROM locs GROUP BY 1, 2
+    """,
+)
+def web_sitemap_urls(spark, sf_dir):
+    from data_exchange_routing_spark.operators.parse import canonicalize_url, host_of
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SITEMAP_XML_SYNTH).alias("xml")
+    )
+    e = d.select(
+        "doc_id",
+        F.regexp_extract("xml", "<loc>([^<]+)</loc>", 1).alias("loc_raw"),
+        F.to_date(F.regexp_extract("xml", "<lastmod>([^<]+)</lastmod>", 1)).alias("lastmod"),
+    )
+    c = canonicalize_url(e, url_col="loc_raw", out_col="loc")
+    return (
+        c.groupBy(host_of(F.col("loc")).alias("host"), "loc")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.max("lastmod").cast("timestamp").alias("last_mod"),
+        )
+    )

@@ -97,6 +97,27 @@ def stateful_dedup(events: DataFrame, state_ttl_ms: int | None = None) -> DataFr
     )
 
 
+def native_dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours", keys: tuple[str, ...] = ("url", "lsn")
+) -> DataFrame:
+    """Redelivery suppression with Spark's NATIVE state operator.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state JVM-side (no
+    Python round-trip, RocksDB-backed state store at scale, watermark-driven
+    GC built in) — the preferred plan when the requirement is plain
+    exactly-once redelivery suppression on an event id. The custom
+    ``stateful_dedup`` above remains the path when semantics exceed what the
+    native operator expresses (ORDERING-aware high-water-mark drops: an
+    event older than the url's seen (warc_ts, lsn) is suppressed even
+    though its id was never seen before).
+
+    Contract (test_stateful_streaming.py): with all data inside the
+    watermark, the drained output is exactly the batch
+    ``dropDuplicates(keys)`` result — same rows, no cross-batch leaks.
+    """
+    return events.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def windowed_ingest_rate(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """T5: watermarked tumbling-window per-content-type event counts; late
     events beyond the watermark are dropped, window state is GC'd."""

@@ -96,3 +96,49 @@ def test_stateful_dedup_with_ttl_same_results_single_drain(spark, stream_dir, tm
             (r["url"], r["lsn"]) for r in res.select("url", "lsn").collect()
         )
     assert out["no_ttl"] == out["ttl"] and len(out["ttl"]) > 0
+
+
+def test_native_dedup_within_watermark_matches_batch_distinct(spark, stream_dir, tmpdir_path):
+    """Native dropDuplicatesWithinWatermark contract: with redelivered files
+    (every epoch's parquet duplicated) and all data inside the watermark,
+    the drained stream equals batch dropDuplicates on the event id — the
+    JVM-native scale path for plain redelivery suppression (T6)."""
+    import shutil
+
+    from data_exchange_routing_spark.streaming.stateful import native_dedup_within_watermark
+
+    redeliver = os.path.join(tmpdir_path, "redelivered")
+    n = 0
+    for root, _dirs, files in os.walk(stream_dir):
+        rel = os.path.relpath(root, stream_dir)
+        dst_root = os.path.join(redeliver, rel)
+        os.makedirs(dst_root, exist_ok=True)
+        for f in files:
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(root, f), os.path.join(dst_root, f))
+                shutil.copy(os.path.join(root, f), os.path.join(dst_root, f"dup_{f}"))
+                n += 1
+    assert n > 0
+
+    events = (
+        spark.readStream.schema(CHANGE_EVENTS)
+        .option("maxFilesPerTrigger", 8)  # several micro-batches, dups split across them
+        .parquet(redeliver)
+    )
+    out = _drain(
+        spark,
+        native_dedup_within_watermark(events, watermark="36500 days"),
+        "native_dedup_out",
+        os.path.join(tmpdir_path, "cp_native"),
+    ).toPandas()
+
+    exp = (
+        spark.read.parquet(stream_dir)
+        .dropDuplicates(["url", "lsn"])
+        .toPandas()
+    )
+    assert len(out) == len(exp)
+    assert not out.duplicated(subset=["url", "lsn"]).any()
+    got_keys = set(map(tuple, out[["url", "lsn"]].itertuples(index=False)))
+    exp_keys = set(map(tuple, exp[["url", "lsn"]].itertuples(index=False)))
+    assert got_keys == exp_keys
