@@ -270,3 +270,63 @@ def test_retention_scan_reads_only_surviving_files(spark):
     df = QUERIES["events_retention_expiry"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan or "FileScan" in plan
+
+
+# ---------------------------------------------------------------------------
+# Fleet-wide audit: EVERY registry query's physical plan
+# ---------------------------------------------------------------------------
+
+# Queries whose construction EXECUTES distributed work (driver-held model
+# loops, warehouse replays, streaming drains) — their plans are audited by
+# their own dedicated tests; building them here would run minutes of jobs.
+_EXECUTES_ON_BUILD = {
+    "cdc_replay_web_pages", "cdc_replay_from_events", "cdc_ivm_from_replay",
+    "cdc_ivm_aggregate", "cdc_scd2_incremental", "cdc_bootstrap_switchover",
+    "cdc_change_feed_read", "cdc_consistent_cut_read", "cdc_time_travel_read",
+    "cdc_patch_resolve", "lake_merge_into", "lake_check_constraint",
+    "lake_drop_column", "lake_rename_column", "lake_table_diff",
+    "lake_bucket_join", "events_scd2_history", "events_rollup_view",
+    "events_retention_expiry", "events_bloom_point_scan", "events_range_scan",
+    "events_state_lookup_join", "doc_lr_quality", "emb_kmeans_clusters",
+    "emb_ivf_ann", "emb_ivf_ann_exhaustive", "doc_bpe_merges",
+    "doc_bpe_encode", "doc_bpe_encode_arrow", "doc_incremental_lsh_pairs",
+    "web_label_propagation", "doc_dedup_cluster_survivors",
+    "doc_curation_pipeline", "doc_training_shards",
+}
+
+# Quadratic shapes that are the DOCUMENTED small-scale exact twin of a
+# bucketed scale path (SCALE.md) — the only queries allowed to plan a
+# non-broadcast CartesianProduct.
+_CARTESIAN_OK = {
+    "doc_jaccard_pairs", "doc_containment_pairs", "doc_editdist_confirm",
+    "emb_near_dup_pairs", "emb_cosine_top5", "emb_semantic_dedup",
+    "emb_hard_negatives", "doc_negative_pairs", "doc_contamination",
+    "doc_simhash_pairs",
+}
+
+
+def test_no_row_udf_or_stray_cartesian_in_any_registry_plan(spark):
+    """Fleet-wide physical-plan audit over the WHOLE registry.
+
+    - No query may plan a row-at-a-time Python UDF (BatchEvalPython);
+      Python hot paths must be Arrow-vectorized (ArrowEvalPython /
+      FlatMapGroupsInPandas / MapInPandas).
+    - No query may plan a non-broadcast CartesianProduct unless it is a
+      documented small-scale exact twin of a bucketed scale path.
+      BroadcastNestedLoopJoin is NOT flagged: Spark only picks it when the
+      build side broadcasts (the scalar-attach pattern — corpus totals,
+      averages — and tiny-side range joins), which is the plan you want.
+    """
+    audited = 0
+    offenders: list[str] = []
+    for name in sorted(QUERIES):
+        if name in _EXECUTES_ON_BUILD:
+            continue
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-wise Python UDF")
+        if "CartesianProduct" in plan and name not in _CARTESIAN_OK:
+            offenders.append(f"{name}: undocumented CartesianProduct")
+        audited += 1
+    assert not offenders, offenders
+    assert audited >= 120, f"audit covered only {audited} queries"
