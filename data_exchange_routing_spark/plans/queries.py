@@ -6103,3 +6103,84 @@ def web_sitemap_urls(spark, sf_dir):
             F.max("lastmod").cast("timestamp").alias("last_mod"),
         )
     )
+
+
+@q(
+    "web_recrawl_candidates",
+    # Freshness-driven recrawl scheduling: join the sitemap's per-URL
+    # freshness feed against the stored captures' last-fetch time; URLs
+    # whose sitemap <lastmod> is newer than the stored capture are due.
+    # The capture side derives its fetch date deterministically from the
+    # earliest doc that linked the URL (small-scale twin of reading
+    # max(warc_ts) per url from the web_pages table — same join shape).
+    # ONE aggregation per side + one equi-join on the merge key.
+    f"""
+    WITH sm AS (SELECT doc_id, {_SITEMAP_XML_SYNTH_SQL} AS xml FROM documents),
+    e AS (SELECT doc_id,
+                 regexp_extract(xml, '<loc>([^<]+)</loc>', 1) AS loc_raw,
+                 CAST(regexp_extract(xml, '<lastmod>([^<]+)</lastmod>', 1) AS DATE) AS lastmod
+          FROM sm),
+    sb AS (SELECT doc_id, lastmod, regexp_replace(loc_raw, '#.*$', '') AS base FROM e),
+    sp AS (SELECT doc_id, lastmod, base,
+                  regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+           FROM sb),
+    sr AS (SELECT doc_id, lastmod,
+                  regexp_replace(regexp_replace(lower(prefix), '^(http://.*):80$', '\\1'),
+                                 '^(https://.*):443$', '\\1') AS auth,
+                  substr(base, length(prefix) + 1) AS rest
+           FROM sp),
+    sx AS (SELECT doc_id, lastmod, auth,
+                  regexp_extract(rest, '^([^?]*)', 1) AS path,
+                  regexp_extract(rest, '\\?(.*)$', 1) AS query
+           FROM sr),
+    sk AS (SELECT doc_id, lastmod, auth, path,
+                  array_to_string(list_sort(list_filter(string_split(query, '&'),
+                    y -> y <> '' AND NOT regexp_matches(y, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') AS q2
+           FROM sx),
+    locs AS (
+      SELECT doc_id, lastmod,
+             auth || path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS loc
+      FROM sk),
+    freshness AS (
+      SELECT loc, max(lastmod) AS last_mod FROM locs GROUP BY 1),
+    captures AS (
+      SELECT loc,
+             CAST('2024-01-01' AS DATE) + CAST(min(doc_id) % 28 AS INTEGER) AS captured_on
+      FROM locs GROUP BY 1)
+    SELECT f.loc, CAST(f.last_mod AS TIMESTAMP) AS last_mod,
+           CAST(c.captured_on AS TIMESTAMP) AS captured_on,
+           datediff('day', c.captured_on, f.last_mod) AS staleness_days
+    FROM freshness f JOIN captures c USING (loc)
+    WHERE f.last_mod > c.captured_on
+    """,
+)
+def web_recrawl_candidates(spark, sf_dir):
+    from data_exchange_routing_spark.operators.parse import canonicalize_url
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SITEMAP_XML_SYNTH).alias("xml")
+    )
+    e = d.select(
+        "doc_id",
+        F.regexp_extract("xml", "<loc>([^<]+)</loc>", 1).alias("loc_raw"),
+        F.to_date(F.regexp_extract("xml", "<lastmod>([^<]+)</lastmod>", 1)).alias("lastmod"),
+    )
+    locs = canonicalize_url(e, url_col="loc_raw", out_col="loc")
+    # both per-URL reductions fold in ONE map-side-combined aggregation —
+    # no second shuffle, no self-join (the oracle spells them as two CTEs
+    # for readability; DuckDB fuses them the same way)
+    agg = locs.groupBy("loc").agg(
+        F.max("lastmod").alias("last_mod"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.min("doc_id") % 28).cast("int")
+        ).alias("captured_on"),
+    )
+    return (
+        agg.filter(F.col("last_mod") > F.col("captured_on"))
+        .select(
+            "loc",
+            F.col("last_mod").cast("timestamp").alias("last_mod"),
+            F.col("captured_on").cast("timestamp").alias("captured_on"),
+            F.datediff(F.col("last_mod"), F.col("captured_on")).cast("long").alias("staleness_days"),
+        )
+    )
