@@ -6184,3 +6184,65 @@ def web_recrawl_candidates(spark, sf_dir):
             F.datediff(F.col("last_mod"), F.col("captured_on")).cast("long").alias("staleness_days"),
         )
     )
+
+
+@q(
+    "warc_pyds_scan",
+    # The Spark-4 Python Data Source edge (sources/pyds.py): documents are
+    # encoded into REAL .warc files on disk (one per task partition, the
+    # crawl-native layout), then read back through
+    # spark.read.format("warc") — a registered DataSource with one
+    # InputPartition per file and pyarrow RecordBatch output. The oracle
+    # recomputes uri/byte-length/md5 straight from the table, so the gate
+    # covers the encoder, the on-disk framing, the DS partition planner and
+    # the parser end to end. (web_warc_roundtrip gates the in-plan
+    # mapInPandas codec path; this gates the catalog-format path.)
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'https://example.org/doc/' || doc_id AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def warc_pyds_scan(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from data_exchange_routing_spark.sources.pyds import register_sources
+    from data_exchange_routing_spark.sources.warc import build_warc_record
+
+    out = tempfile.mkdtemp(prefix="warc_pyds_")
+
+    def write_files(batches):
+        # executor-side file emission (local FS here; a cluster deployment
+        # points this at shared storage) — one WARC file per Arrow batch,
+        # no shuffle, no driver collect
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf = b"".join(
+                build_warc_record(u, t.encode("utf-8"))
+                for u, t in zip(pdf["uri"], pdf["text"])
+            )
+            p = os.path.join(out, f"{_uuid.uuid4().hex}.warc")
+            with open(p, "wb") as f:
+                f.write(buf)
+            yield pd.DataFrame({"path": [p]})
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias("uri"),
+        "text",
+    )
+    d.repartition(8).mapInPandas(write_files, "path string").collect()
+    register_sources(spark)
+    recs = spark.read.format("warc").load(out)
+    return recs.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "uri",
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )

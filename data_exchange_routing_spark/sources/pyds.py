@@ -1,0 +1,280 @@
+"""Spark 4 Python Data Source API integrations: `warc` (batch) + `binlog`
+(streaming WAL tail).
+
+Two first-class `spark.dataSource.register` sources replace the ad-hoc
+edges with catalog-native formats:
+
+- ``spark.read.format("warc").load(dir)`` — Common-Crawl-style WARC files
+  as a real batch source: one InputPartition per .warc file (the native
+  crawl layout is millions of ~1 GB files, so per-file splits saturate any
+  executor count; a CDX/SURT capture index — functions/crawl.py — is the
+  documented path to sub-file record-offset splits). Parsing reuses the
+  byte-exact framing parser in sources/warc.py; rows come back as pyarrow
+  RecordBatches, so no per-row Python materialization happens on the
+  executors.
+
+- ``spark.readStream.format("binlog").load(dir)`` — the binlog-segment
+  event log (epoch_hint=K/ parquet dirs, the same layout pipeline.replay
+  tails) as a REAL Structured Streaming source with offset semantics:
+  offsets are {"next_epoch": K}, `latestOffset` advances over fully-written
+  segments only, micro-batch size is bounded by maxEpochsPerBatch
+  (backpressure analog of maxFilesPerTrigger), and partitions() exposes one
+  InputPartition per parquet file inside each segment so a micro-batch scan
+  parallelizes exactly like the batch path. read() streams pyarrow
+  RecordBatches straight off the parquet footers — zero per-row Python.
+  Offset/commit durability lives in the normal streaming checkpoint, so a
+  restarted query resumes at the committed epoch with no duplicates
+  (contract-tested in tests/test_pyds.py).
+
+Reference analog: the reference's queue-triggered consumption
+(fns-routing/.../RouteIngestedFile.kt + spikes/.../FnRouter.kt:29-39) is an
+event tail with provider-managed offsets; this module is that edge
+re-expressed as Spark's own source contract instead of a side-car listener.
+
+Scale shape: segment discovery is an O(#segments) driver listing (cheap:
+one dirent per epoch); all data IO happens in executor-side read() over
+per-file partitions. A 10^10-event log at ~10^6 events/segment is ~10^4
+dirents — trivial. The _SUCCESS-gated visibility rule means a segment being
+written concurrently by the producer is never half-read.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+# ---------------------------------------------------------------------------
+# WARC batch source
+# ---------------------------------------------------------------------------
+
+WARC_DDL = (
+    "uri string, rec_type string, warc_date string, record_id string, "
+    "content_length bigint, payload binary, warc_path string"
+)
+
+
+class _WarcFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc source requires .load(path)")
+        self.path = path
+        self.suffix = options.get("suffix", ".warc")
+
+    def partitions(self):  # driver-side: one partition per file
+        files = []
+        if os.path.isfile(self.path):
+            files = [self.path]
+        else:
+            for root, _dirs, names in os.walk(self.path):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(self.suffix) and not n.startswith(("_", "."))
+                )
+        if not files:
+            raise FileNotFoundError(f"no *{self.suffix} files under {self.path}")
+        return [_WarcFilePartition(p) for p in sorted(files)]
+
+    def read(self, partition: _WarcFilePartition) -> Iterator:
+        # executor-side: parse one file, emit arrow batches (no per-row rows)
+        import pyarrow as pa
+
+        from data_exchange_routing_spark.sources.warc import parse_warc
+
+        with open(partition.path, "rb") as f:
+            buf = f.read()
+        cols: dict[str, list] = {
+            "uri": [], "rec_type": [], "warc_date": [], "record_id": [],
+            "content_length": [], "payload": [],
+        }
+        for headers, payload in parse_warc(buf):
+            cols["uri"].append(headers.get("WARC-Target-URI"))
+            cols["rec_type"].append(headers.get("WARC-Type"))
+            cols["warc_date"].append(headers.get("WARC-Date"))
+            cols["record_id"].append(headers.get("WARC-Record-ID"))
+            cols["content_length"].append(int(headers["Content-Length"]))
+            cols["payload"].append(payload)
+        n = len(cols["uri"])
+        yield pa.RecordBatch.from_pydict(
+            {
+                "uri": pa.array(cols["uri"], pa.string()),
+                "rec_type": pa.array(cols["rec_type"], pa.string()),
+                "warc_date": pa.array(cols["warc_date"], pa.string()),
+                "record_id": pa.array(cols["record_id"], pa.string()),
+                "content_length": pa.array(cols["content_length"], pa.int64()),
+                "payload": pa.array(cols["payload"], pa.binary()),
+                "warc_path": pa.array([partition.path] * n, pa.string()),
+            }
+        )
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` — ISO 28500 WARC files, one partition
+    per file, byte-exact Content-Length framing (sources/warc.py)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return WARC_DDL
+
+    def reader(self, schema) -> _WarcReader:
+        return _WarcReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Binlog streaming source (WAL tail with epoch offsets)
+# ---------------------------------------------------------------------------
+
+
+def _list_epochs(path: str) -> list[int]:
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in names if d.startswith("epoch_hint=")
+    )
+
+
+def _segment_files(path: str, epoch: int) -> list[str]:
+    d = os.path.join(path, f"epoch_hint={epoch}")
+    return sorted(
+        os.path.join(d, n)
+        for n in os.listdir(d)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+
+
+class _BinlogPartition(InputPartition):
+    def __init__(self, file: str, epoch: int):
+        self.file = file
+        self.epoch = epoch
+
+
+class _BinlogStreamReader(DataSourceStreamReader):
+    """Offsets are {"next_epoch": K}: everything below K is committed.
+
+    The producer contract is the same as pipeline.replay's: a segment dir
+    epoch_hint=K is visible once its _SUCCESS marker exists (Spark's own
+    parquet commit protocol writes it last), so latestOffset never exposes a
+    half-written segment."""
+
+    def __init__(self, options: dict, schema):
+        path = options.get("path")
+        if not path:
+            raise ValueError("binlog source requires .load(path)")
+        self.path = path
+        self.schema = schema
+        self.max_epochs = int(options.get("maxepochsperbatch", options.get("maxEpochsPerBatch", 0)) or 0)
+
+    def _ready_epochs(self) -> list[int]:
+        # visibility rule: a segment is ready when its own _SUCCESS marker
+        # exists (incremental per-segment producer) OR the log root carries
+        # one (whole-log batch write — Spark's commit protocol writes root
+        # _SUCCESS last, after every task file is renamed into place)
+        root_ok = os.path.exists(os.path.join(self.path, "_SUCCESS"))
+        return [
+            e
+            for e in _list_epochs(self.path)
+            if root_ok
+            or os.path.exists(os.path.join(self.path, f"epoch_hint={e}", "_SUCCESS"))
+        ]
+
+    def initialOffset(self) -> dict:
+        eps = self._ready_epochs()
+        return {"next_epoch": eps[0] if eps else 0}
+
+    def latestOffset(self) -> dict:
+        eps = self._ready_epochs()
+        if not eps:
+            return {"next_epoch": 0}
+        hi = eps[-1] + 1
+        if self.max_epochs:
+            # backpressure: bound the micro-batch to maxEpochsPerBatch
+            # segments past the last committed offset
+            lo = self._committed if self._committed is not None else eps[0]
+            hi = min(hi, lo + self.max_epochs)
+        return {"next_epoch": hi}
+
+    _committed: int | None = None
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        ready = set(self._ready_epochs())
+        for e in range(start["next_epoch"], end["next_epoch"]):
+            if e in ready:
+                parts.extend(_BinlogPartition(f, e) for f in _segment_files(self.path, e))
+        # an all-gap range still needs >=1 partition (Spark requires it)
+        return parts or [_BinlogPartition("", start["next_epoch"])]
+
+    def read(self, partition: _BinlogPartition) -> Iterator:
+        if not partition.file:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # Spark's Arrow ingest wants exactly the types to_arrow_schema maps
+        # (timestamp[us, tz=UTC], not parquet's ns) — cast each batch once,
+        # columnar, still zero per-row Python
+        target = to_arrow_schema(self.schema)
+        pf = pq.ParquetFile(partition.file)
+        for batch in pf.iter_batches():
+            tbl = pa.Table.from_batches([batch]).select(target.names).cast(target)
+            yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        self._committed = end["next_epoch"]
+
+
+class BinlogDataSource(DataSource):
+    """``spark.readStream.format("binlog")`` — tail an epoch-segmented
+    parquet event log with real offset semantics. The schema is inferred
+    once on the driver from the first ready segment's parquet footer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "binlog"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("binlog source requires .load(path)")
+        eps = _list_epochs(path)
+        if not eps:
+            raise FileNotFoundError(f"no epoch_hint=K segments under {path}")
+        files = _segment_files(path, eps[0])
+        if not files:
+            raise FileNotFoundError(f"segment epoch_hint={eps[0]} has no parquet files")
+        # drop the partition column (epoch_hint) — it is directory metadata;
+        # the stream exposes the file columns exactly as written
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def streamReader(self, schema) -> _BinlogStreamReader:
+        return _BinlogStreamReader(self.options, schema)
+
+
+def register_sources(spark) -> None:
+    """Idempotently register both sources on a session."""
+    spark.dataSource.register(WarcDataSource)
+    spark.dataSource.register(BinlogDataSource)

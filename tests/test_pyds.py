@@ -1,0 +1,171 @@
+"""Spark 4 Python Data Source API edges (sources/pyds.py): the `warc` batch
+source and the `binlog` streaming WAL tail.
+
+Contracts:
+- warc DS == the existing binaryFile+mapInPandas path, byte-identically;
+- one InputPartition per WARC file (the crawl-native split);
+- malformed WARC fails loudly (no silent truncation);
+- binlog stream drain == batch parquet read of the same segments, value-equal;
+- offsets live in the streaming checkpoint: a restarted query picks up ONLY
+  segments committed after the first run, no duplicates, no gaps;
+- per-segment _SUCCESS gating: an un-marked (in-flight) segment is invisible.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.sources.pyds import register_sources
+from data_exchange_routing_spark.sources.warc import build_warc_record, scan_warc
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_sources(spark)
+    register_sources(spark)  # idempotent re-register must not break
+
+
+def _write_warcs(root: str, n_files: int = 3, recs_per_file: int = 5) -> None:
+    os.makedirs(root, exist_ok=True)
+    for i in range(n_files):
+        with open(os.path.join(root, f"crawl-{i}.warc"), "wb") as f:
+            f.write(
+                b"".join(
+                    build_warc_record(
+                        f"https://s{i}.example/p/{j}", f"body {i}/{j} é".encode()
+                    )
+                    for j in range(recs_per_file)
+                )
+            )
+
+
+def test_warc_pyds_matches_mapinpandas_path(spark, tmp_path):
+    root = str(tmp_path / "warcs")
+    _write_warcs(root)
+    ds = spark.read.format("warc").load(root)
+    legacy = scan_warc(spark, root)
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "uri", "rec_type", "warc_date", "record_id",
+                "content_length", F.md5(F.col("payload")).alias("m"),
+            ).collect()
+        )
+
+    a, b = canon(ds), canon(legacy)
+    assert len(a) == 15
+    assert a == b
+
+
+def test_warc_pyds_one_partition_per_file(spark, tmp_path):
+    root = str(tmp_path / "warcs")
+    _write_warcs(root, n_files=4)
+    ds = spark.read.format("warc").load(root)
+    assert ds.rdd.getNumPartitions() == 4
+    # provenance column maps every record to its source file
+    per_file = {r["warc_path"]: r["n"] for r in ds.groupBy("warc_path").agg(F.count("*").alias("n")).collect()}
+    assert len(per_file) == 4 and all(n == 5 for n in per_file.values())
+
+
+def test_warc_pyds_malformed_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "bad")
+    os.makedirs(root)
+    with open(os.path.join(root, "x.warc"), "wb") as f:
+        f.write(b"NOT A WARC AT ALL")
+    with pytest.raises(Exception, match="WARC"):
+        spark.read.format("warc").load(root).count()
+
+
+def _canon_events(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "lsn", "op", "url",
+            F.col("warc_ts").cast("string").alias("ts"),
+            F.md5(F.col("html")).alias("h"),
+            "lang", "content_type",
+            F.to_json(F.col("meta")).alias("m"),
+        ).collect()
+    )
+
+
+def test_binlog_stream_drain_equals_batch(spark, tmp_path):
+    from data_exchange_routing_spark.sources.datagen import write_change_events
+
+    ev = str(tmp_path / "events")
+    write_change_events(spark, ev, 1200, 120, n_epochs=3)
+    sdf = spark.readStream.format("binlog").load(ev)
+    q = (
+        sdf.writeStream.format("memory").queryName("binlog_drain")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from binlog_drain")
+    want = spark.read.parquet(ev).drop("epoch_hint")
+    assert _canon_events(got) == _canon_events(want)
+
+
+def _emit_segment(spark, log_dir: str, epoch: int, n: int, seed_lo: int) -> None:
+    """Incremental producer: one segment written aside, renamed into place —
+    the per-segment _SUCCESS (written by Spark's commit protocol) rides along."""
+    df = spark.range(seed_lo, seed_lo + n).select(
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("https://x.example/p/"), F.col("id").cast("string")).alias("url"),
+    )
+    tmp = os.path.join(log_dir, f"_tmp-{epoch}")
+    df.coalesce(2).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(log_dir, f"epoch_hint={epoch}"))
+
+
+def test_binlog_resume_from_checkpoint_no_dupes_no_gaps(spark, tmp_path):
+    log = str(tmp_path / "log")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log)
+    _emit_segment(spark, log, 0, 50, 0)
+    _emit_segment(spark, log, 1, 50, 50)
+
+    def drain(name):
+        q = (
+            spark.readStream.format("binlog").load(log)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    drain("first")
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 100
+    # two more segments arrive; a restarted query must read ONLY those
+    _emit_segment(spark, log, 2, 50, 100)
+    _emit_segment(spark, log, 3, 50, 150)
+    drain("second")
+    out = spark.read.parquet(sink)
+    assert out.count() == 200
+    lsns = sorted(r["lsn"] for r in out.select("lsn").collect())
+    assert lsns == list(range(200))  # no dupes, no gaps
+
+
+def test_binlog_success_gating_hides_inflight_segment(spark, tmp_path):
+    log = str(tmp_path / "log2")
+    os.makedirs(log)
+    _emit_segment(spark, log, 0, 30, 0)
+    # an in-flight segment: parquet present, _SUCCESS removed
+    _emit_segment(spark, log, 1, 30, 30)
+    os.unlink(os.path.join(log, "epoch_hint=1", "_SUCCESS"))
+    q = (
+        spark.readStream.format("binlog").load(log)
+        .writeStream.format("memory").queryName("binlog_gate")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["lsn"] for r in spark.sql("select lsn from binlog_gate").collect())
+    assert got == list(range(30))  # epoch 1 invisible until marked
