@@ -204,11 +204,15 @@ class _BinlogStreamReader(DataSourceStreamReader):
         if not eps:
             return {"next_epoch": 0}
         hi = eps[-1] + 1
-        if self.max_epochs:
-            # backpressure: bound the micro-batch to maxEpochsPerBatch
-            # segments past the last committed offset
-            lo = self._committed if self._committed is not None else eps[0]
-            hi = min(hi, lo + self.max_epochs)
+        if self.max_epochs and self._committed is not None:
+            # backpressure: bound each micro-batch to maxEpochsPerBatch
+            # segments past the last committed offset. Only once a commit
+            # has been seen THIS run — after a restart the checkpointed
+            # start offset is unknown here, and bounding from the oldest
+            # segment could place `end` below `start`; the first trigger
+            # after any (re)start therefore reads everything outstanding,
+            # and subsequent triggers are bounded.
+            hi = min(hi, self._committed + self.max_epochs)
         return {"next_epoch": hi}
 
     _committed: int | None = None

@@ -64,9 +64,17 @@ def stream_ingest(
     max_files_per_trigger: int | None = None,
     dedup_strategy: str = "local",
     suppress_redelivery_watermark: str | None = None,
+    source: str = "files",
 ) -> StreamingQuery:
     """Start an availableNow streaming ingest of the event log into the
     warehouse. Returns the running query; callers awaitTermination().
+
+    ``source`` picks the tail implementation over the same segment layout:
+    "files" = Spark's file-arrival source (offsets = seen files);
+    "binlog" = the registered Python Data Source (sources/pyds.py) with
+    epoch-granular offsets and _SUCCESS-gated segment visibility — the
+    WAL-tail-as-source form the north rule describes. Both feed the SAME
+    apply_epoch; final state is contract-equal (tests/test_pyds.py).
 
     ``suppress_redelivery_watermark`` (e.g. "2 hours") inserts Spark's
     built-in ``dropDuplicatesWithinWatermark(["lsn"])`` before the apply:
@@ -77,10 +85,16 @@ def stream_ingest(
     distinct events still happens inside apply_epoch — the built-in keeps
     the first arrival, which for identical payloads is the same row."""
     wh.init_tables()
-    reader = spark.readStream.schema(CHANGE_EVENTS)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.parquet(events_dir)
+    if source == "binlog":
+        from data_exchange_routing_spark.sources.pyds import register_sources
+
+        register_sources(spark)
+        events = spark.readStream.format("binlog").load(events_dir)
+    else:
+        reader = spark.readStream.schema(CHANGE_EVENTS)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        events = reader.parquet(events_dir)
     if suppress_redelivery_watermark is not None:
         events = events.withWatermark(
             "warc_ts", suppress_redelivery_watermark

@@ -169,3 +169,42 @@ def test_binlog_success_gating_hides_inflight_segment(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(r["lsn"] for r in spark.sql("select lsn from binlog_gate").collect())
     assert got == list(range(30))  # epoch 1 invisible until marked
+
+
+def test_binlog_sourced_stream_ingest_matches_batch_replay(spark, tmp_path):
+    """The WAL-tail-as-source form: stream_ingest(source='binlog') drives the
+    full pipeline (validate -> route -> dedup -> extract -> merge commit)
+    from the Python Data Source and converges to the same final table state
+    as bounded batch replay of the same log."""
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.streaming.ingest import stream_ingest
+
+    from data_exchange_routing_spark.sources.datagen import write_change_events
+
+    ev = str(tmp_path / "events")
+    write_change_events(spark, ev, 1500, 150, n_epochs=3)
+
+    wh_b = Warehouse(spark, str(tmp_path / "wh_batch"), n_buckets=8)
+    replay(wh_b, ev)
+
+    wh_s = Warehouse(spark, str(tmp_path / "wh_stream"), n_buckets=8)
+    q = stream_ingest(
+        spark, ev, wh_s, str(tmp_path / "ckpt"), source="binlog"
+    )
+    q.awaitTermination(300)
+
+    def state(wh):
+        df = wh.table("web_pages").read(with_internal=True)
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "url",
+                F.col("warc_ts").cast("string").alias("ts"),
+                F.md5(F.col("html")).alias("h"),
+                "text", "lang", F.col("_lsn").alias("lsn"),
+            ).collect()
+        )
+
+    a, b = state(wh_b), state(wh_s)
+    assert len(a) > 0
+    assert a == b
