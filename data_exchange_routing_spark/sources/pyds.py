@@ -47,7 +47,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # ---------------------------------------------------------------------------
@@ -121,9 +124,84 @@ class _WarcReader(DataSourceReader):
         )
 
 
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_records: int):
+        self.tmp_path = tmp_path
+        self.n_records = n_records
+
+
+class _WarcWriter(DataSourceWriter):
+    """One WARC file per task, two-phase commit: tasks write to hidden
+    ``.tmp-*.warc`` names (invisible to the reader's listing), the driver
+    renames exactly the SUCCESSFUL tasks' files into ``part-NNNNN.warc`` and
+    stamps ``_SUCCESS``. A retried/zombie task attempt leaves only an orphan
+    tmp file that commit() sweeps — never a duplicate record."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc sink requires .save(path)")
+        self.path = path
+        self.overwrite = overwrite
+        self.uri_col = options.get("uricol", options.get("uriCol", "uri"))
+        self.payload_col = options.get("payloadcol", options.get("payloadCol", "payload"))
+
+    def write(self, rows) -> _WarcCommit:  # executor-side, one call per task
+        import uuid as _uuid
+
+        from data_exchange_routing_spark.sources.warc import build_warc_record
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.warc")
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in rows:
+                payload = row[self.payload_col]
+                f.write(
+                    build_warc_record(
+                        row[self.uri_col],
+                        bytes(payload) if payload is not None else b"",
+                    )
+                )
+                n += 1
+        return _WarcCommit(tmp, n)
+
+    def commit(self, messages) -> None:  # driver-side
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".warc") and not name.startswith("."):
+                    os.unlink(os.path.join(self.path, name))
+        # append mode numbers new files after the existing max part index so a
+        # second write never clobbers a prior commit's files
+        existing = [
+            int(n[5:10])
+            for n in os.listdir(self.path)
+            if n.startswith("part-") and n.endswith(".warc") and n[5:10].isdigit()
+        ]
+        base = max(existing) + 1 if existing else 0
+        i = 0
+        for m in sorted((m for m in messages if m), key=lambda m: m.tmp_path):
+            if m.n_records == 0:
+                os.unlink(m.tmp_path)
+                continue
+            os.rename(m.tmp_path, os.path.join(self.path, f"part-{base + i:05d}.warc"))
+            i += 1
+        for name in os.listdir(self.path):  # sweep zombie-attempt orphans
+            if name.startswith(".tmp-"):
+                os.unlink(os.path.join(self.path, name))
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and os.path.exists(m.tmp_path):
+                os.unlink(m.tmp_path)
+
+
 class WarcDataSource(DataSource):
-    """``spark.read.format("warc")`` — ISO 28500 WARC files, one partition
-    per file, byte-exact Content-Length framing (sources/warc.py)."""
+    """``spark.read.format("warc")`` / ``df.write.format("warc")`` —
+    ISO 28500 WARC files: one read partition per file, one written file per
+    task, byte-exact Content-Length framing (sources/warc.py)."""
 
     @classmethod
     def name(cls) -> str:
@@ -134,6 +212,17 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> _WarcReader:
         return _WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _WarcWriter:
+        names = set(schema.fieldNames())
+        uri = self.options.get("uricol", self.options.get("uriCol", "uri"))
+        payload = self.options.get("payloadcol", self.options.get("payloadCol", "payload"))
+        if uri not in names or payload not in names:
+            raise ValueError(
+                f"warc sink needs columns {uri!r} (string) and {payload!r} "
+                f"(binary); got {sorted(names)}"
+            )
+        return _WarcWriter(self.options, overwrite)
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +336,93 @@ class _BinlogStreamReader(DataSourceStreamReader):
         self._committed = end["next_epoch"]
 
 
+class _BinlogWriteCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class _BinlogStreamWriter(DataSourceStreamWriter):
+    """The PRODUCER half of the WAL: each micro-batch becomes one
+    ``epoch_hint=<batchId>`` parquet segment, published atomically.
+
+    Two-phase commit per batch: tasks write parquet files under a hidden
+    ``_wip-<batchId>/`` dir (invisible to _list_epochs), the driver moves
+    exactly the successful attempts' files into the segment dir, stamps the
+    per-segment ``_SUCCESS`` the reader's visibility rule keys on, and
+    sweeps the wip dir (zombie attempts die there, never duplicate). A
+    redelivered batchId whose segment already carries ``_SUCCESS`` is a
+    metadata no-op — exactly-once end to end when paired with the binlog
+    reader's checkpointed offsets."""
+
+    def __init__(self, options: dict, schema):
+        path = options.get("path")
+        if not path:
+            raise ValueError("binlog sink requires .option('path', dir)")
+        self.path = path
+        self.schema = schema
+
+    def write(self, rows) -> _BinlogWriteCommit:  # executor-side
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        names = self.schema.fieldNames()
+        cols: list[list] = [[] for _ in names]
+        n = 0
+        for row in rows:
+            for i in range(len(names)):
+                cols[i].append(row[i])
+            n += 1
+        ctx = _current_batch_dir(self.path)
+        os.makedirs(ctx, exist_ok=True)
+        file = os.path.join(ctx, f"part-{_uuid.uuid4().hex}.parquet")
+        tbl = pa.Table.from_arrays(
+            [pa.array(c, type=target.field(i).type) for i, c in enumerate(cols)],
+            schema=target,
+        )
+        pq.write_table(tbl, file)
+        return _BinlogWriteCommit(file, n)
+
+    def commit(self, messages, batchId: int) -> None:  # driver-side
+        import shutil
+
+        seg = os.path.join(self.path, f"epoch_hint={batchId}")
+        wip = os.path.join(self.path, f"_wip-{batchId}")
+        if os.path.exists(os.path.join(seg, "_SUCCESS")):
+            shutil.rmtree(wip, ignore_errors=True)  # redelivery: no-op
+            return
+        os.makedirs(seg, exist_ok=True)
+        for m in messages:
+            if m and m.rows > 0:
+                os.rename(m.file, os.path.join(seg, os.path.basename(m.file)))
+        with open(os.path.join(seg, "_SUCCESS"), "w"):
+            pass
+        shutil.rmtree(wip, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, f"_wip-{batchId}"), ignore_errors=True)
+
+
+def _current_batch_dir(path: str) -> str:
+    """Wip dir for the batch this task belongs to. The task context exposes
+    the streaming batch id via the TaskContext local property Spark sets for
+    every micro-batch ('streaming.sql.batchId')."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    bid = ctx.getLocalProperty("streaming.sql.batchId") if ctx else None
+    if bid is None:
+        raise RuntimeError("binlog sink: no streaming batch id on task context")
+    return os.path.join(path, f"_wip-{bid}")
+
+
 class BinlogDataSource(DataSource):
     """``spark.readStream.format("binlog")`` — tail an epoch-segmented
     parquet event log with real offset semantics. The schema is inferred
@@ -276,6 +452,9 @@ class BinlogDataSource(DataSource):
 
     def streamReader(self, schema) -> _BinlogStreamReader:
         return _BinlogStreamReader(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool) -> _BinlogStreamWriter:
+        return _BinlogStreamWriter(self.options, schema)
 
 
 def register_sources(spark) -> None:

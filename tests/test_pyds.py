@@ -208,3 +208,172 @@ def test_binlog_sourced_stream_ingest_matches_batch_replay(spark, tmp_path):
     a, b = state(wh_b), state(wh_s)
     assert len(a) > 0
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# warc batch SINK (df.write.format("warc"))
+# ---------------------------------------------------------------------------
+
+
+def _canon_warc(df, uri="uri", payload="payload"):
+    return sorted((r[0], bytes(r[1])) for r in df.select(uri, payload).collect())
+
+
+def test_warc_sink_roundtrip_byte_exact(spark, tmp_path):
+    out = str(tmp_path / "out_warc")
+    df = spark.range(0, 37).select(
+        F.concat(F.lit("https://w.example/p/"), F.col("id").cast("string")).alias("uri"),
+        F.encode(F.concat(F.lit("payload é "), F.col("id").cast("string")), "utf-8").alias("payload"),
+    )
+    df.repartition(4).write.format("warc").mode("overwrite").save(out)
+    # commit hygiene: _SUCCESS stamped, no .tmp- orphans survive
+    names = os.listdir(out)
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.startswith(".tmp-")]
+    back = spark.read.format("warc").load(out)
+    assert _canon_warc(back) == _canon_warc(df)
+
+
+def test_warc_sink_overwrite_and_append(spark, tmp_path):
+    out = str(tmp_path / "out_warc2")
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u://"), F.col("id").cast("string")).alias("uri"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
+        )
+
+    mk(0, 10).write.format("warc").mode("overwrite").save(out)
+    mk(10, 15).write.format("warc").mode("append").save(out)
+    assert spark.read.format("warc").load(out).count() == 15
+    mk(100, 103).write.format("warc").mode("overwrite").save(out)
+    back = spark.read.format("warc").load(out)
+    assert _canon_warc(back) == _canon_warc(mk(100, 103))
+
+
+def test_warc_sink_custom_columns_and_validation(spark, tmp_path):
+    out = str(tmp_path / "out_warc3")
+    df = spark.range(0, 5).select(
+        F.concat(F.lit("c://"), F.col("id").cast("string")).alias("u"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("body"),
+    )
+    (
+        df.write.format("warc").option("uriCol", "u").option("payloadCol", "body")
+        .mode("overwrite").save(out)
+    )
+    back = spark.read.format("warc").load(out)
+    assert _canon_warc(back) == _canon_warc(df, uri="u", payload="body")
+    # missing payload column fails on the driver before any task runs
+    with pytest.raises(Exception, match="warc sink"):
+        df.select("u").write.format("warc").mode("append").save(str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# binlog streaming SINK (writeStream.format("binlog")) — the producer half
+# ---------------------------------------------------------------------------
+
+
+def test_binlog_sink_relay_roundtrip(spark, tmp_path):
+    """WAL relay: binlog source -> binlog sink reproduces the log value-exactly,
+    one _SUCCESS-gated segment per micro-batch, and the relayed log is itself
+    a valid binlog source."""
+    from data_exchange_routing_spark.sources.datagen import write_change_events
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_change_events(spark, src, 1200, 120, n_epochs=3)
+    q = (
+        spark.readStream.format("binlog").load(src)
+        .writeStream.format("binlog").option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    names = os.listdir(dst)
+    assert not [n for n in names if n.startswith("_wip-")]
+    segs = [n for n in names if n.startswith("epoch_hint=")]
+    # availableNow falls back to single-batch execution for Python streaming
+    # sources, so this drain is one micro-batch -> one segment; the restart
+    # test below exercises the multi-segment (multi-batchId) path.
+    assert len(segs) >= 1
+    assert all(os.path.exists(os.path.join(dst, s, "_SUCCESS")) for s in segs)
+    got = spark.read.parquet(dst).drop("epoch_hint")
+    want = spark.read.parquet(src).drop("epoch_hint")
+    assert _canon_events(got) == _canon_events(want)
+    # the relay output is itself tailable by the binlog source
+    q2 = (
+        spark.readStream.format("binlog").load(dst)
+        .writeStream.format("memory").queryName("relay_drain")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(180)
+    assert spark.sql("select * from relay_drain").count() == want.count()
+
+
+def test_binlog_sink_restart_exactly_once(spark, tmp_path):
+    """Restarted relay resumes at the checkpointed offset: new source segments
+    land exactly once, already-relayed ones are not re-emitted."""
+    log, dst = str(tmp_path / "log"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log)
+    _emit_segment(spark, log, 0, 40, 0)
+    _emit_segment(spark, log, 1, 40, 40)
+
+    def relay():
+        q = (
+            spark.readStream.format("binlog").load(log)
+            .writeStream.format("binlog").option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    relay()
+    assert spark.read.parquet(dst).count() == 80
+    _emit_segment(spark, log, 2, 40, 80)
+    relay()
+    out = spark.read.parquet(dst)
+    assert sorted(r["lsn"] for r in out.select("lsn").collect()) == list(range(120))
+
+
+def test_binlog_sink_redelivered_batch_is_noop(tmp_path):
+    """A batchId whose segment already carries _SUCCESS commits as a metadata
+    no-op: the published segment is untouched and the wip dir is swept."""
+    from data_exchange_routing_spark.sources.pyds import (
+        _BinlogStreamWriter,
+        _BinlogWriteCommit,
+    )
+
+    root = str(tmp_path / "log")
+    seg = os.path.join(root, "epoch_hint=7")
+    os.makedirs(seg)
+    with open(os.path.join(seg, "keep.parquet"), "wb") as f:
+        f.write(b"original")
+    open(os.path.join(seg, "_SUCCESS"), "w").close()
+    wip = os.path.join(root, "_wip-7")
+    os.makedirs(wip)
+    dup = os.path.join(wip, "dup.parquet")
+    with open(dup, "wb") as f:
+        f.write(b"duplicate attempt")
+    w = _BinlogStreamWriter({"path": root}, None)
+    w.commit([_BinlogWriteCommit(dup, 3)], 7)
+    assert sorted(os.listdir(seg)) == ["_SUCCESS", "keep.parquet"]
+    with open(os.path.join(seg, "keep.parquet"), "rb") as f:
+        assert f.read() == b"original"
+    assert not os.path.exists(wip)
+
+
+def test_binlog_sink_abort_sweeps_wip(tmp_path):
+    from data_exchange_routing_spark.sources.pyds import (
+        _BinlogStreamWriter,
+        _BinlogWriteCommit,
+    )
+
+    root = str(tmp_path / "log")
+    wip = os.path.join(root, "_wip-3")
+    os.makedirs(wip)
+    f1 = os.path.join(wip, "a.parquet")
+    open(f1, "wb").close()
+    w = _BinlogStreamWriter({"path": root}, None)
+    w.abort([_BinlogWriteCommit(f1, 1)], 3)
+    assert not os.path.exists(wip)
+    assert not os.path.exists(os.path.join(root, "epoch_hint=3"))
