@@ -493,3 +493,100 @@ def containment_pairs(
         .filter(F.greatest("cont_ab", "cont_ba") >= threshold)
         .select("doc_a", "doc_b", "cont_ab", "cont_ba")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the All-Pairs /
+    PPJoin family (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07; public
+    algorithms). Output contract is identical to ``jaccard_pairs`` (all pairs
+    a < b with shingle-set Jaccard >= threshold), but candidate generation is
+    sub-quadratic WITHOUT the approximation of MinHash-LSH: exact recall by
+    construction, so it sits between the quadratic exact join (small scale)
+    and the probabilistic LSH path (when a bounded false-negative rate is
+    acceptable).
+
+    Prefix-filtering principle: order the shingle universe by ascending
+    document frequency (rarest first, ties by value — any TOTAL order is
+    correct; rarity is the performance heuristic). For a set x, let
+    p = |x| - ceil(t*|x|) + 1. If J(A,B) >= t and prefix_p(A) ∩ B = ∅, then
+    |A∩B| <= |A| - p = ceil(t|A|) - 1 < t*|A| <= t*|A∪B| <= |A∩B| — a
+    contradiction; so probing the FULL set of the larger-id side with only
+    the p rarest shingles of the smaller-id side misses nothing.
+
+    Shape at 100 TB: the exploded prefix relation carries ~(1-t)|x|+1
+    shingles per doc — and by construction the RAREST ones, so the Zipf head
+    that makes the naive shingle self-join skew-bound is exactly what the
+    prefix excludes; per-shingle candidate fan-out is bounded by that
+    shingle's document frequency. The length filter (min >= t*max, valid
+    because |A∩B| <= min and >= t*max) prunes cross-size candidates before
+    the exchange. Verification joins the candidate-pair relation
+    (output-sized) to per-doc set arrays — two hash joins keyed by doc id —
+    and computes exact Jaccard with array_intersect; no re-explode of the
+    corpus. Epsilon guards on the two float*int comparisons keep rounding
+    from ever TIGHTENING a bound (looseness costs performance only; the
+    exact verify step restores precision).
+    """
+    from pyspark.sql import Window as W
+
+    assert 0.0 < threshold <= 1.0
+    sh = shingles(df, id_col, text_col, n)  # distinct: set semantics
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = W.partitionBy("doc_id")
+    sized = sh.join(dfreq, "shingle").withColumn(
+        "n_sh", F.count(F.lit(1)).over(w)
+    )
+    ranked = sized.withColumn(
+        "rk", F.row_number().over(w.orderBy("df_", "shingle"))
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    pref = ranked.filter(F.col("rk") <= prefix_len).select(
+        "doc_id", "shingle", "n_sh"
+    )
+    full = sized.select("doc_id", "shingle", "n_sh")
+    cand = (
+        pref.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                - F.lit(1e-9)
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.size("set_a") + F.size("set_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -728,7 +728,7 @@ def _shingle_sql(n: int = DT.SHINGLE_N) -> str:
     """
 
 
-def _jaccard_sql() -> str:
+def _jaccard_sql(threshold: float = 0.05) -> str:
     return f"""
     WITH sh AS ({_shingle_sql()}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -742,11 +742,27 @@ def _jaccard_sql() -> str:
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
     """
 
 
 ORACLE["doc_jaccard_pairs"] = _jaccard_sql()
+
+
+@q(
+    "doc_prefix_filter_pairs",
+    None,  # SQL twin: the same brute-force Jaccard relation at t=0.2 —
+    # the oracle is deliberately the QUADRATIC definition, so a green row
+    # proves the sub-quadratic prefix-filtered plan is EXACT, not approximate
+)
+def doc_prefix_filter_pairs(spark, sf_dir):
+    """Exact Jaccard >= 0.2 pairs via prefix filtering (All-Pairs/PPJoin
+    candidate generation + exact verify) — see functions/dedup_text.py:
+    prefix_filter_pairs for the scale argument."""
+    return DT.prefix_filter_pairs(ld(spark, sf_dir, "documents"), threshold=0.2)
+
+
+ORACLE["doc_prefix_filter_pairs"] = _jaccard_sql(0.2)
 
 
 @q(

@@ -12,6 +12,7 @@ from data_exchange_routing_spark.functions.dedup_text import (
     exact_dedup_survivors,
     jaccard_pairs,
     minhash_lsh_candidates,
+    prefix_filter_pairs,
     simhash,
 )
 from data_exchange_routing_spark.functions.extract import (
@@ -106,6 +107,41 @@ def test_minhash_lsh_candidates(spark, docs):
     cands = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()}
     assert (1, 2) in cands  # identical docs always collide
     assert not any(4 in p for p in cands)
+
+
+def test_prefix_filter_pairs_equals_quadratic(spark, docs):
+    """Prefix-filtered join is EXACT: identical output to the brute-force
+    quadratic join at every threshold, including t=1.0 (exact dups only)."""
+    for t in (0.1, 0.4, 0.8, 1.0):
+        want = sorted(tuple(r) for r in jaccard_pairs(docs, threshold=t).collect())
+        got = sorted(tuple(r) for r in prefix_filter_pairs(docs, threshold=t).collect())
+        assert got == want, f"threshold {t}"
+
+
+def test_prefix_filter_pairs_random_corpus_exact(spark):
+    """Seeded random corpus with planted exact dups, single-token mutations,
+    and strict SUBSETS (the containment edge that stresses the length filter
+    min >= t*max and the float-epsilon guards)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    rows, did = [], 0
+    for _ in range(25):
+        base = rng.sample(vocab, rng.randint(3, 20))
+        rows.append((did, " ".join(base))); did += 1
+        mut = list(base)
+        if len(mut) > 4:
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((did, " ".join(mut))); did += 1
+        k = max(3, int(len(base) * rng.uniform(0.3, 0.9)))
+        rows.append((did, " ".join(base[:k]))); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.15, 0.3, 0.5, 0.75):
+        want = sorted(tuple(r) for r in jaccard_pairs(docs, threshold=t).collect())
+        got = sorted(tuple(r) for r in prefix_filter_pairs(docs, threshold=t).collect())
+        assert len(want) > 0, f"degenerate test at {t}"
+        assert got == want, f"threshold {t}"
 
 
 def test_simhash_near_dup_closer_than_far(spark, docs):
