@@ -531,18 +531,25 @@ def prefix_filter_pairs(
     corpus. Epsilon guards on the two float*int comparisons keep rounding
     from ever TIGHTENING a bound (looseness costs performance only; the
     exact verify step restores precision).
+
+    The shingle relation and the ranked (df-joined, windowed) relation are
+    each referenced several times downstream; both are materialized ONCE via
+    localCheckpoint (the graph.py pattern), so the corpus is scanned and
+    shingled exactly once — the naive plan re-exploded the full text six
+    times (measured via executedPlan scan count).
     """
     from pyspark.sql import Window as W
 
     assert 0.0 < threshold <= 1.0
-    sh = shingles(df, id_col, text_col, n)  # distinct: set semantics
+    # distinct: set semantics; checkpointed — reused by dfreq/ranked/sets
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     w = W.partitionBy("doc_id")
-    sized = sh.join(dfreq, "shingle").withColumn(
-        "n_sh", F.count(F.lit(1)).over(w)
-    )
-    ranked = sized.withColumn(
-        "rk", F.row_number().over(w.orderBy("df_", "shingle"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("n_sh", F.count(F.lit(1)).over(w))
+        .withColumn("rk", F.row_number().over(w.orderBy("df_", "shingle")))
+        .localCheckpoint(eager=False)  # reused by both join sides
     )
     prefix_len = (
         F.col("n_sh")
@@ -552,7 +559,7 @@ def prefix_filter_pairs(
     pref = ranked.filter(F.col("rk") <= prefix_len).select(
         "doc_id", "shingle", "n_sh"
     )
-    full = sized.select("doc_id", "shingle", "n_sh")
+    full = ranked.select("doc_id", "shingle", "n_sh")
     cand = (
         pref.alias("a")
         .join(
