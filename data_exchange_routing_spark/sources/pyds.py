@@ -64,8 +64,10 @@ WARC_DDL = (
 
 
 class _WarcFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, start: int = 0, length: int = -1):
         self.path = path
+        self.start = start
+        self.length = length  # -1 = to end of file
 
 
 class _WarcReader(DataSourceReader):
@@ -75,8 +77,12 @@ class _WarcReader(DataSourceReader):
             raise ValueError("warc source requires .load(path)")
         self.path = path
         self.suffix = options.get("suffix", ".warc")
+        self.cdx_path = options.get("cdxpath", options.get("cdxPath"))
+        self.max_split = int(
+            options.get("maxbytespersplit", options.get("maxBytesPerSplit", 128 << 20))
+        )
 
-    def partitions(self):  # driver-side: one partition per file
+    def _files(self) -> list[str]:
         files = []
         if os.path.isfile(self.path):
             files = [self.path]
@@ -89,16 +95,75 @@ class _WarcReader(DataSourceReader):
                 )
         if not files:
             raise FileNotFoundError(f"no *{self.suffix} files under {self.path}")
-        return [_WarcFilePartition(p) for p in sorted(files)]
+        return sorted(files)
+
+    def partitions(self):
+        """Driver-side planning. Default: one partition per file (the native
+        crawl layout). With ``cdxPath``: ranged partitions of at most
+        ``maxBytesPerSplit`` bytes, cut ON RECORD BOUNDARIES from the CDX
+        byte-offset index (sources/warc.py:build_warc_cdx) — intra-file
+        parallelism for ~1 GB crawl files without re-parsing anything on the
+        driver. The CDX is validated against the directory listing and each
+        file's on-disk size: a missing/extra file or non-contiguous framing
+        (stale index after rewrite/append) fails loudly rather than silently
+        dropping records."""
+        files = self._files()
+        if not self.cdx_path:
+            return [_WarcFilePartition(p) for p in files]
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            self.cdx_path, columns=["warc_path", "rec_offset", "rec_bytes"]
+        )
+        spans: dict[str, list[tuple[int, int]]] = {}
+        for p, off, nb in zip(
+            tbl.column("warc_path").to_pylist(),
+            tbl.column("rec_offset").to_pylist(),
+            tbl.column("rec_bytes").to_pylist(),
+        ):
+            spans.setdefault(p, []).append((off, nb))
+        if set(spans) != set(files):
+            raise ValueError(
+                f"warc cdx/directory mismatch: cdx-only={sorted(set(spans) - set(files))} "
+                f"dir-only={sorted(set(files) - set(spans))}"
+            )
+        parts = []
+        for p in files:
+            recs = sorted(spans[p])
+            pos = 0
+            for off, nb in recs:
+                if off != pos:
+                    raise ValueError(
+                        f"stale warc cdx for {p}: record at {off}, expected {pos}"
+                    )
+                pos = off + nb
+            if pos != os.path.getsize(p):
+                raise ValueError(
+                    f"stale warc cdx for {p}: indexed {pos} bytes, file has "
+                    f"{os.path.getsize(p)}"
+                )
+            start, length = recs[0][0], 0
+            for off, nb in recs:
+                if length and length + nb > self.max_split:
+                    parts.append(_WarcFilePartition(p, start, length))
+                    start, length = off, 0
+                length += nb
+            parts.append(_WarcFilePartition(p, start, length))
+        return parts
 
     def read(self, partition: _WarcFilePartition) -> Iterator:
-        # executor-side: parse one file, emit arrow batches (no per-row rows)
+        # executor-side: parse one file (or one record-aligned byte range),
+        # emit arrow batches (no per-row rows)
         import pyarrow as pa
 
         from data_exchange_routing_spark.sources.warc import parse_warc
 
         with open(partition.path, "rb") as f:
-            buf = f.read()
+            if partition.length >= 0:
+                f.seek(partition.start)
+                buf = f.read(partition.length)
+            else:
+                buf = f.read()
         cols: dict[str, list] = {
             "uri": [], "rec_type": [], "warc_date": [], "record_id": [],
             "content_length": [], "payload": [],
@@ -200,8 +265,9 @@ class _WarcWriter(DataSourceWriter):
 
 class WarcDataSource(DataSource):
     """``spark.read.format("warc")`` / ``df.write.format("warc")`` —
-    ISO 28500 WARC files: one read partition per file, one written file per
-    task, byte-exact Content-Length framing (sources/warc.py)."""
+    ISO 28500 WARC files: one read partition per file (or record-aligned
+    sub-file ranges via ``cdxPath`` + ``maxBytesPerSplit``), one written
+    file per task, byte-exact Content-Length framing (sources/warc.py)."""
 
     @classmethod
     def name(cls) -> str:

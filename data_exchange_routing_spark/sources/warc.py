@@ -61,12 +61,13 @@ def build_warc_record(
     return head + payload + CRLF + CRLF
 
 
-def parse_warc(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Parse a WARC file: yields (headers, payload) per record. Real framing:
-    headers end at the first blank line, the payload is exactly
-    Content-Length bytes, then the mandatory CRLF CRLF trailer. Raises
-    ValueError on malformed input (bad magic, missing length, short file) —
-    a corrupt crawl file should dead-letter loudly, not truncate silently."""
+def _iter_warc(buf: bytes) -> Iterator[tuple[int, int, dict[str, str], bytes]]:
+    """Walk a WARC buffer record by record, yielding
+    (record_offset, record_nbytes, headers, payload). Real framing: headers
+    end at the first blank line, the payload is exactly Content-Length bytes,
+    then the mandatory CRLF CRLF trailer. Raises ValueError on malformed
+    input (bad magic, missing length, short file) — a corrupt crawl file
+    should dead-letter loudly, not truncate silently."""
     pos = 0
     end = len(buf)
     while pos < end:
@@ -87,8 +88,23 @@ def parse_warc(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         body_end = body_start + n
         if buf[body_end : body_end + 4] != CRLF + CRLF:
             raise ValueError(f"WARC: record at byte {pos} missing CRLFCRLF trailer")
-        yield headers, buf[body_start:body_end]
+        yield pos, body_end + 4 - pos, headers, buf[body_start:body_end]
         pos = body_end + 4
+
+
+def parse_warc(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Parse a WARC file: yields (headers, payload) per record (framing and
+    error contract: see _iter_warc)."""
+    for _off, _nb, headers, payload in _iter_warc(buf):
+        yield headers, payload
+
+
+def iter_warc_spans(buf: bytes) -> Iterator[tuple[int, int, str]]:
+    """Yield (record_offset, record_nbytes, uri) per record — the byte-exact
+    record framing a CDX index stores so readers can split WITHIN a WARC file
+    on record boundaries."""
+    for off, nb, headers, _payload in _iter_warc(buf):
+        yield off, nb, headers.get("WARC-Target-URI")
 
 
 WARC_FILE_SCHEMA = T.StructType(
@@ -164,3 +180,57 @@ def scan_warc(spark, path: str) -> DataFrame:
         F.col("content").alias("warc_file")
     )
     return parse_warc_records(files)
+
+
+WARC_CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_path", T.StringType(), False),
+        T.StructField("rec_offset", T.LongType(), False),
+        T.StructField("rec_bytes", T.LongType(), False),
+        T.StructField("uri", T.StringType(), True),
+    ]
+)
+
+
+def build_warc_cdx(spark, warc_dir: str, out_dir: str, suffix: str = ".warc") -> None:
+    """Distributed byte-offset CDX sidecar: one row per WARC record with its
+    exact (offset, nbytes) framing. This is what makes ~1 GB crawl files
+    splittable — the `warc` Data Source's ``cdxPath`` option plans ranged
+    InputPartitions from it (sources/pyds.py), so intra-file parallelism no
+    longer depends on file count. Built executor-side: one task parses one
+    file's framing (header walk only — payload bytes are never copied out),
+    emitting Arrow batches; no shuffle, no driver collect.
+
+    Reference analog: a CDX capture index is the standard web-archive
+    companion file (publicly documented format family); here it carries the
+    minimal split-planning columns.
+    """
+
+    def op(batches):
+        import pandas as pd
+        from urllib.parse import urlparse
+
+        for pdf in batches:
+            rows: dict[str, list] = {"warc_path": [], "rec_offset": [], "rec_bytes": [], "uri": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                parsed = urlparse(path)
+                local = parsed.path if parsed.scheme else path
+                for off, nb, uri in iter_warc_spans(bytes(content)):
+                    rows["warc_path"].append(local)
+                    rows["rec_offset"].append(off)
+                    rows["rec_bytes"].append(nb)
+                    rows["uri"].append(uri)
+            yield pd.DataFrame(rows)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{suffix}")
+        .option("recursiveFileLookup", "true")
+        .load(warc_dir)
+    )
+    (
+        files.select("path", "content")
+        .mapInPandas(op, WARC_CDX_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

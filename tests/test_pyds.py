@@ -377,3 +377,63 @@ def test_binlog_sink_abort_sweeps_wip(tmp_path):
     w.abort([_BinlogWriteCommit(f1, 1)], 3)
     assert not os.path.exists(wip)
     assert not os.path.exists(os.path.join(root, "epoch_hint=3"))
+
+
+# ---------------------------------------------------------------------------
+# CDX-driven sub-file splits (warc source option cdxPath)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_cdx_ranged_scan_matches_full_scan(spark, tmp_path):
+    """With a CDX byte-offset index, the warc source plans record-aligned
+    ranged partitions (intra-file parallelism for ~1 GB crawl files) and the
+    result is byte-identical to the per-file scan."""
+    from data_exchange_routing_spark.sources.warc import build_warc_cdx
+
+    root = str(tmp_path / "warcs")
+    _write_warcs(root, n_files=2, recs_per_file=40)
+    cdx = str(tmp_path / "cdx")
+    build_warc_cdx(spark, root, cdx)
+    plain = spark.read.format("warc").load(root)
+    ranged = (
+        spark.read.format("warc")
+        .option("cdxPath", cdx).option("maxBytesPerSplit", 300)
+        .load(root)
+    )
+    assert plain.rdd.getNumPartitions() == 2
+    assert ranged.rdd.getNumPartitions() > 8  # many splits per file
+
+    def canon(df):
+        return sorted(
+            (r["uri"], r["warc_path"], bytes(r["payload"]))
+            for r in df.select("uri", "warc_path", "payload").collect()
+        )
+
+    assert canon(ranged) == canon(plain)
+
+
+def test_warc_cdx_stale_index_fails_loudly(spark, tmp_path):
+    from data_exchange_routing_spark.sources.warc import build_warc_cdx, build_warc_record
+
+    root = str(tmp_path / "warcs")
+    _write_warcs(root, n_files=1, recs_per_file=5)
+    cdx = str(tmp_path / "cdx")
+    build_warc_cdx(spark, root, cdx)
+    # a record appended AFTER indexing: reading via the stale CDX would
+    # silently drop it — must raise instead
+    with open(os.path.join(root, "crawl-0.warc"), "ab") as f:
+        f.write(build_warc_record("https://late.example/x", b"appended"))
+    with pytest.raises(Exception, match="stale warc cdx"):
+        spark.read.format("warc").option("cdxPath", cdx).load(root).count()
+
+
+def test_warc_cdx_directory_mismatch_fails_loudly(spark, tmp_path):
+    from data_exchange_routing_spark.sources.warc import build_warc_cdx
+
+    root = str(tmp_path / "warcs")
+    _write_warcs(root, n_files=2, recs_per_file=3)
+    cdx = str(tmp_path / "cdx")
+    build_warc_cdx(spark, root, cdx)
+    _write_warcs(str(tmp_path / "warcs"), n_files=3, recs_per_file=3)  # new file arrives
+    with pytest.raises(Exception, match="cdx/directory mismatch"):
+        spark.read.format("warc").option("cdxPath", cdx).load(root).count()
