@@ -91,7 +91,8 @@ class _WarcReader(DataSourceReader):
                 files.extend(
                     os.path.join(root, n)
                     for n in names
-                    if n.endswith(self.suffix) and not n.startswith(("_", "."))
+                    if n.endswith((self.suffix, self.suffix + ".gz"))
+                    and not n.startswith(("_", "."))
                 )
         if not files:
             raise FileNotFoundError(f"no *{self.suffix} files under {self.path}")
@@ -156,7 +157,7 @@ class _WarcReader(DataSourceReader):
         # emit arrow batches (no per-row rows)
         import pyarrow as pa
 
-        from data_exchange_routing_spark.sources.warc import parse_warc
+        from data_exchange_routing_spark.sources.warc import maybe_gunzip, parse_warc
 
         with open(partition.path, "rb") as f:
             if partition.length >= 0:
@@ -164,6 +165,9 @@ class _WarcReader(DataSourceReader):
                 buf = f.read(partition.length)
             else:
                 buf = f.read()
+        # .warc.gz: member-per-record gzip — a CDX range is whole members, so
+        # a ranged slice decompresses standalone (magic-sniffed, not by name)
+        buf = maybe_gunzip(buf)
         cols: dict[str, list] = {
             "uri": [], "rec_type": [], "warc_date": [], "record_id": [],
             "content_length": [], "payload": [],
@@ -210,20 +214,31 @@ class _WarcWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.uri_col = options.get("uricol", options.get("uriCol", "uri"))
         self.payload_col = options.get("payloadcol", options.get("payloadCol", "payload"))
+        codec = (options.get("compression") or "none").lower()
+        if codec not in ("none", "gzip"):
+            raise ValueError(f"warc sink compression must be none|gzip, got {codec!r}")
+        # gzip = ONE member per record (the Common Crawl wire format): the
+        # file stays record-splittable at compressed offsets via the CDX
+        self.gz = codec == "gzip"
+        self.ext = ".warc.gz" if self.gz else ".warc"
 
     def write(self, rows) -> _WarcCommit:  # executor-side, one call per task
         import uuid as _uuid
 
-        from data_exchange_routing_spark.sources.warc import build_warc_record
+        from data_exchange_routing_spark.sources.warc import (
+            build_warc_record,
+            build_warc_record_gz,
+        )
 
+        rec = build_warc_record_gz if self.gz else build_warc_record
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.warc")
+        tmp = os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}{self.ext}")
         n = 0
         with open(tmp, "wb") as f:
             for row in rows:
                 payload = row[self.payload_col]
                 f.write(
-                    build_warc_record(
+                    rec(
                         row[self.uri_col],
                         bytes(payload) if payload is not None else b"",
                     )
@@ -234,14 +249,16 @@ class _WarcWriter(DataSourceWriter):
     def commit(self, messages) -> None:  # driver-side
         if self.overwrite:
             for name in os.listdir(self.path):
-                if name.endswith(".warc") and not name.startswith("."):
+                if name.endswith((".warc", ".warc.gz")) and not name.startswith("."):
                     os.unlink(os.path.join(self.path, name))
         # append mode numbers new files after the existing max part index so a
         # second write never clobbers a prior commit's files
         existing = [
             int(n[5:10])
             for n in os.listdir(self.path)
-            if n.startswith("part-") and n.endswith(".warc") and n[5:10].isdigit()
+            if n.startswith("part-")
+            and n.endswith((".warc", ".warc.gz"))
+            and n[5:10].isdigit()
         ]
         base = max(existing) + 1 if existing else 0
         i = 0
@@ -249,7 +266,7 @@ class _WarcWriter(DataSourceWriter):
             if m.n_records == 0:
                 os.unlink(m.tmp_path)
                 continue
-            os.rename(m.tmp_path, os.path.join(self.path, f"part-{base + i:05d}.warc"))
+            os.rename(m.tmp_path, os.path.join(self.path, f"part-{base + i:05d}{self.ext}"))
             i += 1
         for name in os.listdir(self.path):  # sweep zombie-attempt orphans
             if name.startswith(".tmp-"):

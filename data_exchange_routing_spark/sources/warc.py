@@ -215,7 +215,14 @@ def build_warc_cdx(spark, warc_dir: str, out_dir: str, suffix: str = ".warc") ->
             for path, content in zip(pdf["path"], pdf["content"]):
                 parsed = urlparse(path)
                 local = parsed.path if parsed.scheme else path
-                for off, nb, uri in iter_warc_spans(bytes(content)):
+                data = bytes(content)
+                # magic-sniffed: .warc.gz spans are COMPRESSED member offsets
+                it = (
+                    iter_warc_gz_spans(data)
+                    if data[:2] == GZIP_MAGIC
+                    else iter_warc_spans(data)
+                )
+                for off, nb, uri in it:
                     rows["warc_path"].append(local)
                     rows["rec_offset"].append(off)
                     rows["rec_bytes"].append(nb)
@@ -224,7 +231,7 @@ def build_warc_cdx(spark, warc_dir: str, out_dir: str, suffix: str = ".warc") ->
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", f"*{suffix}")
+        .option("pathGlobFilter", f"*{suffix}*")  # matches .warc and .warc.gz
         .option("recursiveFileLookup", "true")
         .load(warc_dir)
     )
@@ -234,3 +241,61 @@ def build_warc_cdx(spark, warc_dir: str, out_dir: str, suffix: str = ".warc") ->
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+# --------------------------------------------------------------------------
+# .warc.gz: the Common Crawl wire format — ONE gzip member PER RECORD, so a
+# compressed crawl file stays record-splittable at COMPRESSED byte offsets
+# (this is precisely why CC ships member-per-record gzip + CDX side files).
+# Pure stdlib (zlib/gzip), deterministic members (mtime=0).
+# --------------------------------------------------------------------------
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def build_warc_record_gz(
+    uri: str,
+    payload: bytes,
+    rec_type: str = "response",
+    date: str = _FIXED_DATE,
+    content_type: str = "text/html",
+) -> bytes:
+    """One WARC record as a single deterministic gzip member."""
+    import gzip as _gzip
+
+    return _gzip.compress(
+        build_warc_record(uri, payload, rec_type, date, content_type), mtime=0
+    )
+
+
+def maybe_gunzip(buf: bytes) -> bytes:
+    """Transparently decompress a (possibly multi-member) gzip buffer; pass
+    plain WARC bytes through untouched. Detection is by magic bytes, not file
+    name, so renamed files can't silently parse as garbage."""
+    if buf[:2] == GZIP_MAGIC:
+        import gzip as _gzip
+
+        return _gzip.decompress(buf)  # handles concatenated members
+    return buf
+
+
+def iter_warc_gz_spans(buf: bytes) -> Iterator[tuple[int, int, str]]:
+    """Yield (member_offset, member_nbytes, uri) per gzip member of a
+    .warc.gz buffer — COMPRESSED offsets, the coordinates a real CDX stores.
+    Each member must hold >= 1 well-formed record (its first URI is the
+    span's); a member-per-record writer yields exactly one."""
+    import zlib as _zlib
+
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        if buf[pos : pos + 2] != GZIP_MAGIC:
+            raise ValueError(f"warc.gz: not a gzip member at byte {pos}")
+        d = _zlib.decompressobj(wbits=31)
+        raw = d.decompress(buf[pos:]) + d.flush()
+        consumed = (end - pos) - len(d.unused_data)
+        recs = list(_iter_warc(raw))
+        if not recs:
+            raise ValueError(f"warc.gz: empty member at byte {pos}")
+        yield pos, consumed, recs[0][2].get("WARC-Target-URI")
+        pos += consumed

@@ -437,3 +437,32 @@ def test_warc_cdx_directory_mismatch_fails_loudly(spark, tmp_path):
     _write_warcs(str(tmp_path / "warcs"), n_files=3, recs_per_file=3)  # new file arrives
     with pytest.raises(Exception, match="cdx/directory mismatch"):
         spark.read.format("warc").option("cdxPath", cdx).load(root).count()
+
+
+def test_warc_gz_sink_roundtrip_and_cdx_splits(spark, tmp_path):
+    """.warc.gz (Common Crawl wire format, one gzip member per record):
+    write with compression=gzip, read back transparently, and split WITHIN
+    the compressed file at CDX member offsets — byte-identical payloads."""
+    from data_exchange_routing_spark.sources.warc import build_warc_cdx
+
+    out = str(tmp_path / "gz")
+    df = spark.range(0, 60).select(
+        F.concat(F.lit("gz://"), F.col("id").cast("string")).alias("uri"),
+        F.encode(F.concat(F.lit("payload "), F.col("id").cast("string")), "utf-8").alias("payload"),
+    )
+    (
+        df.repartition(2).write.format("warc")
+        .option("compression", "gzip").mode("overwrite").save(out)
+    )
+    assert [n for n in os.listdir(out) if n.endswith(".warc.gz")]
+    back = spark.read.format("warc").load(out)
+    assert _canon_warc(back) == _canon_warc(df)
+    cdx = str(tmp_path / "cdx")
+    build_warc_cdx(spark, out, cdx)
+    ranged = (
+        spark.read.format("warc")
+        .option("cdxPath", cdx).option("maxBytesPerSplit", 400)
+        .load(out)
+    )
+    assert ranged.rdd.getNumPartitions() > 4  # sub-file splits of 2 gz files
+    assert _canon_warc(ranged) == _canon_warc(df)
