@@ -6203,6 +6203,54 @@ def web_recrawl_candidates(spark, sf_dir):
 
 
 @q(
+    "warc_cdx_ranged_scan",
+    # Same end-to-end gate as warc_pyds_scan, but the read path is the CDX
+    # scale form: documents -> real .warc.gz files (ONE gzip member per
+    # record, the Common Crawl wire format) -> build_warc_cdx (compressed
+    # member offsets) -> ranged sub-file InputPartitions (maxBytesPerSplit)
+    # -> parse. The oracle recomputes uri/byte-length/md5 from the table, so
+    # a green row proves record-aligned COMPRESSED-offset splitting loses
+    # and duplicates nothing.
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'https://example.org/doc/' || doc_id AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def warc_cdx_ranged_scan(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.sources.pyds import register_sources
+    from data_exchange_routing_spark.sources.warc import build_warc_cdx
+
+    out = tempfile.mkdtemp(prefix="warc_cdx_q_")
+    cdx = tempfile.mkdtemp(prefix="warc_cdx_idx_")
+    register_sources(spark)
+    d = ld(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias("uri"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    (
+        d.repartition(4).write.format("warc")
+        .option("compression", "gzip").mode("overwrite").save(out)
+    )
+    build_warc_cdx(spark, out, cdx)
+    recs = (
+        spark.read.format("warc")
+        .option("cdxPath", cdx).option("maxBytesPerSplit", 64 << 10)
+        .load(out)
+    )
+    return recs.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "uri",
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+@q(
     "warc_pyds_scan",
     # The Spark-4 Python Data Source edge (sources/pyds.py): documents are
     # encoded into REAL .warc files on disk (one per task partition, the

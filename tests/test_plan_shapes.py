@@ -291,7 +291,7 @@ _EXECUTES_ON_BUILD = {
     "emb_ivf_ann", "emb_ivf_ann_exhaustive", "doc_bpe_merges",
     "doc_bpe_encode", "doc_bpe_encode_arrow", "doc_incremental_lsh_pairs",
     "web_label_propagation", "doc_dedup_cluster_survivors",
-    "doc_curation_pipeline", "doc_training_shards",
+    "doc_curation_pipeline", "doc_training_shards", "warc_cdx_ranged_scan",
 }
 
 # Quadratic shapes that are the DOCUMENTED small-scale exact twin of a
