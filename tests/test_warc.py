@@ -85,3 +85,58 @@ def test_scan_warc_from_disk(spark, tmpdir_path):
             f.write(chunk)
     out = scan_warc(spark, tmpdir_path).toPandas()
     assert sorted((r.uri, bytes(r.payload)) for r in out.itertuples()) == sorted(raw)
+
+
+def test_warc_gz_member_spans_roundtrip_fuzz():
+    """Property test (no Spark): for arbitrary binary payloads — including
+    ones containing CRLF CRLF and gzip magic — member-per-record .warc.gz
+    framing yields spans that (a) tile the file exactly, (b) each decompress
+    STANDALONE to the one original record. This is the invariant ranged CDX
+    reads depend on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_exchange_routing_spark.sources.warc import (
+        build_warc_record_gz,
+        iter_warc_gz_spans,
+        maybe_gunzip,
+        parse_warc,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        payloads=st.lists(
+            st.binary(max_size=300) | st.just(b"\r\n\r\nWARC/1.0\r\n" + b"\x1f\x8b"),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def prop(payloads):
+        members = [
+            build_warc_record_gz(f"u://{i}", p) for i, p in enumerate(payloads)
+        ]
+        blob = b"".join(members)
+        spans = list(iter_warc_gz_spans(blob))
+        assert len(spans) == len(payloads)
+        pos = 0
+        for (off, nb, uri), member, (i, payload) in zip(
+            spans, members, enumerate(payloads)
+        ):
+            assert off == pos and nb == len(member)
+            assert uri == f"u://{i}"
+            recs = list(parse_warc(maybe_gunzip(blob[off : off + nb])))
+            assert len(recs) == 1
+            assert recs[0][1] == payload
+            pos += nb
+        assert pos == len(blob)
+
+    prop()
+
+
+def test_warc_gz_span_walk_rejects_garbage():
+    import pytest as _pytest
+
+    from data_exchange_routing_spark.sources.warc import iter_warc_gz_spans
+
+    with _pytest.raises(ValueError, match="not a gzip member"):
+        list(iter_warc_gz_spans(b"plain not gz"))
