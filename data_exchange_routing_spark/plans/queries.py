@@ -6310,3 +6310,68 @@ def warc_pyds_scan(spark, sf_dir):
         "content_length",
         F.md5(F.col("payload")).alias("payload_md5"),
     )
+
+
+# =====================================================================
+# Debezium wire-format interop (operators/debezium.py)
+# =====================================================================
+
+@q(
+    "events_debezium_roundtrip",
+    # the oracle aggregates the SOURCE rows directly: the Spark path must
+    # recover them exactly through encode -> envelope JSON -> parse, with
+    # deletes read from `before` and updates from `after`
+    """
+    SELECT CASE WHEN event_type = 'purchase' THEN 'D'
+                WHEN event_type = 'view' THEN 'U' ELSE 'I' END AS op,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS lsn_sum,
+           round(sum(value), 2) AS total,
+           CAST(sum(octet_length(encode(props))) AS BIGINT) AS props_bytes,
+           max(ts) AS max_ts
+    FROM events GROUP BY 1
+    """,
+)
+def events_debezium_roundtrip(spark, sf_dir):
+    """CDC wire-format interop gate: events -> Debezium envelope JSON ->
+    parse_debezium -> aggregate. Proves op mapping (c/u/d), before-image
+    selection for deletes, base64 binary and int64-micros timestamp wire
+    decoding — any of those wrong and the recovered aggregates diverge from
+    the oracle's direct scan. JVM-only expressions end to end (to_json /
+    from_json), no Python in the hot path."""
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.operators.debezium import (
+        parse_debezium,
+        to_debezium_json,
+    )
+
+    image = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),  # events.ts is NTZ parquet
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props_bin", T.BinaryType()),
+        ]
+    )
+    e = ld(spark, sf_dir, "events")
+    changes = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .when(F.col("event_type") == "view", F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        "user_id",
+        "ts",
+        "value",
+        F.encode(F.col("props"), "UTF-8").alias("props_bin"),
+    )
+    wire = to_debezium_json(changes, image)
+    parsed = parse_debezium(wire, image)
+    return parsed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lsn").alias("lsn_sum"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.sum(F.length("props_bin")).alias("props_bytes"),
+        F.max("ts").alias("max_ts"),
+    )
