@@ -57,3 +57,20 @@ def parse_kafka_records(raw: DataFrame, schema: T.StructType) -> DataFrame:
         F.col("partition").alias("_kafka_partition"),
         F.col("offset").alias("_kafka_offset"),
     ).select("_e.*", "_kafka_partition", "_kafka_offset")
+
+
+def parse_kafka_debezium(raw: DataFrame, image: T.StructType) -> DataFrame:
+    """Debezium-connector topics: the same Kafka record shape, but the value
+    is a Debezium change-event envelope instead of a flat JSON row
+    (operators/debezium.py pins the wire semantics: op c/r/u/d mapping,
+    before-image for deletes, base64 binary, int64-micros timestamps).
+    Output: (lsn, op, *image columns, _kafka_partition, _kafka_offset) —
+    drop-in for the same foreachBatch(apply_epoch) pipeline."""
+    from data_exchange_routing_spark.operators.debezium import parse_debezium
+
+    base = raw.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("partition").alias("_kafka_partition"),
+        F.col("offset").alias("_kafka_offset"),
+    )
+    return parse_debezium(base, image)

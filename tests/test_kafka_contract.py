@@ -83,3 +83,40 @@ def test_kafka_path_pipeline_matches_file_source(spark, tmpdir_path):
     assert out["kafka"] == out["file"] and out["file"]
     assert out["kafka_dead"] == out["file_dead"]
     events.unpersist()
+
+
+def test_kafka_debezium_values_roundtrip(spark):
+    """A Debezium-connector topic (value = change-event envelope instead of
+    a flat JSON row) parses to the same events through parse_kafka_debezium,
+    with partition/offset provenance riding along."""
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.operators.debezium import to_debezium_json
+    from data_exchange_routing_spark.sources.datagen import generate_change_events
+    from data_exchange_routing_spark.streaming.kafka import parse_kafka_debezium
+
+    image = T.StructType([f for f in CHANGE_EVENTS.fields if f.name not in ("lsn", "op")])
+    events = generate_change_events(spark, 400, 60, n_epochs=2)
+    records = to_debezium_json(events, image).select(
+        F.col("value").cast("binary").alias("value"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    parsed = parse_kafka_debezium(records, image)
+    assert parsed.columns[:2] == ["_kafka_partition", "_kafka_offset"]
+
+    def key(r):
+        return (
+            r["lsn"],
+            r["op"],
+            r["url"],
+            r["warc_ts"],
+            bytes(r["html"]) if r["html"] is not None else None,
+            r["lang"],
+            r["content_type"],
+            tuple(sorted((r["meta"] or {}).items())),
+        )
+
+    orig = sorted(key(r) for r in events.collect())
+    got = sorted(key(r) for r in parsed.collect())
+    assert got == orig
