@@ -95,20 +95,36 @@ def parse_debezium(
     metadata (partition/offset) can ride along for provenance.
     """
     env = debezium_wire_schema(image)
-    p = F.from_json(F.col(json_col), env).getField("payload")
-    op_raw = p.getField("op")
-    img = F.when(op_raw == "d", p.getField("before")).otherwise(p.getField("after"))
+    passthrough = [c for c in df.columns if c != json_col]
+    # materialize the parsed payload ONCE: building every output column off
+    # an independent from_json expression tree leaves N JsonToStructs in one
+    # Project (JsonToStructs is CodegenFallback, so codegen subexpression
+    # elimination never dedups them — measured 13 parses/row for a 6-field
+    # image); a named intermediate column keeps it at exactly 1 (plan-gated
+    # in tests/test_debezium.py)
+    step = df.select(
+        *passthrough, F.from_json(F.col(json_col), env).getField("payload").alias("_p")
+    )
+    op_raw = F.col("_p").getField("op")
     op = (
         F.when(op_raw.isin("c", "r"), F.lit("I"))
         .when(op_raw == "u", F.lit("U"))
         .when(op_raw == "d", F.lit("D"))
         .otherwise(F.lit(None).cast("string"))
     )
-    passthrough = [c for c in df.columns if c != json_col]
-    return df.select(
+    step = step.select(
         *passthrough,
-        p.getField("source").getField("lsn").alias("lsn"),
+        F.col("_p").getField("source").getField("lsn").alias("lsn"),
         op.alias("op"),
+        F.when(op_raw == "d", F.col("_p").getField("before"))
+        .otherwise(F.col("_p").getField("after"))
+        .alias("_img"),
+    )
+    img = F.col("_img")
+    return step.select(
+        *passthrough,
+        "lsn",
+        "op",
         *[_decode_image_field(img, f).alias(f.name) for f in image.fields],
     )
 

@@ -176,3 +176,11 @@ def test_replay_via_debezium_wire_equals_direct(spark, tmpdir_path):
         assert a.count() == b.count() and sa == 0 and sb == 0, (
             f"{dest}: direct vs debezium-wire state differs ({sa}/{sb} rows)"
         )
+
+
+def test_single_json_parse_in_plan(spark):
+    """JsonToStructs is CodegenFallback (no codegen CSE), so the envelope
+    must be parsed exactly once per row — plan regression gate."""
+    df = spark.createDataFrame([('{"payload":{}}',)], "value string")
+    plan = parse_debezium(df, IMAGE)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("from_json") == 1, plan
