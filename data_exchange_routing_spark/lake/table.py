@@ -237,6 +237,65 @@ class LakeTable:
         with open(p) as f:
             return json.load(f)
 
+    # ------------------------------------------------- hidden partitioning
+    def _part_state(self) -> dict:
+        """{"current": spec_id|None, "specs": {str(id): fields}} (see
+        lake/partition.py for transform semantics)."""
+        p = os.path.join(self.meta_dir, "partition_specs.json")
+        if not os.path.exists(p):
+            return {"current": None, "specs": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def set_partition_spec(self, fields: list[dict] | None) -> dict:
+        """Set (or clear, with ``None``) the table's ACTIVE partition spec.
+
+        Iceberg-style partition evolution: the new spec applies to FUTURE
+        writes only; existing files keep the spec id they were written under
+        and are pruned through it (lake/partition.py:prune_files). Like the
+        other schema-DDL ops (rename/drop column) this is a single-writer
+        metadata operation — concurrent DATA commits are unaffected because
+        writers read the spec once per staging pass.
+        """
+        from data_exchange_routing_spark.lake import partition as _pt
+
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError(
+                "partition specs require an append-only (unkeyed) table; "
+                "keyed tables already have the hash-bucket layout"
+            )
+        st = self._part_state()
+        if fields is None:
+            st["current"] = None
+        else:
+            norm = _pt.validate_spec(fields, snap.schema())
+            new_id = max([int(k) for k in st["specs"]] or [0]) + 1
+            st["specs"][str(new_id)] = norm
+            st["current"] = new_id
+        tmp = os.path.join(self.meta_dir, f".specs-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, os.path.join(self.meta_dir, "partition_specs.json"))
+        return st
+
+    def partition_prune_stats(
+        self, part_eq: tuple | None = None, part_range: tuple | None = None
+    ) -> dict:
+        """Metadata-only pruning report: how many files a hidden-partition
+        predicate would scan vs the full manifest (ops/test visibility)."""
+        from data_exchange_routing_spark.lake import partition as _pt
+
+        snap = self.snapshot()
+        files = snap.files
+        kept = _pt.prune_files(files, self._part_state().get("specs", {}), part_eq, part_range)
+        return {
+            "files_total": len(files),
+            "files_kept": len(kept),
+            "rows_total": sum(f.get("rows", 0) for f in files),
+            "rows_kept": sum(f.get("rows", 0) for f in kept),
+        }
+
     def _bloom_entry(self, df: DataFrame) -> dict | None:
         """One packed bitmap per configured bloom column over this commit's
         batch: ONE distributed job whose shuffle carries only DISTINCT bit
@@ -481,6 +540,8 @@ class LakeTable:
         range_filter: tuple | None = None,
         include_tombstones: bool = False,
         bloom_eq: tuple | None = None,
+        part_eq: tuple | None = None,
+        part_range: tuple | None = None,
     ) -> DataFrame:
         """Current resolved state. ``buckets`` prunes files from the manifest
         before Spark ever lists them (partition pruning).
@@ -509,6 +570,33 @@ class LakeTable:
             # bucket-selective read / point_read silently misses live rows.
             keep = set(buckets) | {-1}
             files = [f for f in files if f["bucket"] in keep]
+        if part_eq is not None or part_range is not None:
+            # hidden-partition pruning (lake/partition.py): predicates are on
+            # SOURCE columns; each file is tested through the transforms of
+            # the spec IT was written under (partition evolution never
+            # rewrites), then the exact row predicate applies — so pruning
+            # can only remove provably-disjoint files. Append-only tables
+            # only, same rationale as ts_filter: value-pruning a keyed
+            # table's deltas could drop a key's winning revision.
+            if snap.key is not None:
+                raise ValueError(
+                    "part_eq/part_range require an append-only (unkeyed) "
+                    "table; keyed tables prune by bucket instead"
+                )
+            from data_exchange_routing_spark.lake import partition as _pt
+
+            specs = self._part_state().get("specs", {})
+            files = _pt.prune_files(files, specs, part_eq, part_range)
+            df = self._read_files(snap, files, with_internal=with_internal)
+            if part_eq is not None:
+                df = df.filter(F.col(part_eq[0]) == F.lit(part_eq[1]))
+            if part_range is not None:
+                col, lo, hi = part_range
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+            return df
         if bloom_eq is not None:
             # point predicate on a NON-key column of an append-only table:
             # files whose manifest Bloom bitmap says "definitely absent" are
@@ -716,6 +804,7 @@ class LakeTable:
         """
         rel = os.path.join(_DATA_DIR, f"commit-{commit_version:08d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel)
+        cur_spec: int | None = None
         if bucketed:
             # one write task per bucket => one file per bucket per commit.
             # (At 100 TB the policy generalizes: repartition(max(n_buckets,
@@ -732,12 +821,31 @@ class LakeTable:
             df = df.drop(*[c for c in df.columns if c.startswith("_cluster_")])
             writer = df.write.mode("overwrite").partitionBy(BUCKET_COL)
         else:
-            # control-plane appends (dead_letter / lineage) are tiny: 1 file;
-            # rewrite_files passes n_files to size compacted unkeyed tables
-            df = df.repartition(n_files or 1)
-            if sort_within:
-                df = df.sortWithinPartitions(*sort_within)
-            writer = df.write.mode("overwrite")
+            pst = self._part_state()
+            cur_spec = pst.get("current")
+            if cur_spec is not None:  # noqa: PLR1702 — two write shapes
+                # hidden partitioning (lake/partition.py): derive the
+                # partition-value columns, cluster the batch so one partition
+                # value lands in one file per commit, and let partitionBy
+                # carry the values in the directory names (parsed back into
+                # the manifest below). n_files is superseded: file count
+                # follows the partition tuple, as it must for pruning.
+                from data_exchange_routing_spark.lake import partition as _pt
+
+                fields = pst["specs"][str(cur_spec)]
+                df, pcols = _pt.partition_columns(fields, df)
+                df = df.repartition(*[F.col(c) for c in pcols])
+                if sort_within:
+                    df = df.sortWithinPartitions(*sort_within)
+                writer = df.write.mode("overwrite").partitionBy(*pcols)
+            else:
+                # control-plane appends (dead_letter / lineage) are tiny: 1
+                # file; rewrite_files passes n_files to size compacted
+                # unkeyed tables
+                df = df.repartition(n_files or 1)
+                if sort_within:
+                    df = df.sortWithinPartitions(*sort_within)
+                writer = df.write.mode("overwrite")
         if write_options:
             writer = writer.options(**write_options)
         writer.parquet(out)
@@ -752,6 +860,13 @@ class LakeTable:
                 for part in root.split(os.sep):
                     if part.startswith(marker):
                         bucket = int(part[len(marker):])
+                part_values: dict | None = None
+                if cur_spec is not None:
+                    from data_exchange_routing_spark.lake import partition as _pt
+
+                    part_values = _pt.parse_path_partition(
+                        os.path.relpath(root, out).replace(os.sep, "/")
+                    )
                 import pyarrow.parquet as pq
 
                 md = pq.ParquetFile(full).metadata
@@ -762,6 +877,9 @@ class LakeTable:
                     "rows": md.num_rows,
                     "bytes": os.path.getsize(full),
                 }
+                if part_values:
+                    entry["partition"] = part_values
+                    entry["spec_id"] = cur_spec
                 # timestamp-column ranges from the same footer walk: Iceberg
                 # column-stats analog that lets time-scoped reads of
                 # append-only tables prune files from the manifest alone
@@ -1300,6 +1418,12 @@ class LakeTable:
             raise ValueError(
                 "append_rows() on a keyed table would write unbucketed (-1) "
                 "files that defeat bucket pruning; use merge_cdc() instead"
+            )
+        if self._part_state().get("current") is not None:
+            raise ValueError(
+                "append_rows() bypasses the partition layout; a table with "
+                "an active partition spec must append through Spark writes "
+                "(append()) so files carry their partition values"
             )
 
         if self._constraints() and rows:

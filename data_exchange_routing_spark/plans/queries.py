@@ -6375,3 +6375,57 @@ def events_debezium_roundtrip(spark, sf_dir):
         F.sum(F.length("props_bin")).alias("props_bytes"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@q(
+    "lake_hidden_partition_scan",
+    # Iceberg-style hidden partitioning (lake/partition.py): the table is
+    # written under spec days(ts), evolved mid-stream to days(ts) +
+    # bucket(event_type, 4) WITHOUT rewriting the old files, and the time
+    # scan prunes every file through the spec it was written under. The
+    # query body hard-asserts that pruning actually removed files
+    # (metadata-only check) before returning the aggregate; the oracle is
+    # the plain relational answer, so the hash compare proves pruning has
+    # zero semantic surface.
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-19 23:59:59'
+    GROUP BY event_type
+    """,
+)
+def lake_hidden_partition_scan(spark, sf_dir):
+    import tempfile
+    from datetime import datetime
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="hiddenpart_"), e.schema
+    )
+    t.set_partition_spec([{"name": "ts_day", "col": "ts", "transform": "days"}])
+    t.append(e.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    t.set_partition_spec(
+        [
+            {"name": "ts_day", "col": "ts", "transform": "days"},
+            {"name": "et_b", "col": "event_type", "transform": "bucket", "param": 4},
+        ]
+    )
+    t.append(e.filter(F.col("event_id") % 2 == 1), epoch_id=1)
+
+    lo, hi = datetime(2024, 1, 10), datetime(2024, 1, 19, 23, 59, 59)
+    st = t.partition_prune_stats(part_range=("ts", lo, hi))
+    if not 0 < st["files_kept"] < st["files_total"]:
+        raise AssertionError(f"hidden-partition pruning did not prune: {st}")
+    return (
+        t.read(part_range=("ts", lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,168 @@
+"""Hidden partitioning: transform twins, manifest pruning, spec evolution.
+
+Every pruned read is checked for EXACT result equality against the
+unpartitioned full-scan-plus-filter twin — pruning must be an optimization
+with zero semantic surface — and for the pruning itself via
+``partition_prune_stats`` (metadata-only, no Spark jobs).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_exchange_routing_spark.lake import partition as PT
+from data_exchange_routing_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _rows(spark, days, per_day=40, null_ts=0):
+    rows = []
+    for d in days:
+        for i in range(per_day):
+            rows.append((f"https://host{i % 7}.example/p{i}", datetime(2024, 3, d, i % 24, 5), d * 1000 + i))
+    for i in range(null_ts):
+        rows.append((f"https://null.example/{i}", None, -i))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _sorted(df):
+    return [tuple(r) for r in df.orderBy("n").collect()]
+
+
+def test_days_partition_prunes_and_result_exact(spark, tmpdir_path):
+    t = LakeTable.create(spark, tmpdir_path, SCHEMA)
+    t.set_partition_spec([{"name": "ts_day", "col": "warc_ts", "transform": "days"}])
+    t.append(_rows(spark, [1, 2, 3]), epoch_id=0)
+    t.append(_rows(spark, [4, 5, 6]), epoch_id=1)
+
+    lo, hi = datetime(2024, 3, 2), datetime(2024, 3, 3, 23, 59, 59)
+    stats = t.partition_prune_stats(part_range=("warc_ts", lo, hi))
+    assert stats["files_total"] == 6  # one file per day per commit
+    assert stats["files_kept"] == 2
+    got = _sorted(t.read(part_range=("warc_ts", lo, hi)))
+    want = _sorted(t.read().filter((F.col("warc_ts") >= lo) & (F.col("warc_ts") <= hi)))
+    assert got == want and len(got) == 80
+
+
+def test_null_partition_values_never_pruned(spark, tmpdir_path):
+    t = LakeTable.create(spark, tmpdir_path, SCHEMA)
+    t.set_partition_spec([{"name": "ts_day", "col": "warc_ts", "transform": "days"}])
+    t.append(_rows(spark, [1, 2], null_ts=5), epoch_id=0)
+    stats = t.partition_prune_stats(part_range=("warc_ts", datetime(2024, 3, 2), None))
+    # day-1 file pruned; day-2 and the NULL (__HIVE_DEFAULT_PARTITION__) kept
+    assert stats["files_total"] == 3 and stats["files_kept"] == 2
+    got = _sorted(t.read(part_range=("warc_ts", datetime(2024, 3, 2), None)))
+    assert len(got) == 40  # NULL warc_ts rows excluded by the row predicate
+
+
+def test_spec_evolution_prunes_each_file_through_its_own_spec(spark, tmpdir_path):
+    t = LakeTable.create(spark, tmpdir_path, SCHEMA)
+    t.set_partition_spec([{"name": "ts_day", "col": "warc_ts", "transform": "days"}])
+    t.append(_rows(spark, [1, 2]), epoch_id=0)  # spec 1: 2 files
+    t.set_partition_spec(
+        [
+            {"name": "ts_day", "col": "warc_ts", "transform": "days"},
+            {"name": "url_b", "col": "url", "transform": "bucket", "param": 4},
+        ]
+    )
+    t.append(_rows(spark, [3, 4]), epoch_id=1)  # spec 2: 2 days x <=4 buckets
+
+    url = "https://host3.example/p3"
+    st = t.partition_prune_stats(part_eq=("url", url))
+    # spec-1 files have no url transform -> kept; spec-2 files prune to the
+    # one bucket per day that can hold this url
+    spec2_files = st["files_total"] - 2
+    assert spec2_files >= 4
+    assert st["files_kept"] == 2 + 2
+    got = _sorted(t.read(part_eq=("url", url)))
+    want = _sorted(t.read().filter(F.col("url") == url))
+    assert got == want and len(got) == 4  # one per day, 4 days
+
+    # old files still range-prune by THEIR spec's days field
+    st2 = t.partition_prune_stats(part_range=("warc_ts", datetime(2024, 3, 4), None))
+    assert st2["files_kept"] < st2["files_total"]
+    assert {r[2] // 1000 for r in _sorted(t.read(part_range=("warc_ts", datetime(2024, 3, 4), None)))} == {4}
+
+
+def test_bucket_python_twin_matches_spark(spark):
+    fld = {"name": "b", "col": "url", "transform": "bucket", "param": 8}
+    df = spark.createDataFrame([(f"u{i}",) for i in range(200)], "url string")
+    rows = df.select("url", PT.transform_col(fld).alias("b")).collect()
+    for r in rows:
+        assert r["b"] == PT._py_bucket(r["url"], 8)
+
+
+def test_truncate_and_identity_transforms(spark, tmpdir_path):
+    schema = T.StructType(
+        [T.StructField("host", T.StringType()), T.StructField("size", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmpdir_path, schema)
+    t.set_partition_spec(
+        [
+            {"name": "hp", "col": "host", "transform": "truncate", "param": 4},
+            {"name": "sz", "col": "size", "transform": "truncate", "param": 100},
+        ]
+    )
+    rows = [(f"{p}{i}.example", i * 17 % 1000) for p in ("aaa", "bbb", "ccc") for i in range(50)]
+    t.append(spark.createDataFrame(rows, schema), epoch_id=0)
+
+    st = t.partition_prune_stats(part_eq=("host", "bbb7.example"))
+    assert 0 < st["files_kept"] < st["files_total"]
+    got = {tuple(r) for r in t.read(part_eq=("host", "bbb7.example")).collect()}
+    want = {tuple(r) for r in t.read().filter(F.col("host") == "bbb7.example").collect()}
+    assert got == want and got
+
+    st2 = t.partition_prune_stats(part_range=("size", 250, 449))
+    assert 0 < st2["files_kept"] < st2["files_total"]
+    got2 = sorted(tuple(r) for r in t.read(part_range=("size", 250, 449)).collect())
+    want2 = sorted(
+        tuple(r) for r in t.read().filter((F.col("size") >= 250) & (F.col("size") <= 449)).collect()
+    )
+    assert got2 == want2 and got2
+
+
+def test_rewrite_files_preserves_partition_layout(spark, tmpdir_path):
+    t = LakeTable.create(spark, tmpdir_path, SCHEMA)
+    t.set_partition_spec([{"name": "ts_day", "col": "warc_ts", "transform": "days"}])
+    for e in range(3):
+        t.append(_rows(spark, [1, 2]), epoch_id=e)
+    assert t.partition_prune_stats()["files_total"] == 6
+    res = t.rewrite_files()
+    assert not res["skipped"]
+    st = t.partition_prune_stats(part_range=("warc_ts", None, datetime(2024, 3, 1, 23, 59)))
+    assert st["files_total"] == 2 and st["files_kept"] == 1  # refolded per day
+    assert t.read(part_range=("warc_ts", None, datetime(2024, 3, 1, 23, 59))).count() == 120
+
+
+def test_guards(spark, tmpdir_path):
+    keyed = LakeTable.create(spark, tmpdir_path + "_k", SCHEMA, key="url")
+    with pytest.raises(ValueError, match="append-only"):
+        keyed.set_partition_spec([{"name": "d", "col": "warc_ts", "transform": "days"}])
+    with pytest.raises(ValueError, match="append-only"):
+        keyed.read(part_eq=("url", "x"))
+
+    t = LakeTable.create(spark, tmpdir_path, SCHEMA)
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_partition_spec([{"name": "d", "col": "nope", "transform": "days"}])
+    with pytest.raises(ValueError, match="timestamp"):
+        t.set_partition_spec([{"name": "d", "col": "url", "transform": "days"}])
+    with pytest.raises(ValueError, match="param"):
+        t.set_partition_spec([{"name": "b", "col": "url", "transform": "bucket"}])
+    t.set_partition_spec([{"name": "d", "col": "warc_ts", "transform": "days"}])
+    with pytest.raises(ValueError, match="partition layout"):
+        t.append_rows([("u", datetime(2024, 1, 1), 1)], SCHEMA, epoch_id=0)
+    # clearing the spec restores the unpartitioned append path
+    t.set_partition_spec(None)
+    t.append_rows([("u", datetime(2024, 1, 1), 1)], SCHEMA, epoch_id=0)
+    assert t.read().count() == 1
