@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -452,6 +453,35 @@ class LakeTable:
             snap.seg_files = _resolve_segments(self.meta_dir, snap.segments)
         return snap
 
+    def as_of_version(self, ts) -> int:
+        """Version of the newest snapshot committed at or before ``ts``
+        (datetime — naive treated as UTC — or epoch seconds): the
+        ``AS OF TIMESTAMP`` half of time travel, resolved from snapshot
+        metadata alone. Snapshots record wall-clock ``committed_at`` for
+        exactly this lookup; it participates in no data semantics (replay /
+        LWW ordering key off (warc_ts, lsn), never commit time). Pre-feature
+        snapshots without the field sort as oldest. Raises if ``ts`` predates
+        the table. Expired snapshots (expire_snapshots) are gone — same
+        contract as version-based travel."""
+        from datetime import datetime, timezone
+
+        if isinstance(ts, datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            ts = ts.timestamp()
+        p = self._snap_prefix
+        best = None
+        for f in sorted(os.listdir(self.meta_dir)):
+            if not (f.startswith(p) and f.endswith(".json") and f[len(p):-len(".json")].isdigit()):
+                continue
+            with open(os.path.join(self.meta_dir, f)) as fh:
+                d = json.load(fh)
+            if d.get("committed_at", 0.0) <= ts:
+                best = d["version"] if best is None else max(best, d["version"])
+        if best is None:
+            raise ValueError(f"no snapshot committed at or before {ts}")
+        return best
+
     def _write_snapshot(self, snap: Snapshot) -> None:
         # Roll the inline tail into an immutable, reused segment file once it
         # grows past TAIL_MAX, and merge segment refs once there are more than
@@ -474,6 +504,7 @@ class LakeTable:
             snap.segments = [merged]
         payload = {
             "version": snap.version,
+            "committed_at": time.time(),  # wall clock, for AS OF reads only
             "schema_json": snap.schema_json,
             "n_buckets": snap.n_buckets,
             "key": snap.key,
@@ -542,6 +573,7 @@ class LakeTable:
         bloom_eq: tuple | None = None,
         part_eq: tuple | None = None,
         part_range: tuple | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Current resolved state. ``buckets`` prunes files from the manifest
         before Spark ever lists them (partition pruning).
@@ -562,6 +594,10 @@ class LakeTable:
         full-column pass over the base either (that variant measured only
         1.11x over the window on tmpfs because the extra scan ate the
         shuffle saving)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.as_of_version(as_of)
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
@@ -2259,6 +2295,7 @@ class LakeTable:
             out.append(
                 {
                     "version": d["version"],
+                    "committed_at": d.get("committed_at"),
                     "operation": d.get("summary", {}).get("operation"),
                     "epoch_id": d.get("summary", {}).get("epoch_id"),
                     "n_files": d.get("n_files", len(d.get("files", d.get("tail", [])))),

@@ -1028,3 +1028,39 @@ def test_metadata_stats_exact_without_data_reads(spark, tmpdir_path):
     assert "rows" not in ks  # keyed: only an upper bound is honest
     assert ks["rows_upper_bound"] == 7 >= keyed.read().count() == 6
     assert ks["key_range"] == ("u00", "u05")
+
+
+def test_as_of_timestamp_time_travel(spark, tmpdir_path):
+    """AS OF TIMESTAMP resolves the newest snapshot committed <= ts from
+    metadata alone and reads exactly that version's state."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakeTable.create(spark, tmpdir_path, schema)
+    for e in range(3):
+        t.append(spark.createDataFrame([(e * 10 + i, f"e{e}") for i in range(5)], schema), epoch_id=e)
+    hist = t.history()
+    assert all(h["committed_at"] is not None for h in hist)
+    assert [h["committed_at"] for h in hist] == sorted(h["committed_at"] for h in hist)
+
+    # exactly at v3's commit time -> v3 (inclusive bound), i.e. epochs 0..1
+    v3_ts = next(h["committed_at"] for h in hist if h["version"] == 3)
+    assert t.as_of_version(v3_ts) == 3
+    assert t.read(as_of=v3_ts).count() == 10
+    assert {r["v"] for r in t.read(as_of=v3_ts).collect()} == {"e0", "e1"}
+
+    # far future -> current; before the table existed -> error; both -> error
+    assert t.read(as_of=v3_ts + 1e6).count() == 15
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.as_of_version(hist[0]["committed_at"] - 60.0)
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(version=2, as_of=v3_ts)
+
+    # datetime bound (naive = UTC) resolves identically to the float form
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(v3_ts, tz=timezone.utc).replace(tzinfo=None)
+    assert t.as_of_version(dt) == 3
