@@ -2405,6 +2405,132 @@ class LakeTable:
             "files_kept": len(keep),
         }
 
+    # --------------------------------------------- append-only row deletes
+    def delete_eq(self, col: str, value) -> dict:
+        """Delete every row of an append-only table where ``col == value``
+        (the GDPR/right-to-erasure workhorse over raw event/page logs).
+
+        The predicate and the file pruning are derived from the SAME (col,
+        value) pair, so they cannot disagree: a file is rewritten only if it
+        MAY hold a matching row — everything the hidden-partition spec
+        (through the file's own spec id), the manifest min/max stats, or the
+        Bloom file index can prove disjoint stays untouched, metadata-only.
+        On a well-partitioned table that is O(matching files), not O(table).
+        NULL rows never match an equality predicate and are always kept."""
+        from data_exchange_routing_spark.lake import partition as _pt
+
+        iso = value.isoformat() if hasattr(value, "isoformat") else value
+        props = self._props()
+        bloom_ok = col in props.get("bloom_cols", []) and value is not None
+        specs = self._part_state().get("specs", {})
+
+        def may_match(f: dict) -> bool:
+            if _pt.prune_files([f], specs, (col, value), None) == []:
+                return False
+            rng = (f.get("col_stats") or {}).get(col) or (f.get("ts_stats") or {}).get(col)
+            if rng is not None and not (rng[0] <= iso <= rng[1]):
+                return False
+            if bloom_ok and (f.get("bloom") or {}).get(col) is not None:
+                bits, hashes = props["bloom_bits"], props["bloom_hashes"]
+                if not self._bloom_probe(f["bloom"][col], value, bits, hashes):
+                    return False
+            return True
+
+        return self._delete_rows(
+            F.col(col) == F.lit(value),
+            may_match,
+            {"operation": "delete-eq", "col": col, "value": str(value)},
+        )
+
+    def delete_range(self, col: str, lo, hi) -> dict:
+        """Delete rows with ``col`` in [lo, hi] (inclusive; None = open end)
+        from an append-only table — pruned like ``delete_eq`` via partition
+        transforms and manifest stats. NULL rows never match and are kept."""
+        from data_exchange_routing_spark.lake import partition as _pt
+
+        lo_c = lo.isoformat() if hasattr(lo, "isoformat") else lo
+        hi_c = hi.isoformat() if hasattr(hi, "isoformat") else hi
+        specs = self._part_state().get("specs", {})
+
+        def may_match(f: dict) -> bool:
+            if _pt.prune_files([f], specs, None, (col, lo, hi)) == []:
+                return False
+            rng = (f.get("col_stats") or {}).get(col) or (f.get("ts_stats") or {}).get(col)
+            if rng is not None:
+                if hi_c is not None and rng[0] > hi_c:
+                    return False
+                if lo_c is not None and rng[1] < lo_c:
+                    return False
+            return True
+
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return self._delete_rows(
+            pred, may_match, {"operation": "delete-range", "col": col}
+        )
+
+    def delete_matching(self, predicate: str) -> dict:
+        """Delete rows matching an arbitrary Spark SQL boolean expression
+        from an append-only table. No pruning is derivable from a free-form
+        expression, so EVERY file is rewritten — use ``delete_eq`` /
+        ``delete_range`` when the predicate has that shape. SQL DELETE
+        semantics: only rows where the predicate is TRUE are removed (a NULL
+        predicate keeps its row)."""
+        return self._delete_rows(
+            F.expr(predicate),
+            lambda f: True,
+            {"operation": "delete-matching", "predicate": predicate},
+        )
+
+    def _delete_rows(self, pred, may_match, summary: dict) -> dict:
+        """Shared delete machinery: rewrite only may-match files with the
+        negated predicate; untouched files carry over metadata-only. Old
+        files stay referenced by older snapshots for time travel until
+        expire/vacuum, like every rewrite. Concurrent-append safe: aborts on
+        version conflict instead of dropping the concurrent batch."""
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError(
+                "row deletes on keyed tables go through delete_where "
+                "(tombstones); delete_eq/delete_range/delete_matching are "
+                "for append-only tables"
+            )
+        keep = [f for f in snap.files if not may_match(f)]
+        rewrite = [f for f in snap.files if may_match(f)]
+        new_files: list[dict] = []
+        deleted = 0
+        if rewrite:
+            df = self._read_files(snap, rewrite, with_internal=True)
+            before = sum(f.get("rows", 0) for f in rewrite)
+            kept_df = df.filter(~F.coalesce(pred, F.lit(False)))
+            new_files = self._stage_files(
+                kept_df, snap, snap.version + 1, bucketed=False, n_files=len(rewrite)
+            )
+            deleted = before - sum(f.get("rows", 0) for f in new_files)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            committed_epochs=snap.committed_epochs,
+            summary={**summary, "files_rewritten": len(rewrite), "rows_deleted": deleted},
+        )
+        new.replace_files(keep + new_files)
+        try:
+            self._write_snapshot(new)
+        except FileExistsError:
+            return {"skipped": True, "reason": "commit-conflict"}
+        return {
+            "skipped": False,
+            "version": new.version,
+            "files_rewritten": len(rewrite),
+            "files_kept": len(keep),
+            "rows_deleted": deleted,
+        }
+
     def clone_to(self, dest_path: str) -> "LakeTable":
         """Zero-copy clone (Delta shallow-clone analog, hardlink flavor):
         data files are HARDLINKED into the clone (O(#files) metadata ops,

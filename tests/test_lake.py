@@ -1064,3 +1064,67 @@ def test_as_of_timestamp_time_travel(spark, tmpdir_path):
 
     dt = datetime.fromtimestamp(v3_ts, tz=timezone.utc).replace(tzinfo=None)
     assert t.as_of_version(dt) == 3
+
+
+def test_delete_eq_prunes_and_removes_only_matches(spark, tmpdir_path):
+    """GDPR-style delete on an append-only table: only may-match files are
+    rewritten (partition + stats pruning), result equals a relational
+    anti-filter, NULLs survive, and epoch guards carry over."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmpdir_path, schema)
+    t.set_partition_spec([{"name": "ub", "col": "url", "transform": "bucket", "param": 4}])
+    rows = [(f"u{i % 20}", datetime(2024, 1, 1 + i % 5), i) for i in range(200)]
+    rows += [(None, datetime(2024, 2, 1), 1000)]
+    t.append(spark.createDataFrame(rows, schema), epoch_id=0)
+    total_files = len(t.snapshot().files)
+
+    res = t.delete_eq("url", "u7")
+    assert not res["skipped"]
+    assert res["rows_deleted"] == 10
+    assert 0 < res["files_rewritten"] < total_files  # bucket-pruned rewrite
+    left = t.read()
+    assert left.filter(F.col("url") == "u7").count() == 0
+    assert left.count() == 191  # 201 - 10; NULL row kept
+    assert left.filter(F.col("url").isNull()).count() == 1
+    assert t.committed_epochs() == {0}  # guards survive the rewrite
+
+    # idempotent second delete: nothing may match after the first
+    res2 = t.delete_eq("url", "u7")
+    assert res2["rows_deleted"] == 0
+
+
+def test_delete_range_and_matching(spark, tmpdir_path):
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("n", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmpdir_path, schema)
+    t.set_partition_spec([{"name": "d", "col": "ts", "transform": "days"}])
+    t.append(
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1 + d, h), d * 100 + h) for d in range(5) for h in range(10)],
+            schema,
+        ),
+        epoch_id=0,
+    )
+    res = t.delete_range("ts", datetime(2024, 1, 2), datetime(2024, 1, 3, 23))
+    assert res["rows_deleted"] == 20
+    assert 0 < res["files_rewritten"] < 5  # day files outside [2,3] untouched
+    assert t.read().count() == 30
+    assert t.read().filter((F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-04")).count() == 0
+
+    # free-form predicate: every file rewritten, SQL NULL semantics
+    res2 = t.delete_matching("n % 100 >= 8")
+    assert res2["files_rewritten"] == len(t.snapshot(res2["version"] - 1).files)
+    assert t.read().count() == 30 - 6  # h in {8,9} of the 3 surviving days
+    assert t.read().filter(F.expr("n % 100 >= 8")).count() == 0
+
+    # keyed tables refuse
+    keyed = LakeTable.create(spark, tmpdir_path + "_k", schema, key="n")
+    with pytest.raises(ValueError, match="delete_where"):
+        keyed.delete_eq("n", 1)
