@@ -166,3 +166,36 @@ def test_guards(spark, tmpdir_path):
     t.set_partition_spec(None)
     t.append_rows([("u", datetime(2024, 1, 1), 1)], SCHEMA, epoch_id=0)
     assert t.read().count() == 1
+
+
+def test_streaming_append_lands_partitioned_exactly_once(spark, tmpdir_path):
+    """foreachBatch streaming appends into a hidden-partitioned table: every
+    micro-batch commits under its batchId epoch guard, files carry partition
+    values, and a replayed batch (simulated redelivery) is a metadata no-op."""
+    import os
+
+    src = os.path.join(tmpdir_path, "src")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "tbl"), SCHEMA)
+    t.set_partition_spec([{"name": "ts_day", "col": "warc_ts", "transform": "days"}])
+    _rows(spark, [1, 2]).write.parquet(os.path.join(src, "a"))
+    _rows(spark, [3]).write.parquet(os.path.join(src, "b"))
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(lambda df, bid: t.append(df, epoch_id=bid, source="stream"))
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.read().count() == 120
+    parted = [f for f in t.snapshot().files if f.get("partition")]
+    assert parted and all("ts_day" in f["partition"] for f in parted)
+    st = t.partition_prune_stats(part_range=("warc_ts", datetime(2024, 3, 3), None))
+    assert st["files_kept"] < st["files_total"]
+
+    # redelivery of an already-committed micro-batch: epoch guard absorbs it
+    res = t.append(_rows(spark, [1, 2]), epoch_id=0, source="stream")
+    assert res["skipped"] and t.read().count() == 120
