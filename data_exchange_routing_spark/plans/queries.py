@@ -6429,3 +6429,72 @@ def lake_hidden_partition_scan(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@q(
+    "lake_delete_eq_pruned",
+    # Pruned predicate delete (lake/table.py:delete_eq): the table is
+    # hidden-partitioned by bucket(event_type, 4); deleting one event_type
+    # rewrites only the files whose partition bucket may hold it (asserted),
+    # and the surviving state hash-matches the relational anti-filter.
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def lake_delete_eq_pruned(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="deleq_"), e.schema)
+    t.set_partition_spec(
+        [{"name": "et_b", "col": "event_type", "transform": "bucket", "param": 4}]
+    )
+    t.append(e, epoch_id=0)
+    res = t.delete_eq("event_type", "error")
+    if res["skipped"] or not res["files_kept"]:
+        raise AssertionError(f"delete_eq did not prune untouched files: {res}")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "lake_time_travel_asof",
+    # AS OF TIMESTAMP time travel (lake/table.py:as_of_version): epoch 0
+    # (even event_ids) then epoch 1 (odd) are committed; reading AS OF the
+    # wall-clock instant of version 2 must see exactly the first epoch.
+    """
+    SELECT count(*) AS n_events,
+           sum(event_id) AS id_sum,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_id % 2 = 0
+    """,
+)
+def lake_time_travel_asof(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="asof_"), e.schema)
+    t.append(e.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    t.append(e.filter(F.col("event_id") % 2 == 1), epoch_id=1)
+    v2_ts = next(h["committed_at"] for h in t.history() if h["version"] == 2)
+    return t.read(as_of=v2_ts).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
