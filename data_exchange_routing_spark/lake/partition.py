@@ -143,6 +143,28 @@ def partition_columns(fields: list[dict], df: DataFrame) -> tuple[DataFrame, lis
     return out, names
 
 
+def salted_repartition(df: DataFrame, pcols: list[str], salt: int) -> DataFrame:
+    """Cluster the batch for the partitioned write WITHOUT a one-task-per-
+    partition-value straggler: with ``salt`` > 1, rows of each partition
+    value spread across up to ``salt`` writer tasks (deterministic row-hash
+    salt — no rand(), replay-stable), each writing its own file into the
+    same partition directory. This is the skew half of Iceberg's hash write
+    distribution + target-file-size splitting: a hot partition (one crawl
+    day at 100 TB) becomes ``salt`` parallel writers and ``salt`` manifest
+    entries instead of one straggler task emitting one giant file. Pruning
+    is unaffected — the directory (= partition value) is what the manifest
+    records, regardless of how many files land in it."""
+    cols = [F.col(c) for c in pcols]
+    if salt <= 1:
+        return df.repartition(*cols)
+    data_cols = [F.col(c) for c in df.columns if not c.startswith(PART_PREFIX)]
+    cols = cols + [F.pmod(F.xxhash64(*data_cols), F.lit(salt))]
+    # explicit partition count: a by-column repartition is an AQE coalesce
+    # target, which would merge the salted splits right back into one task
+    n = max(salt, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")))
+    return df.repartition(n, *cols)
+
+
 def decode_dir_value(raw: str) -> str | None:
     """Directory-name value -> partition value (None = NULL/unknown bucket)."""
     if raw == HIVE_NULL or raw == "":

@@ -248,7 +248,7 @@ class LakeTable:
         with open(p) as f:
             return json.load(f)
 
-    def set_partition_spec(self, fields: list[dict] | None) -> dict:
+    def set_partition_spec(self, fields: list[dict] | None, salt: int = 1) -> dict:
         """Set (or clear, with ``None``) the table's ACTIVE partition spec.
 
         Iceberg-style partition evolution: the new spec applies to FUTURE
@@ -257,6 +257,10 @@ class LakeTable:
         other schema-DDL ops (rename/drop column) this is a single-writer
         metadata operation — concurrent DATA commits are unaffected because
         writers read the spec once per staging pass.
+
+        ``salt`` > 1 spreads each partition value across up to that many
+        writer tasks/files per commit (lake/partition.py:salted_repartition)
+        — the skew escape hatch for hot partitions; pruning is unaffected.
         """
         from data_exchange_routing_spark.lake import partition as _pt
 
@@ -266,7 +270,10 @@ class LakeTable:
                 "partition specs require an append-only (unkeyed) table; "
                 "keyed tables already have the hash-bucket layout"
             )
+        if not isinstance(salt, int) or salt < 1:
+            raise ValueError("salt must be a positive int")
         st = self._part_state()
+        st["salt"] = salt
         if fields is None:
             st["current"] = None
         else:
@@ -870,7 +877,7 @@ class LakeTable:
 
                 fields = pst["specs"][str(cur_spec)]
                 df, pcols = _pt.partition_columns(fields, df)
-                df = df.repartition(*[F.col(c) for c in pcols])
+                df = _pt.salted_repartition(df, pcols, int(pst.get("salt", 1)))
                 if sort_within:
                     df = df.sortWithinPartitions(*sort_within)
                 writer = df.write.mode("overwrite").partitionBy(*pcols)
