@@ -220,3 +220,83 @@ def test_write_salt_splits_hot_partitions_without_breaking_pruning(spark, tmpdir
     # replay-stable: re-staging the same batch under a redelivered epoch id
     # is absorbed by the guard (deterministic salt, no rand())
     assert t.append(_rows(spark, [1], per_day=400), epoch_id=0)["skipped"]
+
+
+# ---- property-based partitioned-table state machine ------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_prow = st.tuples(
+    st.integers(0, 5),    # day (partition dimension; small -> shared dirs)
+    st.integers(0, 6),    # host id (bucket/delete dimension)
+    st.integers(0, 999),  # value
+)
+_spec_choice = st.sampled_from(
+    [
+        None,  # clear: subsequent appends unpartitioned
+        [{"name": "d", "col": "warc_ts", "transform": "days"}],
+        [{"name": "hb", "col": "url", "transform": "bucket", "param": 3}],
+        [
+            {"name": "d", "col": "warc_ts", "transform": "days"},
+            {"name": "hb", "col": "url", "transform": "bucket", "param": 3},
+        ],
+    ]
+)
+_pop = st.one_of(
+    st.tuples(st.just("append"), st.lists(_prow, min_size=1, max_size=8)),
+    st.tuples(st.just("spec"), _spec_choice, st.integers(1, 3)),
+    st.tuples(st.just("delete_eq"), st.integers(0, 6)),
+    st.tuples(st.just("delete_range"), st.integers(0, 5), st.integers(0, 5)),
+    st.tuples(st.just("rewrite")),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_pop, min_size=3, max_size=10))
+def test_partitioned_table_random_ops_match_oracle(spark, tmp_path_factory, ops):
+    """Any interleaving of appends, spec evolutions (incl. clearing and
+    salting), pruned deletes, and rewrites must leave (a) the full read equal
+    to a pure-Python oracle and (b) every pruned read equal to the oracle
+    filter — across files written under DIFFERENT specs in one table."""
+    import os
+
+    tmpdir = str(tmp_path_factory.mktemp("partprop"))
+    t = LakeTable.create(spark, os.path.join(tmpdir, "t"), SCHEMA)
+    oracle: list[tuple] = []  # (url, ts, n)
+    epoch = 0
+    n_uid = 0
+    for op in ops:
+        if op[0] == "append":
+            rows = []
+            for day, host, val in op[1]:
+                n_uid += 1
+                rows.append(
+                    (f"https://h{host}.example/", datetime(2024, 3, 1 + day, 12), n_uid * 1000 + val)
+                )
+            t.append(spark.createDataFrame(rows, SCHEMA), epoch_id=epoch)
+            epoch += 1
+            oracle.extend(rows)
+        elif op[0] == "spec":
+            t.set_partition_spec(op[1], salt=op[2])
+        elif op[0] == "delete_eq":
+            url = f"https://h{op[1]}.example/"
+            t.delete_eq("url", url)
+            oracle = [r for r in oracle if r[0] != url]
+        elif op[0] == "delete_range":
+            lo = datetime(2024, 3, 1 + min(op[1], op[2]))
+            hi = datetime(2024, 3, 1 + max(op[1], op[2]), 23, 59, 59)
+            t.delete_range("warc_ts", lo, hi)
+            oracle = [r for r in oracle if not (lo <= r[1] <= hi)]
+        elif op[0] == "rewrite":
+            t.rewrite_files()
+
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == sorted(oracle)
+
+    # pruned reads through whatever mix of specs the files carry
+    lo, hi = datetime(2024, 3, 2), datetime(2024, 3, 4, 23, 59, 59)
+    got_r = sorted(tuple(r) for r in t.read(part_range=("warc_ts", lo, hi)).collect())
+    assert got_r == sorted(r for r in oracle if lo <= r[1] <= hi)
+    url = "https://h3.example/"
+    got_e = sorted(tuple(r) for r in t.read(part_eq=("url", url)).collect())
+    assert got_e == sorted(r for r in oracle if r[0] == url)
