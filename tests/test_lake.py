@@ -1059,10 +1059,12 @@ def test_as_of_timestamp_time_travel(spark, tmpdir_path):
     with _pytest.raises(ValueError, match="not both"):
         t.read(version=2, as_of=v3_ts)
 
-    # datetime bound (naive = UTC) resolves identically to the float form
+    # datetime bound (naive = UTC) resolves like the float form. fromtimestamp
+    # rounds to microseconds, which can land just BELOW the stored float, so
+    # nudge 1 ms past the commit instant (still before the next version).
     from datetime import datetime, timezone
 
-    dt = datetime.fromtimestamp(v3_ts, tz=timezone.utc).replace(tzinfo=None)
+    dt = datetime.fromtimestamp(v3_ts + 0.001, tz=timezone.utc).replace(tzinfo=None)
     assert t.as_of_version(dt) == 3
 
 
