@@ -157,7 +157,15 @@ def salted_repartition(df: DataFrame, pcols: list[str], salt: int) -> DataFrame:
     cols = [F.col(c) for c in pcols]
     if salt <= 1:
         return df.repartition(*cols)
-    data_cols = [F.col(c) for c in df.columns if not c.startswith(PART_PREFIX)]
+    # MapType is not hashable in Spark (HASH_MAP_TYPE error); any remaining
+    # column set salts fine — uniformity, not uniqueness, is what matters
+    data_cols = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not f.name.startswith(PART_PREFIX) and not isinstance(f.dataType, T.MapType)
+    ]
+    # non-empty by construction: every spec field's source column is a
+    # hashable scalar/timestamp (validate_spec) and rides in the dataframe
     cols = cols + [F.pmod(F.xxhash64(*data_cols), F.lit(salt))]
     # explicit partition count: a by-column repartition is an AQE coalesce
     # target, which would merge the salted splits right back into one task
