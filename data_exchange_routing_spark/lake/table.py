@@ -132,6 +132,14 @@ class Snapshot:
     committed_epochs: dict[str, Any] = field(default_factory=dict)
     summary: dict[str, Any] = field(default_factory=dict)
     seg_files: list[dict[str, Any]] | None = None  # resolved segment entries
+    # merge-on-read delete files (Iceberg v2 analog), kept OUT of ``files``
+    # so every data-file walk (pruning, stats, compaction byte counters)
+    # stays delete-oblivious; ``_read_files`` is the single application
+    # point. None means "not set by this commit" — ``_write_snapshot``
+    # inherits the previous snapshot's list, so the dozens of commit paths
+    # that predate the feature carry deletes forward without knowing about
+    # them. Entry: {path, kind: eqdel|posdel, rows, bytes, seq?, cols?}.
+    delete_files: list[dict[str, Any]] | None = None
 
     @property
     def files(self) -> list[dict[str, Any]]:
@@ -455,6 +463,7 @@ class LakeTable:
             tail=d.get("tail", d.get("files", [])),
             committed_epochs=d.get("committed_epochs", {}),
             summary=d.get("summary", {}),
+            delete_files=d.get("delete_files", []),
         )
         if snap.segments:
             snap.seg_files = _resolve_segments(self.meta_dir, snap.segments)
@@ -509,6 +518,14 @@ class LakeTable:
             with open(os.path.join(self.meta_dir, merged), "w") as f:
                 json.dump(snap.seg_files, f)
             snap.segments = [merged]
+        if snap.delete_files is None:
+            # commit path didn't touch MoR delete files: carry the previous
+            # snapshot's list forward (the base this commit was built on is
+            # version-1 — the exclusive-create below guarantees it)
+            try:
+                snap.delete_files = self.snapshot(snap.version - 1).delete_files or []
+            except FileNotFoundError:
+                snap.delete_files = []
         payload = {
             "version": snap.version,
             "committed_at": time.time(),  # wall clock, for AS OF reads only
@@ -519,16 +536,31 @@ class LakeTable:
             "tail": snap.tail,
             "committed_epochs": snap.committed_epochs,
             "summary": snap.summary,
+            "delete_files": snap.delete_files,
             "n_files": len(snap.seg_files or []) + len(snap.tail),
         }
         path = os.path.join(self.meta_dir, f"{self._snap_prefix}{snap.version:08d}.json")
         _atomic_write_json(path, payload)
 
     # -------------------------------------------------------------- reading
-    def _read_files(self, snap: Snapshot, files: list[dict], with_internal: bool) -> DataFrame:
+    def _read_files(
+        self, snap: Snapshot, files: list[dict], with_internal: bool,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Scan manifest entries into a DataFrame. This is the SINGLE
+        application point for merge-on-read delete files, so every reader
+        AND every rewriter (compact / expire / CoW delete) sees deleted rows
+        gone — a rewrite therefore materializes outstanding deletes and its
+        fresh files (seq = new version) are exempt from older eq-deletes by
+        the sequence rule, never resurrecting rows. ``keep_meta=True``
+        returns ``_mor_file`` (manifest-relative path) and ``_mor_pos``
+        (row index within the file) for position-delete writers."""
         schema = snap.schema()
         paths = [os.path.join(self.path, f["path"]) for f in files]
         renames = self._live_renames(snap)
+        # only touch the hidden _metadata struct when row identity is
+        # actually needed: delete-free tables keep their exact pre-MoR plans
+        need_meta = keep_meta or bool(snap.delete_files)
         if paths and renames:
             # name-mapped RENAME COLUMN read path: request the alias names
             # alongside the schema (files written pre-rename store the bytes
@@ -545,20 +577,142 @@ class LakeTable:
                         extra.append(T.StructField(a, by_name[cur].dataType, True))
                         taken.add(a)
             df = self.spark.read.schema(T.StructType(schema.fields + extra)).parquet(*paths)
+            if need_meta:
+                df = self._attach_mor_meta(df, files)
             df = df.select(
                 *[
                     F.coalesce(F.col(f.name), *[F.col(a) for a in renames[f.name]]).alias(f.name)
                     if f.name in renames
                     else F.col(f.name)
                     for f in schema.fields
-                ]
+                ],
+                *(["_mor_file", "_mor_pos", "_mor_seq"] if need_meta else []),
             )
         elif paths:
             df = self.spark.read.schema(schema).parquet(*paths)
+            if need_meta:
+                df = self._attach_mor_meta(df, files)
         else:
             df = self.spark.createDataFrame([], schema)
+            if need_meta:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("string").alias("_mor_file"),
+                    F.lit(None).cast("long").alias("_mor_pos"),
+                    F.lit(None).cast("long").alias("_mor_seq"),
+                )
+        if need_meta:
+            df = self._apply_delete_files(df, snap)
+            df = df.drop("_mor_seq")
+            if not keep_meta:
+                df = df.drop("_mor_file", "_mor_pos")
         if not with_internal:
             df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
+        return df
+
+    def _attach_mor_meta(self, df: DataFrame, files: list[dict]) -> DataFrame:
+        """Attach the row identity MoR deletes key on: ``_mor_file`` (the
+        file's MANIFEST-RELATIVE path — stable across table relocation,
+        and unique where basenames are not: one staged multicast write
+        reuses the same task-uuid part name across every ``_b=``/destination
+        partition directory) plus ``_mor_pos`` (row index) and ``_mor_seq``
+        (the file's data sequence number, for the equality-delete rule).
+
+        The scan's ``_metadata.file_path`` is an absolute URI, so the rel
+        path comes from ONE broadcast map join (manifest-sized — bounded by
+        compaction, and only built when delete files exist). Driver-side
+        keys register every plausible spelling of each path (raw join,
+        normpath, realpath) so the join never depends on how the scanner
+        canonicalizes; a row that still misses the map gets NULL
+        ``_mor_seq``/``_mor_file``, which every delete predicate treats as
+        "spared" — a mapping bug under-deletes, never over-deletes."""
+        rows: list[tuple] = []
+        seen: set[str] = set()
+        for f in files:
+            raw = os.path.join(self.path, f["path"])
+            seq = int(f.get("seq", 0))
+            for key in {raw, os.path.normpath(raw), os.path.abspath(raw), os.path.realpath(raw)}:
+                if key in seen:
+                    continue
+                seen.add(key)
+                rows.append((key, f["path"], seq))
+        m = self.spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("_mor_abs", T.StringType()),
+                    T.StructField("_mor_file", T.StringType()),
+                    T.StructField("_mor_seq", T.LongType()),
+                ]
+            ),
+        )
+        df = df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
+            ).alias("_mor_abs"),
+            F.col("_metadata.row_index").alias("_mor_pos"),
+        )
+        return df.join(F.broadcast(m), "_mor_abs", "left").drop("_mor_abs")
+
+    def _apply_delete_files(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Anti-join the snapshot's merge-on-read delete files out of a scan
+        carrying ``_mor_file``/``_mor_pos``/``_mor_seq`` row identity.
+
+        Position deletes name (manifest-relative file path, row index) —
+        they apply to exactly the files they were written against;
+        rewritten files get new uuid'd paths, so stale entries match
+        nothing. Equality deletes carry value tuples plus the commit
+        sequence they landed at, and apply only to data files with a
+        SMALLER seq (Iceberg v2 sequence-number rule): rows appended after
+        the delete are never affected; a NULL ``_mor_seq`` (row identity
+        failed to map) is spared, so identity bugs under-delete rather than
+        over-delete. Both sides broadcast (delete sets are small by
+        construction — compaction materializes them before they grow); the
+        scan itself stays one pass, no shuffle."""
+        dels = snap.delete_files or []
+        if not dels:
+            return df
+        pos_files = [d for d in dels if d["kind"] == "posdel" and d.get("rows", 0) > 0]
+        if pos_files:
+            p = self.spark.read.parquet(
+                *[os.path.join(self.path, d["path"]) for d in pos_files]
+            ).select(F.col("file").alias("_pd_file"), F.col("pos").alias("_pd_pos"))
+            df = df.join(
+                F.broadcast(p),
+                (F.col("_mor_file") == F.col("_pd_file"))
+                & (F.col("_mor_pos") == F.col("_pd_pos")),
+                "left_anti",
+            )
+        eq_files = [d for d in dels if d["kind"] == "eqdel" and d.get("rows", 0) > 0]
+        if eq_files:
+            by_name = {f.name: f for f in snap.schema().fields}
+            groups: dict[tuple, list[dict]] = {}
+            for d in eq_files:
+                groups.setdefault(tuple(d["cols"]), []).append(d)
+            for cols, grp in groups.items():
+                parts = []
+                for d in grp:
+                    one = self.spark.read.parquet(os.path.join(self.path, d["path"]))
+                    parts.append(
+                        one.select(
+                            *[
+                                F.col(c).cast(by_name[c].dataType).alias(f"_ed_{c}")
+                                for c in cols
+                            ],
+                            F.lit(int(d.get("seq", 0))).alias("_ed_seq"),
+                        )
+                    )
+                dele = parts[0]
+                for p2 in parts[1:]:
+                    dele = dele.unionByName(p2)
+                # NULL _mor_seq (unmapped identity) makes the comparison
+                # NULL -> the anti-join KEEPS the row: under-delete, never
+                # over-delete, on any identity-mapping failure
+                cond = F.col("_mor_seq") < F.col("_ed_seq")
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"_ed_{c}"))
+                df = df.join(F.broadcast(dele), cond, "left_anti")
         return df
 
     # Steady-state reads resolve deltas against the base WITHOUT shuffling
@@ -919,6 +1073,12 @@ class LakeTable:
                     "kind": "delta",
                     "rows": md.num_rows,
                     "bytes": os.path.getsize(full),
+                    # data sequence number (Iceberg v2): equality deletes
+                    # apply only to files with seq < the delete's seq. Commit
+                    # retry loops re-stamp with the version that actually
+                    # lands; single-shot paths (compact/expire/CoW) commit at
+                    # exactly this version or abort.
+                    "seq": commit_version,
                 }
                 if part_values:
                     entry["partition"] = part_values
@@ -1082,6 +1242,15 @@ class LakeTable:
             raise ValueError(f"cannot drop {name!r} (key/ordering/internal column)")
         if name not in snap.schema().fieldNames():
             raise ValueError(f"no column {name!r} on {self.path}")
+        if any(
+            name in d.get("cols", [])
+            for d in (snap.delete_files or [])
+            if d["kind"] == "eqdel"
+        ):
+            raise ValueError(
+                f"column {name!r} is referenced by live equality-delete "
+                "files; rewrite_files() to materialize the deletes first"
+            )
         marker = os.path.join(self.meta_dir, f"dropped-{name}.json")
         for _attempt in range(50):
             snap = self.snapshot()
@@ -1280,6 +1449,16 @@ class LakeTable:
                 f"{old!r} is bloom-indexed (per-file bitmaps are name-keyed); "
                 "drop/rebuild the index or rewrite before renaming"
             )
+        if any(
+            old in d.get("cols", [])
+            for d in (snap.delete_files or [])
+            if d["kind"] == "eqdel"
+        ):
+            raise ValueError(
+                f"column {old!r} is referenced by live equality-delete "
+                "files (value sets are name-keyed); rewrite_files() to "
+                "materialize the deletes first"
+            )
         for _attempt in range(50):
             snap = self.snapshot()
             new_fields = [
@@ -1397,6 +1576,8 @@ class LakeTable:
             snap = self.snapshot()
             if epoch_id is not None and snap.epoch_committed(source, epoch_id):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+            for e in entries:  # exact data sequence = the version that lands
+                e["seq"] = snap.version + 1
             schema_json = self._evolved_schema(snap, delta_schema) or snap.schema_json
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
@@ -1740,6 +1921,8 @@ class LakeTable:
             snap = self.snapshot()
             if epoch_id is not None and snap.epoch_committed(source, epoch_id):
                 return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+            for e in files:  # exact data sequence = the version that lands
+                e["seq"] = snap.version + 1
             new_schema_json = self._evolved_schema(snap, df.schema) or snap.schema_json
             committed = dict(snap.committed_epochs)
             if epoch_id is not None:
@@ -1852,6 +2035,7 @@ class LakeTable:
                 committed_epochs=dict(target.committed_epochs),
                 summary={"operation": "rollback", "to_version": version},
                 seg_files=target.seg_files,
+                delete_files=list(target.delete_files or []),
             )
             try:
                 self._write_snapshot(new)
@@ -1895,6 +2079,7 @@ class LakeTable:
             committed_epochs=dict(snap.committed_epochs),
             summary={"operation": "wap-fork", "forked_at": snap.version},
             seg_files=snap.seg_files,
+            delete_files=list(snap.delete_files or []),
         )
         b._write_snapshot(fork)
         return b
@@ -1945,6 +2130,7 @@ class LakeTable:
                     summary={"operation": "wap-publish", "branch": name,
                              "branch_head": head.version},
                     seg_files=head.seg_files,
+                    delete_files=list(head.delete_files or []),
                 )
                 try:
                     self._write_snapshot(new)
@@ -1964,6 +2150,14 @@ class LakeTable:
                 raise RuntimeError(
                     "branch compacted/removed fork files; rebase supports "
                     "additive branches only — publish before compacting"
+                )
+            fork_dels = {d["path"] for d in (b.snapshot(fork_v).delete_files or [])}
+            head_dels = {d["path"] for d in (head.delete_files or [])}
+            if head_dels != fork_dels:
+                raise RuntimeError(
+                    "branch changed MoR delete files; rebase supports "
+                    "additive branches only — fast-forward publish, or "
+                    "rewrite_files() on the branch to materialize first"
                 )
             added = [f for f in head_files if f["path"] not in fork_paths]
             committed = dict(cur.committed_epochs)
@@ -2277,6 +2471,11 @@ class LakeTable:
             key=None,
             committed_epochs=snap.committed_epochs,
             summary={"operation": "rewrite-files", "n_files": n_files},
+            # the rewrite read went through _read_files, which applied every
+            # MoR delete file — the fresh files ARE the post-delete state,
+            # so the delete list resets (posdel entries would be stale
+            # anyway; eqdel seqs are all below the new files' seq)
+            delete_files=[],
         )
         new.replace_files(files)
         try:
@@ -2538,11 +2737,200 @@ class LakeTable:
             "rows_deleted": deleted,
         }
 
+    # --------------------------------------- merge-on-read deletes (v2)
+    def delete_eq_mor(self, col: str, values) -> dict:
+        """Equality-delete by value, merge-on-read (Iceberg v2 equality
+        delete file analog): the commit writes ONE tiny parquet of the
+        deleted values plus a metadata snapshot — zero data files are read
+        or rewritten, so a GDPR erasure on a 100 TB table is an O(1)
+        driver-side commit. Reads anti-join the value set out (broadcast, no
+        shuffle); ``rewrite_files`` / any full rewrite materializes and
+        drops the delete files. Sequence rule: the delete applies only to
+        files committed BEFORE it — the same value appended later survives,
+        exactly like SQL DELETE-then-INSERT. NULL never matches an equality
+        predicate (and is refused here; use ``delete_matching_mor`` with an
+        IS NULL predicate, which takes the position-delete path)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap0 = self.snapshot()
+        if snap0.key is not None:
+            raise ValueError(
+                "delete_eq_mor is for append-only tables; keyed tables "
+                "delete with delete_where (tombstones)"
+            )
+        field = {f.name: f for f in snap0.schema().fields}.get(col)
+        if field is None:
+            raise ValueError(f"no column {col!r} on this table")
+        vals = values if isinstance(values, (list, tuple, set)) else [values]
+        vals = list(vals)
+        if not vals or any(v is None for v in vals):
+            raise ValueError("equality deletes never match NULL (and need >=1 value)")
+        rel = os.path.join(_DATA_DIR, f"eqdel-{uuid.uuid4().hex[:12]}.parquet")
+        full = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(vals, type=_arrow_type(field.dataType))], names=[col]
+            ),
+            full,
+        )
+        entry = {
+            "path": rel, "kind": "eqdel", "cols": [col],
+            "rows": len(vals), "bytes": os.path.getsize(full),
+        }
+        return self._commit_mor_delete(
+            [entry], {"operation": "delete-eq-mor", "col": col, "values": len(vals)}
+        )
+
+    def delete_matching_mor(self, predicate: str) -> dict:
+        """Predicate delete, merge-on-read: scan once, record the matching
+        rows' (file, position) identities in a position-delete file, commit
+        metadata — data files are READ but never REWRITTEN (the write half
+        is O(matches), not O(table), which is the whole point for wide rows
+        like html/binary page bodies). SQL DELETE semantics: only rows where
+        the predicate is TRUE are deleted. The delete names concrete row
+        positions, so rows appended after the scan are untouched by
+        construction."""
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError(
+                "delete_matching_mor is for append-only tables; keyed "
+                "tables delete with delete_where (tombstones)"
+            )
+        victims = (
+            self._read_files(snap, snap.files, with_internal=True, keep_meta=True)
+            .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select(F.col("_mor_file").alias("file"), F.col("_mor_pos").alias("pos"))
+        )
+        entries = self._write_posdel_files(victims)
+        if not entries:
+            return {"skipped": True, "reason": "no-matches", "rows_deleted": 0}
+        return self._commit_mor_delete(
+            entries,
+            {
+                "operation": "delete-matching-mor",
+                "predicate": predicate,
+                "rows_deleted": sum(e["rows"] for e in entries),
+            },
+        )
+
+    def update_matching_mor(self, predicate: str, assignments: dict[str, str]) -> dict:
+        """UPDATE ... SET, merge-on-read: one atomic commit position-deletes
+        the matched rows and appends their updated images (staged with the
+        new commit's sequence, so outstanding equality deletes never re-kill
+        them). Cost is O(matched rows) read+write beyond the scan — columns
+        not assigned are carried through unchanged. CHECK constraints run on
+        the updated images before anything is staged."""
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError("update_matching_mor is for append-only tables")
+        schema = snap.schema()
+        names = set(schema.fieldNames())
+        unknown = set(assignments) - names
+        if unknown:
+            raise ValueError(f"assignments target unknown columns: {sorted(unknown)}")
+        matched = (
+            self._read_files(snap, snap.files, with_internal=True, keep_meta=True)
+            .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .localCheckpoint(eager=True)  # freeze: positions and images must agree
+        )
+        pos = matched.select(F.col("_mor_file").alias("file"), F.col("_mor_pos").alias("pos"))
+        updated = matched.select(
+            *[
+                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        self._enforce_constraints(updated)
+        pos_entries = self._write_posdel_files(pos)
+        if not pos_entries:
+            return {"skipped": True, "reason": "no-matches", "rows_updated": 0}
+        data_entries = self._stage_files(
+            self._align(updated, schema), snap, snap.version + 1, bucketed=False
+        )
+        return self._commit_mor_delete(
+            pos_entries,
+            {
+                "operation": "update-matching-mor",
+                "predicate": predicate,
+                "rows_updated": sum(e["rows"] for e in pos_entries),
+            },
+            data_entries=data_entries,
+        )
+
+    def _write_posdel_files(self, victims: DataFrame) -> list[dict]:
+        """Distributed write of a (file, pos) position-delete set; returns
+        manifest entries (empty when nothing matched)."""
+        import pyarrow.parquet as pq
+
+        rel_dir = os.path.join(_DATA_DIR, f"posdel-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.path, rel_dir)
+        victims.coalesce(1).write.mode("overwrite").parquet(out)
+        entries = []
+        for root, _dirs, fnames in os.walk(out):
+            for name in fnames:
+                if not name.endswith(".parquet"):
+                    continue
+                fullp = os.path.join(root, name)
+                n = pq.ParquetFile(fullp).metadata.num_rows
+                if n == 0:
+                    continue
+                entries.append(
+                    {
+                        "path": os.path.relpath(fullp, self.path),
+                        "kind": "posdel",
+                        "rows": n,
+                        "bytes": os.path.getsize(fullp),
+                    }
+                )
+        return entries
+
+    def _commit_mor_delete(
+        self, del_entries: list[dict], summary: dict, data_entries: list[dict] | None = None
+    ) -> dict:
+        """Optimistic commit appending MoR delete entries (and, for UPDATE,
+        the updated data files) to the head snapshot."""
+        for _attempt in range(50):
+            snap = self.snapshot()
+            for e in del_entries:
+                e["seq"] = snap.version + 1
+            for e in data_entries or []:
+                e["seq"] = snap.version + 1
+            new = Snapshot(
+                version=snap.version + 1,
+                schema_json=snap.schema_json,
+                n_buckets=snap.n_buckets,
+                key=snap.key,
+                segments=snap.segments,
+                tail=snap.tail + (data_entries or []),
+                committed_epochs=snap.committed_epochs,
+                summary=summary,
+                seg_files=snap.seg_files,
+                delete_files=(snap.delete_files or []) + del_entries,
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                continue
+            return {
+                "skipped": False,
+                "version": new.version,
+                "delete_files_added": len(del_entries),
+                **{k: v for k, v in summary.items() if k.startswith("rows_")},
+            }
+        raise RuntimeError(f"MoR delete contention exhausted retries on {self.path}")
+
     def clone_to(self, dest_path: str) -> "LakeTable":
         """Zero-copy clone (Delta shallow-clone analog, hardlink flavor):
         data files are HARDLINKED into the clone (O(#files) metadata ops,
         zero bytes copied, any table size), the current snapshot is re-rooted
-        as the clone's version 1. The clone then evolves independently —
+        as the clone's head at the SOURCE's version number (preserving
+        data-sequence ordering for copied MoR delete files; position deletes
+        are rewritten through the file-rename map, equality deletes
+        hardlink). The clone then evolves independently —
         commits, compaction, vacuum on either side never touch the other's
         row data (hardlinked blocks are shared until either side's vacuum
         unlinks its own name; the inode lives while any name does). The
@@ -2559,17 +2947,60 @@ class LakeTable:
             rel = os.path.join(_DATA_DIR, f"clone-{uuid.uuid4().hex[:12]}.parquet")
             os.link(src, os.path.join(dest.path, rel))
             entries.append(dict(f, path=rel))
+        # data files were renamed above, so position deletes (keyed on file
+        # basename) must be rewritten through the old->new name map — they
+        # are tiny by construction. Equality deletes carry no file refs and
+        # hardlink as-is. Entries whose target file left the snapshot are
+        # stale and drop out here.
+        name_map = {
+            old["path"]: new_e["path"] for old, new_e in zip(snap.files, entries)
+        }
+        del_entries = []
+        for d in snap.delete_files or []:
+            src = os.path.join(self.path, d["path"])
+            if d["kind"] == "posdel":
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(src)
+                files_col = [name_map.get(v) for v in t.column("file").to_pylist()]
+                keep_rows = [i for i, v in enumerate(files_col) if v is not None]
+                t = t.take(keep_rows).set_column(
+                    t.schema.get_field_index("file"),
+                    "file",
+                    pc.cast([files_col[i] for i in keep_rows], "string"),
+                )
+                if t.num_rows == 0:
+                    continue
+                rel = os.path.join(_DATA_DIR, f"posdel-clone-{uuid.uuid4().hex[:12]}.parquet")
+                dst = os.path.join(dest.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                pq.write_table(t, dst)
+                del_entries.append(
+                    dict(d, path=rel, rows=t.num_rows, bytes=os.path.getsize(dst))
+                )
+            else:
+                rel = os.path.join(_DATA_DIR, f"eqdel-clone-{uuid.uuid4().hex[:12]}.parquet")
+                dst = os.path.join(dest.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
+                del_entries.append(dict(d, path=rel))
         props = self._props()
         if props:
             _atomic_write_json(os.path.join(dest.meta_dir, "props.json"), props)
         new = Snapshot(
-            version=1,
+            # the clone keeps the source's version number (not 1): data
+            # sequence numbers copied with the entries stay below every
+            # FUTURE clone commit's seq (= version+1), so copied equality
+            # deletes can never apply to rows appended post-clone
+            version=snap.version,
             schema_json=snap.schema_json,
             n_buckets=snap.n_buckets,
             key=snap.key,
             committed_epochs=dict(snap.committed_epochs),
             summary={"operation": "clone", "source": self.path,
                      "source_version": snap.version},
+            delete_files=del_entries,
         )
         new.replace_files(entries)
         dest._write_snapshot(new)
@@ -2839,6 +3270,7 @@ class LakeTable:
             with open(os.path.join(self.meta_dir, f)) as fh:
                 d = json.load(fh)
             entries = list(d.get("tail", d.get("files", [])))
+            entries.extend(d.get("delete_files", []))  # MoR delete files are live data
             for seg in d.get("segments", []):
                 entries.extend(_resolve_segments(self.meta_dir, [seg]))
             for e in entries:

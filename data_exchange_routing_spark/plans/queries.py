@@ -6477,7 +6477,7 @@ def lake_delete_eq_pruned(spark, sf_dir):
     # wall-clock instant of version 2 must see exactly the first epoch.
     """
     SELECT count(*) AS n_events,
-           sum(event_id) AS id_sum,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
            round(sum(value), 2) AS sum_value
     FROM events
     WHERE event_id % 2 = 0
@@ -6497,4 +6497,67 @@ def lake_time_travel_asof(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").alias("id_sum"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "lake_mor_delete_scan",
+    # Merge-on-read deletes (lake/table.py:delete_eq_mor/_matching_mor/
+    # update_matching_mor — Iceberg v2 delete-file analog): an equality
+    # delete (O(1) metadata commit, zero data files read), a position
+    # delete, a post-delete append that the sequence rule must spare even
+    # though it re-adds the eq-deleted value, and a MoR UPDATE — then one
+    # scan whose read-time anti-joins must hash-match the relational
+    # composition below. Asserts no data file was rewritten by the deletes.
+    """
+    WITH live AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_type <> 'error' AND event_id % 7 <> 0
+      UNION ALL
+      SELECT event_id, event_type, value * 2 AS value FROM events
+      WHERE event_id % 100 = 0
+    ),
+    upd AS (
+      SELECT event_type,
+             CASE WHEN event_id % 11 = 0 THEN value + 1000 ELSE value END AS value
+      FROM live
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM upd
+    GROUP BY event_type
+    """,
+)
+def lake_mor_delete_scan(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="mordel_"), e.schema)
+    t.append(e, epoch_id=0)
+    data_before = {f["path"] for f in t.snapshot().files}
+    t.delete_eq_mor("event_type", "error")
+    t.delete_matching_mor("event_id % 7 = 0")
+    snap = t.snapshot()
+    if {f["path"] for f in snap.files} != data_before:
+        raise AssertionError("MoR deletes must not rewrite data files")
+    if [d["kind"] for d in snap.delete_files] != ["eqdel", "posdel"]:
+        raise AssertionError(f"unexpected delete files: {snap.delete_files}")
+    # post-delete append re-adds 'error' rows; the sequence rule spares them
+    t.append(
+        e.filter(F.col("event_id") % 100 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+        epoch_id=1,
+    )
+    t.update_matching_mor("event_id % 11 = 0", {"value": "value + 1000"})
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )
