@@ -2612,6 +2612,30 @@ class LakeTable:
         }
 
     # --------------------------------------------- append-only row deletes
+    def _file_may_contain(self, f: dict, col: str, value, props: dict, specs: dict) -> bool:
+        """Metadata-only "can this data file hold a row with col == value?"
+        — hidden-partition transforms (through the file's OWN spec id),
+        manifest min/max column stats, and the Bloom file index, in that
+        order of cost. Shared by the CoW delete pruner (``delete_eq``) and
+        MoR-delete compaction (``compact_mor_deletes``) so the pruning and
+        the predicate they guard can never disagree. Conservative: any
+        missing metadata (or a NULL probe value) answers True."""
+        from data_exchange_routing_spark.lake import partition as _pt
+
+        if value is None:
+            return True
+        if _pt.prune_files([f], specs, (col, value), None) == []:
+            return False
+        iso = value.isoformat() if hasattr(value, "isoformat") else value
+        rng = (f.get("col_stats") or {}).get(col) or (f.get("ts_stats") or {}).get(col)
+        if rng is not None and not (rng[0] <= iso <= rng[1]):
+            return False
+        if col in props.get("bloom_cols", []) and (f.get("bloom") or {}).get(col) is not None:
+            bits, hashes = props["bloom_bits"], props["bloom_hashes"]
+            if not self._bloom_probe(f["bloom"][col], value, bits, hashes):
+                return False
+        return True
+
     def delete_eq(self, col: str, value) -> dict:
         """Delete every row of an append-only table where ``col == value``
         (the GDPR/right-to-erasure workhorse over raw event/page logs).
@@ -2623,24 +2647,11 @@ class LakeTable:
         Bloom file index can prove disjoint stays untouched, metadata-only.
         On a well-partitioned table that is O(matching files), not O(table).
         NULL rows never match an equality predicate and are always kept."""
-        from data_exchange_routing_spark.lake import partition as _pt
-
-        iso = value.isoformat() if hasattr(value, "isoformat") else value
         props = self._props()
-        bloom_ok = col in props.get("bloom_cols", []) and value is not None
         specs = self._part_state().get("specs", {})
 
         def may_match(f: dict) -> bool:
-            if _pt.prune_files([f], specs, (col, value), None) == []:
-                return False
-            rng = (f.get("col_stats") or {}).get(col) or (f.get("ts_stats") or {}).get(col)
-            if rng is not None and not (rng[0] <= iso <= rng[1]):
-                return False
-            if bloom_ok and (f.get("bloom") or {}).get(col) is not None:
-                bits, hashes = props["bloom_bits"], props["bloom_hashes"]
-                if not self._bloom_probe(f["bloom"][col], value, bits, hashes):
-                    return False
-            return True
+            return self._file_may_contain(f, col, value, props, specs)
 
         return self._delete_rows(
             F.col(col) == F.lit(value),
@@ -2922,6 +2933,123 @@ class LakeTable:
                 **{k: v for k, v in summary.items() if k.startswith("rows_")},
             }
         raise RuntimeError(f"MoR delete contention exhausted retries on {self.path}")
+
+    def compact_mor_deletes(self) -> dict:
+        """Minor merge-on-read compaction (Iceberg's
+        rewrite_position_delete_files / delete-filtered rewrite_data_files
+        analog): rewrite ONLY the data files the snapshot's delete files can
+        still affect, folding the deletes in, and drop the delete list —
+        O(affected files), never O(table). After it runs, reads are one-pass
+        scans again (no row-identity join, no anti-joins) and the broadcast
+        delete sets stop accumulating; ``rewrite_files`` remains the full
+        O(table) rewrite for when layout itself needs redoing.
+
+        The affected set is derived without scanning any data file:
+        position deletes NAME their victim files (read the tiny posdel
+        parquet, distinct ``file``); equality deletes prune through the v2
+        sequence rule (files with seq >= the delete's seq are exempt) plus
+        the same partition-spec / min-max / Bloom metadata the CoW deletes
+        prune with (``_file_may_contain`` — shared code, so pruning and
+        predicate cannot disagree). Collecting the eq value tuples to the
+        driver leans on the same "delete sets are small by construction"
+        bound ``_apply_delete_files`` already relies on to broadcast them.
+
+        Content-preserving by construction: the rewrite reads through
+        ``_read_files`` — the single delete-application point — and the
+        fresh files' seq (= the new version) exceeds every dropped delete's
+        seq. Epoch guards carry over, so redelivery of a folded epoch stays
+        a no-op. Concurrent-append safe: aborts on version conflict instead
+        of dropping the concurrent batch."""
+        snap = self.snapshot()
+        dels = snap.delete_files or []
+        if not dels:
+            return {"skipped": True, "reason": "no-delete-files"}
+        if snap.key is not None:  # unreachable via public API: MoR delete
+            raise ValueError("keyed tables never carry MoR delete files")
+        pos_victims: set[str] = set()
+        pos_files = [d for d in dels if d["kind"] == "posdel" and d.get("rows", 0) > 0]
+        if pos_files:
+            pos_victims = {
+                r["file"]
+                for r in self.spark.read.parquet(
+                    *[os.path.join(self.path, d["path"]) for d in pos_files]
+                )
+                .select("file")
+                .distinct()
+                .collect()
+            }
+        props = self._props()
+        specs = self._part_state().get("specs", {})
+        by_name = {f.name: f for f in snap.schema().fields}
+        eq_sets: list[tuple[list[str], int, list[tuple]]] = []
+        for d in dels:
+            if d["kind"] != "eqdel" or d.get("rows", 0) <= 0:
+                continue
+            cols = list(d["cols"])
+            vals = (
+                self.spark.read.parquet(os.path.join(self.path, d["path"]))
+                # cast to the CURRENT schema types, mirroring how
+                # _apply_delete_files probes after type widening
+                .select(*[F.col(c).cast(by_name[c].dataType).alias(c) for c in cols])
+                .distinct()
+                .collect()
+            )
+            eq_sets.append((cols, int(d.get("seq", 0)), [tuple(r) for r in vals]))
+
+        def affected(f: dict) -> bool:
+            if f["path"] in pos_victims:
+                return True
+            fseq = int(f.get("seq", 0))
+            for cols, dseq, tuples in eq_sets:
+                if fseq >= dseq:
+                    continue
+                for tup in tuples:
+                    if all(
+                        self._file_may_contain(f, c, v, props, specs)
+                        for c, v in zip(cols, tup)
+                    ):
+                        return True
+            return False
+
+        keep = [f for f in snap.files if not affected(f)]
+        rewrite = [f for f in snap.files if affected(f)]
+        new_files: list[dict] = []
+        removed = 0
+        if rewrite:
+            df = self._read_files(snap, rewrite, with_internal=True)
+            new_files = self._stage_files(
+                df, snap, snap.version + 1, bucketed=False, n_files=len(rewrite)
+            )
+            removed = sum(f.get("rows", 0) for f in rewrite) - sum(
+                f.get("rows", 0) for f in new_files
+            )
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            committed_epochs=snap.committed_epochs,
+            summary={
+                "operation": "compact-mor-deletes",
+                "files_rewritten": len(rewrite),
+                "delete_files_dropped": len(dels),
+                "rows_deleted": removed,
+            },
+            delete_files=[],
+        )
+        new.replace_files(keep + new_files)
+        try:
+            self._write_snapshot(new)
+        except FileExistsError:
+            return {"skipped": True, "reason": "commit-conflict"}
+        return {
+            "skipped": False,
+            "version": new.version,
+            "files_rewritten": len(rewrite),
+            "files_kept": len(keep),
+            "delete_files_dropped": len(dels),
+            "rows_deleted": removed,
+        }
 
     def clone_to(self, dest_path: str) -> "LakeTable":
         """Zero-copy clone (Delta shallow-clone analog, hardlink flavor):

@@ -321,3 +321,109 @@ def test_mor_identity_survives_duplicate_basenames(spark, tmpdir_path):
     t.rewrite_files(n_files=2)
     assert not t.snapshot().delete_files
     assert t.read().count() == 36
+
+
+# ------------------------------------------------------------------
+# compact_mor_deletes: targeted (minor) MoR compaction
+# ------------------------------------------------------------------
+
+
+def test_compact_mor_rewrites_only_affected_files(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path + "/t")
+    t.append(_rows(spark, [("a", 0, 1), ("b", 1, 2)]), epoch_id=0)
+    t.append(_rows(spark, [("c", 2, 3), ("d", 3, 4)]), epoch_id=1)
+    t.append(_rows(spark, [("e", 4, 5)]), epoch_id=2)
+    by_epoch = {f["path"]: f for f in t.snapshot().files}
+    # position delete hits only the first file's rows
+    t.delete_matching_mor("url = 'b'")
+    pre = _state(t)
+    r = t.compact_mor_deletes()
+    assert not r["skipped"] and r["files_rewritten"] == 1
+    snap = t.snapshot()
+    assert snap.delete_files == []
+    assert _state(t) == pre == [("a", 1), ("c", 3), ("d", 4), ("e", 5)]
+    # the two untouched files carried over verbatim (same manifest paths)
+    kept = {f["path"] for f in snap.files} & set(by_epoch)
+    assert len(kept) == 2
+    # materialized: physical bytes of the new snapshot lack the deleted row
+    raw = spark.read.parquet(*[os.path.join(t.path, f["path"]) for f in snap.files])
+    assert raw.count() == 4
+
+
+def test_compact_mor_eq_seq_rule_spares_later_files(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path + "/t")
+    t.append(_rows(spark, [("a", 0, 1), ("b", 1, 2)]), epoch_id=0)
+    t.delete_eq_mor("url", "b")
+    # same value appended AFTER the delete: its file has seq > delete seq
+    t.append(_rows(spark, [("b", 5, 99)]), epoch_id=1)
+    later = {f["path"] for f in t.snapshot().files if f["seq"] > 2}
+    r = t.compact_mor_deletes()
+    assert not r["skipped"] and r["files_rewritten"] == 1
+    snap = t.snapshot()
+    assert later <= {f["path"] for f in snap.files}  # exempt file untouched
+    assert snap.delete_files == []
+    assert _state(t) == [("a", 1), ("b", 99)]
+
+
+def test_compact_mor_prunes_by_partition_and_stats(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path + "/t")
+    t.set_partition_spec(
+        [{"name": "url_p", "col": "url", "transform": "truncate", "param": 1}]
+    )
+    t.append(
+        _rows(spark, [("ax", 0, 1), ("ay", 1, 2), ("bx", 2, 3), ("by", 3, 4)]),
+        epoch_id=0,
+    )
+    t.delete_eq_mor("url", "ay")
+    n_files = len(t.snapshot().files)
+    assert n_files == 2  # one per truncate(url,1) partition value
+    r = t.compact_mor_deletes()
+    assert not r["skipped"]
+    # only the url=a* partition file may match; b* stayed metadata-only
+    assert r["files_rewritten"] == 1 and r["files_kept"] == n_files - 1
+    assert _state(t) == [("ax", 1), ("bx", 3), ("by", 4)]
+    assert t.snapshot().delete_files == []
+
+
+def test_compact_mor_stale_deletes_drop_metadata_only(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path + "/t")
+    t.append(_rows(spark, [("a", 0, 1), ("b", 1, 2)]), epoch_id=0)
+    t.delete_matching_mor("url = 'a'")
+    # a CoW delete rewrites the file, orphaning the posdel identities
+    t.delete_matching("v = 2")
+    assert _state(t) == [("a", 1)] or _state(t) == []  # a was MoR-deleted
+    pre = _state(t)
+    r = t.compact_mor_deletes()
+    assert not r["skipped"]
+    assert r["files_rewritten"] == 0  # stale posdel names no live file
+    assert t.snapshot().delete_files == []
+    assert _state(t) == pre
+
+
+def test_compact_mor_preserves_epoch_guards_and_update_images(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path + "/t")
+    t.append(_rows(spark, [("a", 0, 1), ("b", 1, 2)]), epoch_id=7)
+    t.update_matching_mor("url = 'b'", {"v": "v * 10"})
+    t.compact_mor_deletes()
+    assert _state(t) == [("a", 1), ("b", 20)]
+    # redelivery of the folded epoch is still a no-op
+    t.append(_rows(spark, [("a", 0, 1), ("b", 1, 2)]), epoch_id=7)
+    assert _state(t) == [("a", 1), ("b", 20)]
+    # and the cycle can repeat: new deletes land and compact again
+    t.delete_eq_mor("url", ["a"])
+    assert not t.compact_mor_deletes()["skipped"]
+    assert _state(t) == [("b", 20)]
+    assert t.compact_mor_deletes()["skipped"]  # nothing left to fold
+
+
+def test_compact_mor_unblocks_rename_and_time_travel(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path + "/t")
+    t.append(_rows(spark, [("a", 0, 1), ("b", 1, 2)]), epoch_id=0)
+    t.delete_eq_mor("v", 2)
+    v_mor = t.current_version()
+    t.compact_mor_deletes()
+    # eq-delete no longer references v -> rename allowed
+    t.rename_column("v", "w")
+    assert sorted((r.url, r.w) for r in t.read().collect()) == [("a", 1)]
+    # time travel to the MoR snapshot still applies its delete files
+    assert _state(t, version=v_mor) == [("a", 1)]
