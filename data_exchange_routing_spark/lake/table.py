@@ -214,6 +214,29 @@ def _resolve_segments(meta_dir: str, segments: list[str], _cache: dict = {}) -> 
     return hit
 
 
+_STR_STATS_MAX = 64
+
+
+def _bounded_str_range(lo: str, hi: str, limit: int = _STR_STATS_MAX) -> list[str] | None:
+    """Clamp a string min/max pair to ``limit`` chars while keeping it a
+    valid BOUND (parquet BinaryTruncator analog): a truncated min is a
+    prefix, hence <= every value it bounded; a truncated max has its last
+    kept code point incremented, hence >= every value it bounded. Returns
+    None when no valid upper bound fits (max is ``limit`` U+10FFFFs — a
+    pathological value worth dropping stats over, never mis-pruning)."""
+    if len(lo) > limit:
+        lo = lo[:limit]
+    if len(hi) > limit:
+        head = hi[:limit]
+        i = len(head) - 1
+        while i >= 0 and ord(head[i]) >= 0x10FFFF:
+            i -= 1
+        if i < 0:
+            return None
+        hi = head[:i] + chr(ord(head[i]) + 1)
+    return [lo, hi]
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     """Exclusive-create commit: succeeds for exactly one writer per version."""
     d = os.path.dirname(path)
@@ -858,9 +881,9 @@ class LakeTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
             return df
         if range_filter is not None:
-            # numeric range scan of an APPEND-ONLY table: ts_filter's twin
-            # over col_stats (int/long/float/double/date), so measure
-            # predicates prune files from the manifest alone. Same
+            # value range scan of an APPEND-ONLY table: ts_filter's twin
+            # over col_stats (int/long/float/double/date/string), so measure
+            # AND string predicates prune files from the manifest alone. Same
             # conservatism: files without recorded stats are never pruned;
             # NULL rows never match a range predicate, so pruning by value
             # range cannot lose them.
@@ -1126,16 +1149,32 @@ class LakeTable:
                         entry["ts_stats"] = ts_stats
                     if ts_nulls:
                         entry["ts_nulls"] = sorted(ts_nulls)
-                # numeric-column ranges from the SAME footer walk (no extra
-                # IO): generalizes ts_stats to int/long/float/double/date so
-                # range_filter reads prune files on ANY numeric predicate —
-                # the Iceberg column-stats analog for measures, not just time
+                # numeric- and string-column ranges from the SAME footer walk
+                # (no extra IO): generalizes ts_stats to int/long/float/
+                # double/date AND utf8 strings, so range_filter reads,
+                # delete_eq/delete_range pruning and MoR-delete compaction
+                # prune files on ANY such predicate — the Iceberg
+                # column-stats analog. String chunk stats are valid BOUNDS
+                # whenever present (parquet writers either keep exact
+                # min/max, omit oversized ones → has_min_max False → no
+                # pruning, or truncate bound-preservingly à la
+                # BinaryTruncator); long merged bounds are re-truncated
+                # below so a url/text column can't bloat the manifest.
+                # Binary columns stay excluded (html bytes: no meaningful
+                # range, no JSON encoding).
                 num_cols = {
                     f.name
                     for f in df.schema.fields
                     if isinstance(
                         f.dataType,
-                        (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DateType),
+                        (
+                            T.IntegerType,
+                            T.LongType,
+                            T.FloatType,
+                            T.DoubleType,
+                            T.DateType,
+                            T.StringType,
+                        ),
                     )
                     and f.name not in INTERNAL_COLS
                     and f.name != BUCKET_COL
@@ -1164,11 +1203,25 @@ class LakeTable:
                             lo, hi = s.min, s.max
                             if hasattr(lo, "isoformat"):
                                 lo, hi = lo.isoformat(), hi.isoformat()
+                            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                                # un-annotated byte-array stats: order is not
+                                # comparable to str probes — never record
+                                n_incomplete.add(name)
+                                col_stats.pop(name, None)
+                                continue
                             cur = col_stats.get(name)
                             col_stats[name] = (
                                 [lo, hi] if cur is None
                                 else [min(cur[0], lo), max(cur[1], hi)]
                             )
+                    for name in list(col_stats):
+                        lo, hi = col_stats[name]
+                        if isinstance(lo, str):
+                            b = _bounded_str_range(lo, hi)
+                            if b is None:
+                                col_stats.pop(name)
+                            else:
+                                col_stats[name] = b
                     if col_stats:
                         entry["col_stats"] = col_stats
                     if col_nulls:

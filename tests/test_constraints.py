@@ -163,3 +163,92 @@ def test_range_filter_prunes_files_and_stays_exact(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         kt.read(range_filter=("n", 0, 1))
+
+
+# ------------------------------------------------- string col_stats pruning
+
+
+def test_string_col_stats_prune_range_and_delete_eq(spark, tmp_path):
+    """String columns get manifest min/max too (utf8 chunk stats are valid
+    bounds whenever present), so the GDPR workhorse delete_eq("url", ...)
+    and string range_filter reads prune files without Bloom or a partition
+    spec."""
+    import os
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        T.StructType(
+            [T.StructField("url", T.StringType()), T.StructField("n", T.LongType())]
+        ),
+        key=None,
+        n_buckets=1,
+    )
+    # disjoint url prefixes per commit -> tight string stats per file
+    for e, pfx in enumerate(["a", "b", "c"]):
+        df = spark.range(100).select(
+            F.concat(F.lit(f"https://{pfx}.example/p/"), F.col("id")).alias("url"),
+            F.col("id").alias("n"),
+        )
+        t.append(df, epoch_id=e)
+    files = t.snapshot().files
+    assert all("url" in (f.get("col_stats") or {}) for f in files)
+
+    # string range read opens only the b-prefix file
+    got = t.read(range_filter=("url", "https://b", "https://c"))
+    assert got.count() == 100
+    read_paths = {
+        os.path.relpath(r["p"].removeprefix("file://"), t.path)
+        for r in got.select(F.input_file_name().alias("p")).distinct().collect()
+    }
+    assert len(read_paths) == 1
+
+    # CoW delete_eq on a url rewrites exactly one file
+    r = t.delete_eq("url", "https://c.example/p/7")
+    assert r["files_rewritten"] == 1 and r["rows_deleted"] == 1
+
+    # MoR eq-delete + minor compaction prune the same way
+    t.delete_eq_mor("url", "https://a.example/p/7")
+    rc = t.compact_mor_deletes()
+    assert rc["files_rewritten"] == 1
+    assert t.read().count() == 298
+
+
+def test_string_stats_truncation_keeps_valid_bounds(spark, tmp_path):
+    """Bounds longer than the cap are clamped BinaryTruncator-style: the
+    min becomes a prefix (<= all values), the max gets its last kept code
+    point bumped (>= all values) — so pruning long-url files stays exact."""
+    from data_exchange_routing_spark.lake.table import (
+        _STR_STATS_MAX,
+        _bounded_str_range,
+    )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("url", T.StringType())]),
+        key=None,
+        n_buckets=1,
+    )
+    long_a = "https://a.example/" + "x" * 200
+    long_z = "https://z.example/" + "x" * 200
+    t.append(spark.createDataFrame([(long_a + "/1",), (long_a + "/2",)], ["url"]), epoch_id=0)
+    t.append(spark.createDataFrame([(long_z + "/1",), (long_z + "/2",)], ["url"]), epoch_id=1)
+    for f in t.snapshot().files:
+        lo, hi = f["col_stats"]["url"]
+        assert len(lo) <= _STR_STATS_MAX and len(hi) <= _STR_STATS_MAX + 1
+    # bounds stay valid: a probe INSIDE each file's true range never prunes
+    # its file, and a probe between the two prefixes opens neither
+    assert t.read(range_filter=("url", long_a, long_a + "/9")).count() == 2
+    assert t.read(range_filter=("url", long_z, long_z + "/9")).count() == 2
+    assert t.read(range_filter=("url", "https://m", "https://n")).count() == 0
+    # delete_eq with a long value still hits exactly its file
+    assert t.delete_eq("url", long_a + "/1")["files_rewritten"] == 1
+    assert t.read().count() == 3
+
+    # helper unit edges: prefix min, bumped max, pathological None
+    lo, hi = _bounded_str_range("a" * 100, "b" * 100)
+    assert lo == "a" * _STR_STATS_MAX
+    assert hi == "b" * (_STR_STATS_MAX - 1) + "c" and hi > "b" * 100
+    assert _bounded_str_range("a", chr(0x10FFFF) * (_STR_STATS_MAX + 1)) is None
+    assert _bounded_str_range("a", "b") == ["a", "b"]
