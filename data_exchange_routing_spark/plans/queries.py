@@ -5729,6 +5729,65 @@ def events_hourly_ewma(spark, sf_dir):
 
 
 @q(
+    "lake_string_range_scan",
+    # Manifest STRING-stats file pruning (lake/table.py col_stats now
+    # covers utf8 columns with BinaryTruncator-style bound clamping):
+    # documents ingested in source-banded epochs, then a band-selective
+    # string range scan opens ONLY overlapping files — the same
+    # metadata-only pruning delete_eq("url", ...) keys on for GDPR
+    # erasure. In-query assertions prove stats were recorded and files
+    # skipped; the oracle is the plain predicate.
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE source >= 'src15' AND source <= 'src19'
+    """,
+)
+def lake_string_range_scan(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="strscan_"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        ),
+        key=None,
+        n_buckets=1,
+    )
+    # 3 source-banded epoch commits -> 3 files with tight string stats
+    # (lexicographic: src0 < src1 < src10 < ... < src19 < src2 < ...)
+    bands = [(None, "src13"), ("src13", "src2"), ("src2", None)]
+    for e, (lo, hi) in enumerate(bands):
+        band = docs
+        if lo is not None:
+            band = band.filter(F.col("source") > lo)
+        if hi is not None:
+            band = band.filter(F.col("source") <= hi)
+        t.append(band, epoch_id=e)
+    files = t.snapshot().files
+    assert all(
+        (f.get("col_stats") or {}).get("source") is not None for f in files
+    ), "every commit should record string stats"
+    pruned = t.read(range_filter=("source", "src15", "src19"))
+    kept = [
+        f for f in files
+        if f["col_stats"]["source"][0] <= "src19"
+        and f["col_stats"]["source"][1] >= "src15"
+    ]
+    assert len(kept) < len(files), "string range scan should prune files"
+    return pruned.select("doc_id", "lang", "source", "n_chars")
+
+
+@q(
     "events_range_scan",
     # Manifest numeric-stats file pruning (lake/table.py col_stats +
     # read(range_filter=)): events ingested in value-banded epochs, then a
@@ -6553,6 +6612,16 @@ def lake_mor_delete_scan(spark, sf_dir):
         epoch_id=1,
     )
     t.update_matching_mor("event_id % 11 = 0", {"value": "value + 1000"})
+    # minor MoR compaction folds the deletes into ONLY the affected files
+    # and must not change the answer: the oracle compares post-compaction
+    r = t.compact_mor_deletes()
+    snap = t.snapshot()
+    if snap.delete_files != []:
+        raise AssertionError("compaction must drop the delete list")
+    if r["skipped"] or r["files_kept"] < 1:
+        raise AssertionError(
+            f"compaction must keep seq-exempt files untouched: {r}"
+        )
     return (
         t.read()
         .groupBy("event_type")
