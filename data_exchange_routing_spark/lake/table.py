@@ -55,6 +55,10 @@ LSN_COL = "_lsn"
 DELETED_COL = "_deleted"
 BUCKET_COL = "_b"
 INTERNAL_COLS = (LSN_COL, DELETED_COL)
+# row-lineage column (Iceberg v3 _row_id analog). Implicit for as-written
+# files (manifest first_row_id + row position); materialized as a real
+# parquet column by rewrites so identity survives compaction.
+ROW_ID_COL = "_row_id"
 
 _META_DIR = "_meta"
 _DATA_DIR = "data"
@@ -140,6 +144,11 @@ class Snapshot:
     # that predate the feature carry deletes forward without knowing about
     # them. Entry: {path, kind: eqdel|posdel, rows, bytes, seq?, cols?}.
     delete_files: list[dict[str, Any]] | None = None
+    # row-lineage high watermark (Iceberg v3 row-id analog, append-only
+    # tables): the next unassigned row id. None = "not set by this commit";
+    # _write_snapshot inherits and advances it while stamping first_row_id
+    # onto new manifest entries, so no commit path needs to know about it.
+    next_row_id: int | None = None
 
     @property
     def files(self) -> list[dict[str, Any]]:
@@ -487,6 +496,7 @@ class LakeTable:
             committed_epochs=d.get("committed_epochs", {}),
             summary=d.get("summary", {}),
             delete_files=d.get("delete_files", []),
+            next_row_id=d.get("next_row_id"),
         )
         if snap.segments:
             snap.seg_files = _resolve_segments(self.meta_dir, snap.segments)
@@ -529,6 +539,31 @@ class LakeTable:
         # O(#files) merge amortized over TAIL_MAX*SEG_MAX commits
         # (Iceberg manifest-list reuse). A segment written by a commit that
         # then loses the version race is an orphan; expire_snapshots GCs it.
+        #
+        # Row lineage (append-only tables): stamp first_row_id onto every
+        # new data entry BEFORE the tail rolls into an immutable segment.
+        # A row's id is first_row_id + its position in the file — stable
+        # until a rewrite, which materializes ids INTO the new files
+        # (entry marked row_ids="file", never restamped). The watermark
+        # inherits from the commit's base snapshot and is bumped over every
+        # already-stamped entry first, so publish/rollback/clone flows that
+        # splice entries from other lineages can never double-assign an id.
+        if snap.key is None:
+            nxt = snap.next_row_id
+            if nxt is None:
+                try:
+                    nxt = self.snapshot(snap.version - 1).next_row_id or 0
+                except FileNotFoundError:
+                    nxt = 0
+            for e in (snap.seg_files or []) + snap.tail:
+                frid = e.get("first_row_id")
+                if frid is not None:
+                    nxt = max(nxt, frid + int(e.get("rows", 0)))
+            for e in snap.tail:
+                if e.get("first_row_id") is None and not e.get("row_ids"):
+                    e["first_row_id"] = nxt
+                    nxt += int(e.get("rows", 0))
+            snap.next_row_id = nxt
         if len(snap.tail) > TAIL_MAX:
             seg_name = f"seg-{uuid.uuid4().hex[:12]}.json"
             with open(os.path.join(self.meta_dir, seg_name), "w") as f:
@@ -560,6 +595,7 @@ class LakeTable:
             "committed_epochs": snap.committed_epochs,
             "summary": snap.summary,
             "delete_files": snap.delete_files,
+            "next_row_id": snap.next_row_id,
             "n_files": len(snap.seg_files or []) + len(snap.tail),
         }
         path = os.path.join(self.meta_dir, f"{self._snap_prefix}{snap.version:08d}.json")
@@ -568,7 +604,7 @@ class LakeTable:
     # -------------------------------------------------------------- reading
     def _read_files(
         self, snap: Snapshot, files: list[dict], with_internal: bool,
-        keep_meta: bool = False,
+        keep_meta: bool = False, with_row_ids: bool = False,
     ) -> DataFrame:
         """Scan manifest entries into a DataFrame. This is the SINGLE
         application point for merge-on-read delete files, so every reader
@@ -577,13 +613,17 @@ class LakeTable:
         fresh files (seq = new version) are exempt from older eq-deletes by
         the sequence rule, never resurrecting rows. ``keep_meta=True``
         returns ``_mor_file`` (manifest-relative path) and ``_mor_pos``
-        (row index within the file) for position-delete writers."""
+        (row index within the file) for position-delete writers.
+        ``with_row_ids=True`` additionally returns ``_row_id`` — the stable
+        row-lineage id: the file's materialized ``_row_id`` column when the
+        file was written by a rewrite, else the manifest ``first_row_id``
+        plus the row's position."""
         schema = snap.schema()
         paths = [os.path.join(self.path, f["path"]) for f in files]
         renames = self._live_renames(snap)
         # only touch the hidden _metadata struct when row identity is
         # actually needed: delete-free tables keep their exact pre-MoR plans
-        need_meta = keep_meta or bool(snap.delete_files)
+        need_meta = keep_meta or bool(snap.delete_files) or with_row_ids
         if paths and renames:
             # name-mapped RENAME COLUMN read path: request the alias names
             # alongside the schema (files written pre-rename store the bytes
@@ -599,6 +639,8 @@ class LakeTable:
                     if a not in taken:
                         extra.append(T.StructField(a, by_name[cur].dataType, True))
                         taken.add(a)
+            if with_row_ids:
+                extra.append(T.StructField(ROW_ID_COL, T.LongType(), True))
             df = self.spark.read.schema(T.StructType(schema.fields + extra)).parquet(*paths)
             if need_meta:
                 df = self._attach_mor_meta(df, files)
@@ -609,24 +651,38 @@ class LakeTable:
                     else F.col(f.name)
                     for f in schema.fields
                 ],
-                *(["_mor_file", "_mor_pos", "_mor_seq"] if need_meta else []),
+                *([ROW_ID_COL] if with_row_ids else []),
+                *(["_mor_file", "_mor_pos", "_mor_seq", "_mor_frid"] if need_meta else []),
             )
         elif paths:
-            df = self.spark.read.schema(schema).parquet(*paths)
+            req = schema
+            if with_row_ids:
+                req = T.StructType(schema.fields + [T.StructField(ROW_ID_COL, T.LongType(), True)])
+            df = self.spark.read.schema(req).parquet(*paths)
             if need_meta:
                 df = self._attach_mor_meta(df, files)
         else:
             df = self.spark.createDataFrame([], schema)
+            if with_row_ids:
+                df = df.select("*", F.lit(None).cast("long").alias(ROW_ID_COL))
             if need_meta:
                 df = df.select(
                     "*",
                     F.lit(None).cast("string").alias("_mor_file"),
                     F.lit(None).cast("long").alias("_mor_pos"),
                     F.lit(None).cast("long").alias("_mor_seq"),
+                    F.lit(None).cast("long").alias("_mor_frid"),
                 )
         if need_meta:
+            if with_row_ids:
+                # a rewrite-materialized id wins; otherwise manifest
+                # first_row_id + row position (NULL for pre-lineage files)
+                df = df.withColumn(
+                    ROW_ID_COL,
+                    F.coalesce(F.col(ROW_ID_COL), F.col("_mor_frid") + F.col("_mor_pos")),
+                )
             df = self._apply_delete_files(df, snap)
-            df = df.drop("_mor_seq")
+            df = df.drop("_mor_seq", "_mor_frid")
             if not keep_meta:
                 df = df.drop("_mor_file", "_mor_pos")
         if not with_internal:
@@ -654,11 +710,12 @@ class LakeTable:
         for f in files:
             raw = os.path.join(self.path, f["path"])
             seq = int(f.get("seq", 0))
+            frid = f.get("first_row_id")
             for key in {raw, os.path.normpath(raw), os.path.abspath(raw), os.path.realpath(raw)}:
                 if key in seen:
                     continue
                 seen.add(key)
-                rows.append((key, f["path"], seq))
+                rows.append((key, f["path"], seq, frid))
         m = self.spark.createDataFrame(
             rows,
             T.StructType(
@@ -666,6 +723,7 @@ class LakeTable:
                     T.StructField("_mor_abs", T.StringType()),
                     T.StructField("_mor_file", T.StringType()),
                     T.StructField("_mor_seq", T.LongType()),
+                    T.StructField("_mor_frid", T.LongType()),
                 ]
             ),
         )
@@ -758,9 +816,16 @@ class LakeTable:
         part_eq: tuple | None = None,
         part_range: tuple | None = None,
         as_of=None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Current resolved state. ``buckets`` prunes files from the manifest
         before Spark ever lists them (partition pruning).
+
+        ``with_row_ids=True`` (append-only tables) adds ``_row_id`` — the
+        Iceberg-v3-style row-lineage id, stable across rewrites: implicit
+        (manifest first_row_id + row position) for as-written files,
+        materialized into the file by any rewrite (compaction, CoW delete,
+        MoR update images keep their ids).
 
         Merge-on-read resolution picks its physical plan from manifest stats:
         the naive shape windows over base ∪ deltas — a full shuffle of the
@@ -783,6 +848,11 @@ class LakeTable:
                 raise ValueError("pass either version or as_of, not both")
             version = self.as_of_version(as_of)
         snap = self.snapshot(version)
+        if with_row_ids and snap.key is not None:
+            raise ValueError(
+                "row lineage is for append-only tables; a keyed table's "
+                "stable row identity is its merge key"
+            )
         files = snap.files
         if buckets is not None:
             # Unbucketed files (bucket == -1, e.g. legacy driver-side appends)
@@ -807,7 +877,7 @@ class LakeTable:
 
             specs = self._part_state().get("specs", {})
             files = _pt.prune_files(files, specs, part_eq, part_range)
-            df = self._read_files(snap, files, with_internal=with_internal)
+            df = self._read_files(snap, files, with_internal=with_internal, with_row_ids=with_row_ids)
             if part_eq is not None:
                 df = df.filter(F.col(part_eq[0]) == F.lit(part_eq[1]))
             if part_range is not None:
@@ -845,7 +915,7 @@ class LakeTable:
                 if (f.get("bloom") or {}).get(col) is None
                 or self._bloom_probe(f["bloom"][col], value, bits, hashes)
             ]
-            df = self._read_files(snap, files, with_internal=with_internal)
+            df = self._read_files(snap, files, with_internal=with_internal, with_row_ids=with_row_ids)
             return df.filter(F.col(col) == F.lit(value))
         if ts_filter is not None:
             # time-scoped scan of an APPEND-ONLY table: (col, lo, hi) prunes
@@ -874,7 +944,7 @@ class LakeTable:
                 )
 
             files = [f for f in files if _overlaps(f)]
-            df = self._read_files(snap, files, with_internal=with_internal)
+            df = self._read_files(snap, files, with_internal=with_internal, with_row_ids=with_row_ids)
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
@@ -907,7 +977,7 @@ class LakeTable:
                 )
 
             files = [f for f in files if _v_overlaps(f)]
-            df = self._read_files(snap, files, with_internal=with_internal)
+            df = self._read_files(snap, files, with_internal=with_internal, with_row_ids=with_row_ids)
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
@@ -917,7 +987,7 @@ class LakeTable:
         delta_files = [f for f in files if f["kind"] == "delta"]
         delta_rows = sum(f.get("rows", 0) for f in delta_files)
         if snap.key is None or not delta_files:
-            df = self._read_files(snap, files, with_internal=True)
+            df = self._read_files(snap, files, with_internal=True, with_row_ids=with_row_ids)
         elif base_files and delta_rows <= self.RESOLVE_BROADCAST_MAX_DELTA_ROWS:
             base = self._read_files(snap, base_files, with_internal=True)
             delta = self._read_files(snap, delta_files, with_internal=True)
@@ -1103,6 +1173,10 @@ class LakeTable:
                     # exactly this version or abort.
                     "seq": commit_version,
                 }
+                if ROW_ID_COL in df.columns:
+                    # rewrite output: row-lineage ids are materialized IN the
+                    # file; _write_snapshot must never stamp a fresh range
+                    entry["row_ids"] = "file"
                 if part_values:
                     entry["partition"] = part_values
                     entry["spec_id"] = cur_spec
@@ -1177,7 +1251,7 @@ class LakeTable:
                         ),
                     )
                     and f.name not in INTERNAL_COLS
-                    and f.name != BUCKET_COL
+                    and f.name not in (BUCKET_COL, ROW_ID_COL)
                 }
                 if num_cols:
                     col_stats: dict[str, list] = {}
@@ -1600,6 +1674,9 @@ class LakeTable:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        if ROW_ID_COL in have:
+            # rewrites carry row-lineage ids through to the staged files
+            cols.append(F.col(ROW_ID_COL))
         return df.select(*cols)
 
     def committed_epochs(self, source: str = "default") -> set[int]:
@@ -2505,7 +2582,7 @@ class LakeTable:
         snap = self.snapshot()
         if snap.key is not None:
             raise ValueError("rewrite_files is for unkeyed tables; keyed tables use compact()")
-        df = self._read_files(snap, snap.files, with_internal=True)
+        df = self._read_files(snap, snap.files, with_internal=True, with_row_ids=True)
         out = self._align(df, snap.schema())
         files = self._stage_files(
             out,
@@ -2629,7 +2706,7 @@ class LakeTable:
                 straddle.append(f)
         new_files: list[dict] = []
         if straddle:
-            df = self._read_files(snap, straddle, with_internal=True)
+            df = self._read_files(snap, straddle, with_internal=True, with_row_ids=True)
             pred = F.col(col) >= F.lit(cutoff)
             if keep_nulls:
                 pred = pred | F.col(col).isNull()
@@ -2773,7 +2850,7 @@ class LakeTable:
         new_files: list[dict] = []
         deleted = 0
         if rewrite:
-            df = self._read_files(snap, rewrite, with_internal=True)
+            df = self._read_files(snap, rewrite, with_internal=True, with_row_ids=True)
             before = sum(f.get("rows", 0) for f in rewrite)
             kept_df = df.filter(~F.coalesce(pred, F.lit(False)))
             new_files = self._stage_files(
@@ -2895,7 +2972,9 @@ class LakeTable:
         if unknown:
             raise ValueError(f"assignments target unknown columns: {sorted(unknown)}")
         matched = (
-            self._read_files(snap, snap.files, with_internal=True, keep_meta=True)
+            self._read_files(
+                snap, snap.files, with_internal=True, keep_meta=True, with_row_ids=True
+            )
             .filter(F.coalesce(F.expr(predicate), F.lit(False)))
             .localCheckpoint(eager=True)  # freeze: positions and images must agree
         )
@@ -2906,7 +2985,9 @@ class LakeTable:
                 if f.name in assignments
                 else F.col(f.name)
                 for f in schema.fields
-            ]
+            ],
+            # Iceberg v3 semantics: an UPDATE keeps the row's lineage id
+            F.col(ROW_ID_COL),
         )
         self._enforce_constraints(updated)
         pos_entries = self._write_posdel_files(pos)
@@ -3069,7 +3150,7 @@ class LakeTable:
         new_files: list[dict] = []
         removed = 0
         if rewrite:
-            df = self._read_files(snap, rewrite, with_internal=True)
+            df = self._read_files(snap, rewrite, with_internal=True, with_row_ids=True)
             new_files = self._stage_files(
                 df, snap, snap.version + 1, bucketed=False, n_files=len(rewrite)
             )

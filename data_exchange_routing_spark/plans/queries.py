@@ -5729,6 +5729,57 @@ def events_hourly_ewma(spark, sf_dir):
 
 
 @q(
+    "lake_row_lineage_scan",
+    # Row lineage (Iceberg v3 row-id analog, lake/table.py ROW_ID_COL):
+    # ingest two epochs, MoR-delete a slice, UPDATE another (which must
+    # KEEP each row's id on its new image), snapshot (id -> payload)
+    # BEFORE compaction, compact, then full-join pre/post on _row_id —
+    # any id lost, reassigned or crossed between rows breaks the in-query
+    # equality assert. The oracle is the plain surviving-payload aggregate.
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(CASE WHEN event_id % 9 = 0 THEN value * 10
+                          ELSE value END), 2) AS sum_value
+    FROM events
+    WHERE NOT (event_id % 7 = 0)
+    GROUP BY event_type
+    """,
+)
+def lake_row_lineage_scan(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="rowlin_"), e.schema)
+    t.append(e.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    t.append(e.filter(F.col("event_id") % 2 == 1), epoch_id=1)
+    t.delete_matching_mor("event_id % 7 = 0")
+    t.update_matching_mor("event_id % 9 = 0", {"value": "value * 10"})
+    pre = t.read(with_row_ids=True).localCheckpoint(eager=True)
+    r = t.compact_mor_deletes()
+    if r["skipped"] or t.snapshot().delete_files != []:
+        raise AssertionError(f"compaction must fold the deletes: {r}")
+    post = t.read(with_row_ids=True)
+    j = pre.select(
+        "_row_id",
+        F.col("event_id").alias("pre_eid"),
+        F.col("value").alias("pre_v"),
+    ).join(post.select("_row_id", "event_id", "value"), "_row_id", "full")
+    broken = j.filter(
+        "pre_eid IS NULL OR event_id IS NULL "
+        "OR pre_eid != event_id OR pre_v != value"
+    ).count()
+    if broken:
+        raise AssertionError(f"{broken} rows lost/crossed lineage ids across compaction")
+    return post.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
     "lake_string_range_scan",
     # Manifest STRING-stats file pruning (lake/table.py col_stats now
     # covers utf8 columns with BinaryTruncator-style bound clamping):
