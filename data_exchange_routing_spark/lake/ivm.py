@@ -209,3 +209,199 @@ class KeyedAggView:
         """Fold the adjustment log to one file (append-only rewrite); the
         contribution table compacts via normal keyed maintenance."""
         return self.adjust.rewrite_files()
+
+
+class KeyedJoinView:
+    """Incrementally-maintained equi-join view ``fact ⋈ dim`` (many-to-one)
+    over TWO keyed CDC tables' change feeds — the retractable delta-join of
+    Materialize/Flink, using only engine primitives.
+
+    The view is a keyed lake table (key = the fact key) storing the LEFT-join
+    materialization: every live fact row + the dim payload columns (null when
+    unmatched) + a ``_dim_matched`` flag. ``read()`` applies the inner filter
+    for ``how="inner"``; storing the left shape keeps the view self-contained,
+    so a dim insert can resurrect previously-unmatched fact rows without
+    consulting the fact table.
+
+    Maintenance (each apply is ONE epoch-guarded merge commit — atomic,
+    crash-safe, redelivery is a guard no-op):
+
+    - ``apply_fact_changes``: batch winners per fact key (the feed's own
+      (warc_ts, lsn) order) are enriched against the dim's CURRENT state via
+      ``lookup_join`` — bucket-pruned to the dim buckets the batch's fk
+      values hash to, O(batch + touched buckets), never O(dim). Fact deletes
+      tombstone the view row.
+    - ``apply_dim_changes``: batch winners per dim key re-emit every
+      dependent view row (fk = changed key) with the new dim image (nulls +
+      matched=false on a dim delete). The dim delta is broadcast against one
+      resolved view scan — O(view + delta); dims change rarely, and a
+      fact-side fk bucketing (secondary index) is the documented scale path
+      if they don't.
+
+    LWW safety: view merges order by (warc_ts, _lsn) where warc_ts is the
+    fact row's real event time and _lsn is a view-monotone tick
+    (current_version+1, strictly increasing because every apply commits).
+    A fact feed only ever emits winners of the fact table's own LWW, so a
+    new image's warc_ts is >= the stored one; the tick breaks the tie in
+    arrival order, which is exactly change-feed order. Convergence: each
+    apply joins against the other side's state AT apply time, so whichever
+    feed drains last repairs any interleaving — once both cursors reach the
+    sources' final versions, the view equals the join of final states.
+    """
+
+    MATCH_COL = "_dim_matched"
+
+    def __init__(self, spark: SparkSession, path: str, fact_key: str, fk: str,
+                 dim: LakeTable, dim_cols: list[str], how: str = "inner"):
+        if how not in ("inner", "left"):
+            raise ValueError("how must be 'inner' or 'left'")
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.fact_key = fact_key
+        self.fk = fk
+        self.dim = dim
+        self.dim_cols = list(dim_cols)
+        self.how = how
+        self.view = LakeTable(spark, os.path.join(self.path, "view"))
+
+    # ---------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, spark, path, fact_schema: T.StructType, fact_key: str,
+               fk: str, dim: LakeTable, dim_cols: list[str],
+               how: str = "inner", n_buckets: int = 16) -> "KeyedJoinView":
+        v = cls(spark, path, fact_key, fk, dim, dim_cols, how)
+        fact_names = set(fact_schema.fieldNames())
+        for req in (fact_key, fk, "warc_ts"):
+            if req not in fact_names:
+                raise ValueError(f"fact schema missing required column {req!r}")
+        clash = fact_names & set(dim_cols)
+        if clash:
+            raise ValueError(f"dim_cols clash with fact columns: {sorted(clash)}")
+        dim_snap = dim.snapshot()
+        if dim_snap.key is None:
+            raise ValueError("dim must be a keyed table")
+        dim_by_name = {f.name: f for f in dim_snap.schema().fields}
+        missing = [c for c in dim_cols if c not in dim_by_name]
+        if missing:
+            raise ValueError(f"dim_cols not on dim table: {missing}")
+        fields = list(fact_schema.fields) + [
+            T.StructField(c, dim_by_name[c].dataType, True) for c in dim_cols
+        ] + [T.StructField(cls.MATCH_COL, T.BooleanType(), True)]
+        LakeTable.create(spark, v.view.path, T.StructType(fields),
+                         key=fact_key, n_buckets=n_buckets)
+        return v
+
+    @classmethod
+    def load(cls, spark, path, fact_key, fk, dim, dim_cols,
+             how: str = "inner") -> "KeyedJoinView":
+        v = cls(spark, path, fact_key, fk, dim, dim_cols, how)
+        LakeTable.load(spark, v.view.path)
+        return v
+
+    # -------------------------------------------------------- maintenance
+    def _tick(self) -> int:
+        return self.view.current_version() + 1
+
+    def _fact_cols(self) -> list[str]:
+        drop = set(self.dim_cols) | {self.MATCH_COL, LSN_COL, DELETED_COL,
+                                     "_change_type"}
+        return [f.name for f in self.view.snapshot().schema().fields
+                if f.name not in drop]
+
+    def apply_fact_changes(self, changes: DataFrame, epoch_id: int) -> dict:
+        """Fold one fact change-feed batch (``read_changes(with_internal=
+        True)`` rows). Winners per fact key are looked up against the dim's
+        current state (bucket-pruned); losers within the batch were never
+        table winners and net away."""
+        from pyspark.sql import Window as W
+
+        fact_cols = self._fact_cols()
+        need = list(dict.fromkeys(fact_cols + [LSN_COL, DELETED_COL]))
+        batch = changes.select(*need)
+        w = W.partitionBy(self.fact_key).orderBy(F.desc("warc_ts"), F.desc(LSN_COL))
+        win = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tick = self._tick()
+        alive = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        live = win.filter(alive).drop(LSN_COL, DELETED_COL)
+        enriched = self.dim.lookup_join(
+            live, probe_key=self.fk, columns=self.dim_cols,
+            indicator=self.MATCH_COL,
+        )
+        upserts = (
+            enriched.withColumn(LSN_COL, F.lit(tick).cast("long"))
+            .withColumn(DELETED_COL, F.lit(False))
+        )
+        dead = win.filter(~alive).select(
+            *fact_cols,
+            *[F.lit(None).cast(t).alias(c) for c, t in self._dim_types()],
+            F.lit(False).alias(self.MATCH_COL),
+            F.lit(tick).cast("long").alias(LSN_COL),
+            F.lit(True).alias(DELETED_COL),
+        )
+        rows = upserts.unionByName(dead)
+        return self.view.merge_cdc(rows, epoch_id=epoch_id, source="fact",
+                                   epoch_monotonic=True)
+
+    def apply_dim_changes(self, changes: DataFrame, epoch_id: int) -> dict:
+        """Fold one dim change-feed batch: re-emit every live view row whose
+        fk equals a changed dim key, carrying the new dim image (nulls +
+        matched=false on a dim delete). The delta is broadcast; one resolved
+        view scan, no O(view × delta)."""
+        from pyspark.sql import Window as W
+
+        dim_key = self.dim.snapshot().key
+        need = list(dict.fromkeys(
+            [dim_key, "warc_ts"] + self.dim_cols + [LSN_COL, DELETED_COL]
+        ))
+        batch = changes.select(*need)
+        w = W.partitionBy(dim_key).orderBy(F.desc("warc_ts"), F.desc(LSN_COL))
+        win = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        d_alive = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        delta = win.select(
+            F.col(dim_key).alias("_jv_dk"),
+            d_alive.alias("_jv_alive"),
+            *[F.col(c).alias(f"_jv_{c}") for c in self.dim_cols],
+        )
+        fact_cols = self._fact_cols()
+        cur = self.view.read().select(*fact_cols)
+        tick = self._tick()
+        dep = cur.join(
+            F.broadcast(delta), F.col(self.fk) == F.col("_jv_dk"), "inner"
+        )
+        rows = dep.select(
+            *fact_cols,
+            *[
+                F.when(F.col("_jv_alive"), F.col(f"_jv_{c}")).alias(c)
+                for c in self.dim_cols
+            ],
+            F.col("_jv_alive").alias(self.MATCH_COL),
+            F.lit(tick).cast("long").alias(LSN_COL),
+            F.lit(False).alias(DELETED_COL),
+        )
+        return self.view.merge_cdc(rows, epoch_id=epoch_id, source="dim",
+                                   epoch_monotonic=True)
+
+    def _dim_types(self) -> list[tuple[str, T.DataType]]:
+        by_name = {f.name: f.dataType for f in self.view.snapshot().schema().fields}
+        return [(c, by_name[c]) for c in self.dim_cols]
+
+    # -------------------------------------------------------------- reads
+    def read(self) -> DataFrame:
+        """The finished join view. ``inner``: unmatched fact rows are
+        filtered (they stay stored so a later dim insert resurrects them);
+        ``left``: unmatched rows surface with null dim columns."""
+        df = self.view.read()
+        if self.how == "inner":
+            df = df.filter(F.col(self.MATCH_COL))
+        return df.drop(self.MATCH_COL)
+
+    def compact(self) -> dict:
+        return self.view.compact()

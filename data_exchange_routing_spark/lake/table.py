@@ -3274,10 +3274,16 @@ class LakeTable:
         probe_key: str | None = None,
         columns: list[str] | None = None,
         how: str = "left",
+        indicator: str | None = None,
     ) -> DataFrame:
         """Enrich a batch with this keyed table's current state — the
         stream-side dimension/state lookup of a CDC pipeline (foreachBatch
         enrichment against a 100 TB table).
+
+        ``indicator``: optional output column name set true/false per probe
+        row according to whether a live state row matched — distinguishes
+        "no match" from "matched a row whose requested columns are null"
+        (consumers like KeyedJoinView need the difference).
 
         Scale shape: one tiny job computes the distinct buckets the probe's
         keys hash to (<= n_buckets rows out), the table side is read
@@ -3306,6 +3312,10 @@ class LakeTable:
             if missing:
                 raise ValueError(f"columns not on table: {missing}")
             state = state.select(key, *[c for c in columns if c != key])
+        if indicator is not None:
+            if indicator in probe.columns or indicator in state.columns:
+                raise ValueError(f"indicator column {indicator!r} already exists")
+            state = state.withColumn(indicator, F.lit(True))
         clash = set(probe.columns) - {pk}
         state = state.select(
             *[
@@ -3313,7 +3323,12 @@ class LakeTable:
                 for c in state.columns
             ]
         )
-        return probe.join(state, pk, how)
+        out = probe.join(state, pk, how)
+        if indicator is not None:
+            out = out.withColumn(
+                indicator, F.coalesce(F.col(indicator), F.lit(False))
+            )
+        return out
 
     def diff(
         self,

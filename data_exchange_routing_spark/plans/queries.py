@@ -3071,6 +3071,127 @@ def cdc_ivm_from_replay(spark, sf_dir):
     return view.read()
 
 
+@q(
+    "cdc_ivm_join",
+    # Incremental JOIN view maintenance (lake/ivm.py:KeyedJoinView): an
+    # inner equi-join view fact ⋈ dim maintained from BOTH tables' change
+    # feeds — fact upserts/deletes looked up against the dim's current state
+    # (bucket-pruned), dim updates/deletes/inserts re-emitted onto every
+    # dependent view row (broadcast delta). The run exercises group moves
+    # (facts re-keyed onto 'fr' BEFORE the dim's 'fr' update re-emits them),
+    # dim deletion ('de' rows drop from the inner view without touching the
+    # fact rows) and resurrection ('zh' facts are unmatched until the dim
+    # insert arrives). The oracle joins the closed-form final states, so the
+    # hash compare proves the incremental deltas equal the from-scratch join.
+    """
+    WITH final_fact AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 4 = 0 THEN 'fr' ELSE lang END AS lang,
+             CAST(CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                       ELSE n_chars END AS BIGINT) AS n
+      FROM documents WHERE doc_id % 9 <> 0
+    ),
+    final_dim AS (
+      SELECT * FROM (VALUES
+        ('en', 'r-en', CAST(1 AS BIGINT)),
+        ('es', 'r-es', CAST(1 AS BIGINT)),
+        ('zh', 'r-zh', CAST(1 AS BIGINT)),
+        ('fr', 'r2-fr', CAST(7 AS BIGINT))
+      ) AS t(lang, region, boost)
+    )
+    SELECT f.url, f.lang, f.n, d.region, d.boost
+    FROM final_fact f JOIN final_dim d ON f.lang = d.lang
+    """,
+)
+def cdc_ivm_join(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.ivm import KeyedJoinView
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    fact_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    dim_schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("boost", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="ivm_join_")
+    fact = LakeTable.create(spark, f"{root}/fact", fact_schema, key="url", n_buckets=8)
+    dim = LakeTable.create(spark, f"{root}/dim", dim_schema, key="lang", n_buckets=4)
+    view = KeyedJoinView.create(
+        spark, f"{root}/view", fact_schema, fact_key="url", fk="lang",
+        dim=dim, dim_cols=["region", "boost"], how="inner", n_buckets=8,
+    )
+
+    def dim_batch(rows, ts, lsn):
+        return (
+            spark.createDataFrame(
+                rows, "lang string, region string, boost long, _deleted boolean"
+            )
+            .withColumn("warc_ts", F.to_timestamp(F.lit(ts)))
+            .withColumn("_lsn", F.lit(lsn).cast("long"))
+        )
+
+    d0 = dim_batch(
+        [("en", "r-en", 1, False), ("es", "r-es", 1, False),
+         ("fr", "r-fr", 1, False), ("de", "r-de", 1, False)],
+        "2024-01-01", 1,
+    )
+    d1 = dim_batch(
+        [("fr", "r2-fr", 7, False), ("de", None, None, True),
+         ("zh", "r-zh", 1, False)],
+        "2024-01-02", 2,
+    )
+    f0 = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n"),
+        )
+        .withColumn("_lsn", F.lit(1).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    f1 = (
+        docs.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 9 == 0))
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-02")).alias("warc_ts"),
+            F.lit("fr").alias("lang"),
+            (F.col("n_chars").cast("long") + 1000).alias("n"),
+        )
+        .withColumn("_lsn", F.lit(2).cast("long"))
+        .withColumn("_deleted", F.col("url").cast("long") % 9 == 0)
+    )
+    pv_f, pv_d = fact.current_version(), dim.current_version()
+    for kind, batch, ep in (
+        ("dim", d0, 0), ("fact", f0, 0), ("fact", f1, 1), ("dim", d1, 1)
+    ):
+        src = dim if kind == "dim" else fact
+        pv = pv_d if kind == "dim" else pv_f
+        src.merge_cdc(batch, epoch_id=ep)
+        cv = src.current_version()
+        feed = src.read_changes(pv, cv, with_internal=True)
+        if kind == "dim":
+            view.apply_dim_changes(feed, epoch_id=ep)
+            pv_d = cv
+        else:
+            view.apply_fact_changes(feed, epoch_id=ep)
+            pv_f = cv
+    return view.read().select("url", "lang", "n", "region", "boost")
+
+
 @q("emb_kmeans_clusters", None)
 def emb_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed k-means cluster sizes (rows-only: centroid
