@@ -3072,6 +3072,136 @@ def cdc_ivm_from_replay(spark, sf_dir):
 
 
 @q(
+    "cdc_ivm_join_from_replay",
+    # End-to-end composition: the FULL CDC replay builds web_pages, then a
+    # JOIN view (web_pages ⋈ lang dim) is maintained from web_pages' CHANGE
+    # FEED (ChangeFeedConsumer drain, one batch per commit) with a dim
+    # update/delete epoch applied AFTER the drain — broadcast re-emits and
+    # retraction at replay scale. The oracle joins the replay's closed-form
+    # final state to the dim's final values.
+    """
+    WITH base AS (
+      SELECT event_id AS lsn, ts AS warc_ts, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM base WHERE lsn % 53 = 0
+    ),
+    typed AS (
+      SELECT lsn, warc_ts, user_id,
+        CASE WHEN lsn % 37 = 0 THEN 'D'
+             WHEN lsn % 11 = 0 THEN 'I' ELSE 'U' END AS op
+      FROM ev
+      WHERE lsn % 43 <> 0 AND lsn % 41 <> 0
+        AND lsn % 29 NOT IN (0, 1) AND lsn % 4 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM typed
+    ),
+    final_fact AS (
+      SELECT
+        'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/p/'
+          || CAST(user_id AS VARCHAR) AS url,
+        CASE CAST(lsn % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+          WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zz' END AS lang
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    ),
+    final_dim AS (
+      SELECT * FROM (VALUES
+        ('en', 'r2-en', CAST(7 AS BIGINT)), ('es', 'r-es', CAST(1 AS BIGINT)),
+        ('fr', 'r-fr', CAST(1 AS BIGINT)), ('de', 'r-de', CAST(1 AS BIGINT))
+      ) AS t(lang, region, boost)
+    )
+    SELECT f.url, f.lang, d.region, d.boost
+    FROM final_fact f JOIN final_dim d ON f.lang = d.lang
+    """,
+)
+def cdc_ivm_join_from_replay(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.changefeed import ChangeFeedConsumer
+    from data_exchange_routing_spark.lake.ivm import KeyedJoinView
+    from data_exchange_routing_spark.lake.table import LakeTable
+    from data_exchange_routing_spark.pipeline import Warehouse, replay
+    from data_exchange_routing_spark.sources.datagen import (
+        derive_change_events_from_events,
+    )
+
+    events = derive_change_events_from_events(ld(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="ivm_join_replay_")
+    events.write.mode("overwrite").partitionBy("epoch_hint").parquet(f"{root}/events")
+    wh = Warehouse(spark, f"{root}/wh", n_buckets=8)
+    replay(wh, f"{root}/events", max_concurrent_epochs=1)
+    dim_schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("boost", T.LongType()),
+        ]
+    )
+    dim = LakeTable.create(spark, f"{root}/dim", dim_schema, key="lang", n_buckets=4)
+
+    def dim_batch(rows, ts, lsn):
+        return (
+            spark.createDataFrame(
+                rows, "lang string, region string, boost long, _deleted boolean"
+            )
+            .withColumn("warc_ts", F.to_timestamp(F.lit(ts)))
+            .withColumn("_lsn", F.lit(lsn).cast("long"))
+        )
+
+    dim.merge_cdc(
+        dim_batch(
+            [("en", "r-en", 1, False), ("es", "r-es", 1, False),
+             ("fr", "r-fr", 1, False), ("de", "r-de", 1, False),
+             ("zz", "r-zz", 1, False)],
+            "2024-01-01", 1,
+        ),
+        epoch_id=0,
+    )
+    fact_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    view = KeyedJoinView.create(
+        spark, f"{root}/view", fact_schema, fact_key="url", fk="lang",
+        dim=dim, dim_cols=["region", "boost"], how="inner", n_buckets=8,
+    )
+    pv_d = dim.current_version()
+    view.apply_dim_changes(
+        dim.read_changes(1, pv_d, with_internal=True), epoch_id=0
+    )
+    consumer = ChangeFeedConsumer(
+        spark, wh.table_path("web_pages"), consumer_id="joinview",
+        with_internal=True,
+    )
+    consumer.drain(
+        lambda changes, _f, to_v: view.apply_fact_changes(changes, epoch_id=to_v),
+        max_versions_per_batch=1,
+    )
+    # dim epoch AFTER the drain: 'en' re-emitted with new payload onto every
+    # dependent view row; 'zz' retracted from the inner view
+    dim.merge_cdc(
+        dim_batch([("en", "r2-en", 7, False), ("zz", None, None, True)],
+                  "2024-01-02", 2),
+        epoch_id=1,
+    )
+    view.apply_dim_changes(
+        dim.read_changes(pv_d, dim.current_version(), with_internal=True),
+        epoch_id=1,
+    )
+    return view.read().select("url", "lang", "region", "boost")
+
+
+@q(
     "cdc_ivm_join",
     # Incremental JOIN view maintenance (lake/ivm.py:KeyedJoinView): an
     # inner equi-join view fact ⋈ dim maintained from BOTH tables' change
