@@ -2832,6 +2832,140 @@ class LakeTable:
             {"operation": "delete-matching", "predicate": predicate},
         )
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        epoch_id: int | None = None,
+        source: str = "overwrite",
+    ) -> dict:
+        """Dynamic partition overwrite (Iceberg ``replacePartitions`` /
+        Spark ``partitionOverwriteMode=dynamic`` analog): in ONE atomic
+        commit, replace exactly the partitions present in the batch — every
+        live row whose partition tuple under the CURRENT spec appears in the
+        batch is removed, and the batch's rows are inserted. Append-only
+        hidden-partitioned tables only — the crawl-refresh shape: a
+        re-crawled day/host shard replaces last cycle's files for that shard
+        while every other partition carries over metadata-only.
+
+        File handling derives from the manifests: a live file written under
+        the current spec is DROPPED when its recorded partition tuple is in
+        the replaced set, KEPT untouched otherwise (current-spec files hold
+        exactly one tuple each — no rewrite possible). Files from an older
+        spec id (or pre-spec files) cannot prove disjointness through the
+        current spec, so they are conservatively rewritten minus matching
+        rows (CoW, row-lineage preserved) — they exist only after a mid-life
+        spec evolution and the first overwrite re-lands them under the
+        current layout. Old files stay referenced by older snapshots for
+        time travel until expire/vacuum.
+
+        Exactly-once via the (source, epoch_id) guard; concurrent-commit
+        safe: aborts with ``commit-conflict`` instead of dropping the
+        concurrent batch. An empty batch replaces nothing and is a
+        guard-only commit.
+        """
+        from data_exchange_routing_spark.lake import partition as _pt
+
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError(
+                "overwrite_partitions is for append-only tables; keyed "
+                "tables replace rows through merge_cdc/merge_into"
+            )
+        pst = self._part_state()
+        cur = pst.get("current")
+        if cur is None:
+            raise ValueError("overwrite_partitions requires a partition spec")
+        if epoch_id is not None and snap.epoch_committed(source, epoch_id):
+            return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+        fields = pst["specs"][str(cur)]
+        schema = snap.schema()
+        out = self._align(df, schema)
+        self._enforce_constraints(out)
+
+        # the replaced partition tuples, normalized to the same string form
+        # the manifest carries (directory names round-trip through
+        # parse_path_partition; numeric transforms stringify)
+        pdf, pcols = _pt.partition_columns(fields, out)
+        tuples = {
+            tuple(None if v is None else str(v) for v in r)
+            for r in pdf.select(*pcols).distinct().collect()
+        }
+
+        # manifest partition dicts key by the spec field NAME; the derived
+        # write columns carry the _part_ prefix
+        names = [
+            c[len(_pt.PART_PREFIX):] if c.startswith(_pt.PART_PREFIX) else c
+            for c in pcols
+        ]
+
+        def _file_tuple(f: dict):
+            part = f.get("partition") or {}
+            return tuple(part.get(c) for c in names)
+
+        drop, keep, rewrite = [], [], []
+        for f in snap.files:
+            if f.get("spec_id") == cur:
+                (drop if _file_tuple(f) in tuples else keep).append(f)
+            else:
+                rewrite.append(f)
+
+        new_files: list[dict] = []
+        rows_deleted = sum(f.get("rows", 0) for f in drop)
+        if rewrite and tuples:
+            old = self._read_files(snap, rewrite, with_internal=True, with_row_ids=True)
+            old_p, _ = _pt.partition_columns(fields, old)
+            belongs = F.lit(False)
+            for t in tuples:
+                m = F.lit(True)
+                for c, v in zip(pcols, t):
+                    m = m & F.col(c).cast("string").eqNullSafe(
+                        F.lit(v).cast("string")
+                    )
+                belongs = belongs | m
+            kept_rows = old_p.filter(~belongs).drop(*pcols)
+            before = sum(f.get("rows", 0) for f in rewrite)
+            new_files = self._stage_files(
+                kept_rows, snap, snap.version + 1, bucketed=False
+            )
+            rows_deleted += before - sum(f.get("rows", 0) for f in new_files)
+        elif rewrite:
+            keep.extend(rewrite)
+            rewrite = []
+        batch_files = self._stage_files(out, snap, snap.version + 1, bucketed=False)
+        committed = dict(snap.committed_epochs)
+        if epoch_id is not None:
+            committed[source] = _enc_add(committed.get(source, []), epoch_id)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            committed_epochs=committed,
+            summary={
+                "operation": "overwrite-partitions",
+                "epoch_id": epoch_id,
+                "partitions_replaced": len(tuples),
+                "files_dropped": len(drop),
+                "files_rewritten": len(rewrite),
+                "rows_deleted": rows_deleted,
+            },
+        )
+        new.replace_files(keep + new_files + batch_files)
+        try:
+            self._write_snapshot(new)
+        except FileExistsError:
+            return {"skipped": True, "reason": "commit-conflict"}
+        return {
+            "skipped": False,
+            "version": new.version,
+            "partitions_replaced": len(tuples),
+            "files_dropped": len(drop),
+            "files_kept": len(keep),
+            "files_rewritten": len(rewrite),
+            "rows_deleted": rows_deleted,
+            "rows_added": sum(f.get("rows", 0) for f in batch_files),
+        }
+
     def _delete_rows(self, pred, may_match, summary: dict) -> dict:
         """Shared delete machinery: rewrite only may-match files with the
         negated predicate; untouched files carry over metadata-only. Old

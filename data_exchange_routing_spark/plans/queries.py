@@ -6832,6 +6832,68 @@ def lake_delete_eq_pruned(spark, sf_dir):
 
 
 @q(
+    "lake_partition_overwrite",
+    # Dynamic partition overwrite (lake/table.py:overwrite_partitions —
+    # Iceberg replacePartitions / Spark partitionOverwriteMode=dynamic
+    # analog): the table is hidden-partitioned by days(ts); a re-crawl batch
+    # (even event_ids on 2024-01-10..12, values doubled) atomically replaces
+    # exactly the day-partitions it touches — odd-id rows on those days
+    # vanish WITH their partitions, every other day carries over
+    # metadata-only (files_dropped/files_kept asserted in-query). The oracle
+    # recomputes the final state relationally: kept days union the
+    # replacement batch.
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00' AND event_id % 2 = 0
+    ),
+    kept AS (
+      SELECT event_id, ts, value FROM events
+      WHERE ts IS NULL OR CAST(ts AS DATE) NOT IN (SELECT d FROM days)
+    ),
+    repl AS (
+      SELECT event_id, ts, value * 2 AS value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00' AND event_id % 2 = 0
+    )
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM repl)
+    GROUP BY 1
+    """,
+)
+def lake_partition_overwrite(spark, sf_dir):
+    import tempfile
+    from datetime import datetime
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="partow_"), e.schema)
+    t.set_partition_spec([{"name": "d", "col": "ts", "transform": "days"}])
+    t.append(e, epoch_id=0)
+    lo, hi = datetime(2024, 1, 10), datetime(2024, 1, 13)
+    batch = (
+        e.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+                 & (F.col("event_id") % 2 == 0))
+        .withColumn("value", F.col("value") * 2)
+    )
+    res = t.overwrite_partitions(batch, epoch_id=1)
+    if res["skipped"] or not (res["files_dropped"] and res["files_kept"]):
+        raise AssertionError(f"overwrite did not drop/keep partitions: {res}")
+    return (
+        t.read()
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@q(
     "lake_time_travel_asof",
     # AS OF TIMESTAMP time travel (lake/table.py:as_of_version): epoch 0
     # (even event_ids) then epoch 1 (odd) are committed; reading AS OF the
