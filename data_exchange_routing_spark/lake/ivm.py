@@ -252,7 +252,8 @@ class KeyedJoinView:
     MATCH_COL = "_dim_matched"
 
     def __init__(self, spark: SparkSession, path: str, fact_key: str, fk: str,
-                 dim: LakeTable, dim_cols: list[str], how: str = "inner"):
+                 dim: LakeTable, dim_cols: list[str], how: str = "inner",
+                 fk_index: bool = False):
         if how not in ("inner", "left"):
             raise ValueError("how must be 'inner' or 'left'")
         self.spark = spark
@@ -262,14 +263,19 @@ class KeyedJoinView:
         self.dim = dim
         self.dim_cols = list(dim_cols)
         self.how = how
+        self.fk_index = fk_index
         self.view = LakeTable(spark, os.path.join(self.path, "view"))
+        self.fkidx = (
+            LakeTable(spark, os.path.join(self.path, "fkidx")) if fk_index else None
+        )
 
     # ---------------------------------------------------------- lifecycle
     @classmethod
     def create(cls, spark, path, fact_schema: T.StructType, fact_key: str,
                fk: str, dim: LakeTable, dim_cols: list[str],
-               how: str = "inner", n_buckets: int = 16) -> "KeyedJoinView":
-        v = cls(spark, path, fact_key, fk, dim, dim_cols, how)
+               how: str = "inner", n_buckets: int = 16,
+               fk_index: bool = False) -> "KeyedJoinView":
+        v = cls(spark, path, fact_key, fk, dim, dim_cols, how, fk_index)
         fact_names = set(fact_schema.fieldNames())
         for req in (fact_key, fk, "warc_ts"):
             if req not in fact_names:
@@ -289,13 +295,23 @@ class KeyedJoinView:
         ] + [T.StructField(cls.MATCH_COL, T.BooleanType(), True)]
         LakeTable.create(spark, v.view.path, T.StructType(fields),
                          key=fact_key, n_buckets=n_buckets)
+        if fk_index:
+            idx_fields = T.StructType([
+                T.StructField(fk, fact_schema[fk].dataType),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("buckets", T.ArrayType(T.IntegerType()), True),
+            ])
+            LakeTable.create(spark, v.fkidx.path, idx_fields, key=fk,
+                             n_buckets=min(n_buckets, 8))
         return v
 
     @classmethod
     def load(cls, spark, path, fact_key, fk, dim, dim_cols,
-             how: str = "inner") -> "KeyedJoinView":
-        v = cls(spark, path, fact_key, fk, dim, dim_cols, how)
+             how: str = "inner", fk_index: bool = False) -> "KeyedJoinView":
+        v = cls(spark, path, fact_key, fk, dim, dim_cols, how, fk_index)
         LakeTable.load(spark, v.view.path)
+        if fk_index:
+            LakeTable.load(spark, v.fkidx.path)
         return v
 
     # -------------------------------------------------------- maintenance
@@ -343,8 +359,43 @@ class KeyedJoinView:
             F.lit(True).alias(DELETED_COL),
         )
         rows = upserts.unionByName(dead)
+        if self.fkidx is not None:
+            # index commit FIRST: the invariant is fkidx ⊇ the live view's
+            # (fk -> fact-key-bucket) pairs, so a crash between the two
+            # commits only leaves extra buckets (pruning false positives);
+            # redelivery heals via each table's own guard. Additive-only —
+            # stale entries cost scan breadth, never correctness.
+            self._update_fk_index(win.filter(alive), epoch_id)
         return self.view.merge_cdc(rows, epoch_id=epoch_id, source="fact",
                                    epoch_monotonic=True)
+
+    def _update_fk_index(self, live_winners: DataFrame, epoch_id: int) -> dict:
+        nb = self.view.snapshot().n_buckets
+        pairs = (
+            live_winners.filter(F.col(self.fk).isNotNull())
+            .select(
+                self.fk,
+                F.pmod(F.xxhash64(F.col(self.fact_key)), F.lit(nb))
+                .cast("int").alias("_b"),
+            )
+            .groupBy(self.fk)
+            .agg(F.collect_set("_b").alias("_new_b"))
+        )
+        old = self.fkidx.lookup_join(pairs.select(self.fk), columns=["buckets"])
+        merged = pairs.join(old, self.fk, "left").select(
+            self.fk,
+            F.to_timestamp(F.lit(_TS_FLOOR)).alias("warc_ts"),
+            F.array_sort(
+                F.array_union(
+                    F.coalesce(F.col("buckets"), F.array().cast("array<int>")),
+                    F.col("_new_b"),
+                )
+            ).alias("buckets"),
+            F.lit(self.fkidx.current_version() + 1).cast("long").alias(LSN_COL),
+            F.lit(False).alias(DELETED_COL),
+        )
+        return self.fkidx.merge_cdc(merged, epoch_id=epoch_id, source="fact",
+                                    epoch_monotonic=True)
 
     def apply_dim_changes(self, changes: DataFrame, epoch_id: int) -> dict:
         """Fold one dim change-feed batch: re-emit every live view row whose
@@ -371,7 +422,26 @@ class KeyedJoinView:
             *[F.col(c).alias(f"_jv_{c}") for c in self.dim_cols],
         )
         fact_cols = self._fact_cols()
-        cur = self.view.read().select(*fact_cols)
+        touched: list[int] | None = None
+        if self.fkidx is not None:
+            # scale path: the fk index names the view buckets that can hold
+            # dependent rows — O(delta + touched buckets), never O(view)
+            idx = self.fkidx.lookup_join(
+                win.select(dim_key), probe_key=dim_key, columns=["buckets"]
+            )
+            touched = sorted(
+                {
+                    b
+                    for r in idx.select(
+                        F.explode_outer(F.col("buckets")).alias("b")
+                    ).distinct().collect()
+                    for b in [r[0]]
+                    if b is not None
+                }
+            )
+            cur = self.view.read(buckets=touched).select(*fact_cols)
+        else:
+            cur = self.view.read().select(*fact_cols)
         tick = self._tick()
         dep = cur.join(
             F.broadcast(delta), F.col(self.fk) == F.col("_jv_dk"), "inner"
@@ -386,8 +456,11 @@ class KeyedJoinView:
             F.lit(tick).cast("long").alias(LSN_COL),
             F.lit(False).alias(DELETED_COL),
         )
-        return self.view.merge_cdc(rows, epoch_id=epoch_id, source="dim",
-                                   epoch_monotonic=True)
+        res = self.view.merge_cdc(rows, epoch_id=epoch_id, source="dim",
+                                  epoch_monotonic=True)
+        if touched is not None:
+            res = dict(res, touched_buckets=touched)
+        return res
 
     def _dim_types(self) -> list[tuple[str, T.DataType]]:
         by_name = {f.name: f.dataType for f in self.view.snapshot().schema().fields}

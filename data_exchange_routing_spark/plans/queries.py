@@ -3262,6 +3262,7 @@ def cdc_ivm_join(spark, sf_dir):
     view = KeyedJoinView.create(
         spark, f"{root}/view", fact_schema, fact_key="url", fk="lang",
         dim=dim, dim_cols=["region", "boost"], how="inner", n_buckets=8,
+        fk_index=True,  # the bucket-pruned dim-apply scale path, oracle-gated
     )
 
     def dim_batch(rows, ts, lsn):

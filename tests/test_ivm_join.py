@@ -91,13 +91,16 @@ def _drive(spark, fact, dim, view, script):
         )
 
 
-def test_inner_join_lifecycle(spark, tmpdir_path, setup):
+@pytest.mark.parametrize("fk_index", [False, True])
+def test_inner_join_lifecycle(spark, tmpdir_path, setup, fk_index):
     """Insert → group move → fact delete → dim update → dim delete →
-    dim insert (resurrection), equality checked after every apply."""
+    dim insert (resurrection), equality checked after every apply — with and
+    without the fk secondary index (bucket-pruned dim applies)."""
     fact, dim = setup
     view = KeyedJoinView.create(
         spark, f"{tmpdir_path}/v", FACT_SCHEMA, fact_key="url", fk="lang",
         dim=dim, dim_cols=["region", "boost"], how="inner", n_buckets=4,
+        fk_index=fk_index,
     )
     script = [
         ("dim", _dim_batch(spark, [("en", "r-en", 1, False), ("fr", "r-fr", 2, False)], "2024-01-01", 1), 0),
@@ -205,3 +208,33 @@ def test_create_validations(spark, tmpdir_path, setup):
             spark, f"{tmpdir_path}/v3", FACT_SCHEMA, fact_key="url", fk="lang",
             dim=dim, dim_cols=["region"], how="full",
         )
+
+
+def test_fk_index_prunes_dim_apply(spark, tmpdir_path, setup):
+    """With fk_index on, a dim apply scans only the view buckets the index
+    names for the touched keys — strictly fewer than n_buckets here — and
+    still repairs every dependent row."""
+    fact, dim = setup
+    view = KeyedJoinView.create(
+        spark, f"{tmpdir_path}/v", FACT_SCHEMA, fact_key="url", fk="lang",
+        dim=dim, dim_cols=["region", "boost"], how="inner", n_buckets=16,
+        fk_index=True,
+    )
+    dim.merge_cdc(_dim_batch(spark, [("en", "r-en", 1, False), ("fr", "r-fr", 2, False)], "2024-01-01", 1), epoch_id=0)
+    view.apply_dim_changes(dim.read_changes(1, dim.current_version(), with_internal=True), epoch_id=0)
+    fact.merge_cdc(
+        _fact_batch(spark, [("u1", "en", 1, False), ("u2", "fr", 2, False), ("u3", "fr", 3, False)], "2024-01-01", 1),
+        epoch_id=0,
+    )
+    view.apply_fact_changes(fact.read_changes(1, fact.current_version(), with_internal=True), epoch_id=0)
+    pv = dim.current_version()
+    dim.merge_cdc(_dim_batch(spark, [("fr", "r2-fr", 9, False)], "2024-01-02", 2), epoch_id=1)
+    res = view.apply_dim_changes(dim.read_changes(pv, dim.current_version(), with_internal=True), epoch_id=1)
+    touched = res["touched_buckets"]
+    # only u2/u3's buckets (fr rows) — at most 2 of 16, never the full table
+    assert 0 < len(touched) <= 2
+    assert _got(view) == {
+        ("u1", "en", 1, "r-en", 1),
+        ("u2", "fr", 2, "r2-fr", 9),
+        ("u3", "fr", 3, "r2-fr", 9),
+    }
