@@ -611,6 +611,18 @@ def replay(
     spark = wh.spark
     wh.init_tables()
     done = wh.completed_epochs()
+    from data_exchange_routing_spark.sources.pyds import truncated_before
+
+    floor = truncated_before(events_dir)
+    start = from_epoch if from_epoch is not None else 0
+    missing = [e for e in range(start, floor) if e not in done]
+    if missing:
+        raise ValueError(
+            f"event log truncated before epoch {floor} but this consumer has "
+            f"not applied epochs {missing[:5]}{'...' if len(missing) > 5 else ''}; "
+            "bootstrap from a table snapshot (operators/bootstrap.py) and "
+            f"replay with from_epoch>={floor}"
+        )
     epochs = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(events_dir)
@@ -645,6 +657,30 @@ def replay(
         with ThreadPoolExecutor(max_workers=max_concurrent_epochs) as ex:
             applied.extend(ex.map(run_one, todo))
     return {"applied_epochs": sorted(applied), "skipped_epochs": sorted(done)}
+
+
+def applied_watermark(wh: Warehouse) -> int:
+    """The replay checkpoint's contiguous low watermark: the smallest epoch
+    NOT yet applied (every epoch below it is durably done)."""
+    done = wh.completed_epochs()
+    n = 0
+    while n in done:
+        n += 1
+    return n
+
+
+def truncate_wal(
+    wh: Warehouse, events_dir: str, extra_consumer_positions: tuple = ()
+) -> dict:
+    """WAL retention for the replay's event log: remove every segment all
+    consumers have passed. The floor is the min of this warehouse's applied
+    watermark and any ``extra_consumer_positions`` (e.g. a streaming
+    checkpoint's next_epoch, a downstream mirror's cursor) — pass every
+    consumer or the lagging one loses data it has not read."""
+    from data_exchange_routing_spark.sources.pyds import truncate_binlog
+
+    floor = min([applied_watermark(wh), *map(int, extra_consumer_positions)])
+    return truncate_binlog(events_dir, floor)
 
 
 def warehouse_health(wh: Warehouse) -> dict:

@@ -323,6 +323,46 @@ def _list_epochs(path: str) -> list[int]:
     )
 
 
+TRUNCATE_MARKER = "_truncated_before"
+
+
+def truncated_before(path: str) -> int:
+    """The WAL's truncation floor: every epoch below it has been removed by
+    ``truncate_binlog`` (0 when the log was never truncated)."""
+    try:
+        with open(os.path.join(path, TRUNCATE_MARKER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def truncate_binlog(path: str, before_epoch: int) -> dict:
+    """WAL retention (binlog log GC): delete segment dirs with epoch <
+    ``before_epoch`` — call it only with a floor every consumer has passed
+    (``pipeline.truncate_wal`` derives one from the replay checkpoint).
+
+    Crash-safe ordering: the floor marker is published FIRST (atomic
+    tmp+rename), then victim dirs are removed — a crash in between leaves a
+    marker above some surviving segments, which readers treat as the
+    authoritative floor, so nothing is ever double-read or silently skipped.
+    The streaming binlog source needs no marker (a fresh checkpoint starts
+    at the first surviving segment and offset ranges skip gaps), but
+    ``pipeline.replay`` refuses a fresh/behind checkpoint whose missing
+    epochs were truncated — those consumers bootstrap from a table snapshot
+    (operators/bootstrap.py) instead of reading a hole."""
+    import shutil
+
+    floor = max(int(before_epoch), truncated_before(path))
+    victims = [e for e in _list_epochs(path) if e < floor]
+    tmp = os.path.join(path, f".{TRUNCATE_MARKER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(floor))
+    os.replace(tmp, os.path.join(path, TRUNCATE_MARKER))
+    for e in victims:
+        shutil.rmtree(os.path.join(path, f"epoch_hint={e}"), ignore_errors=True)
+    return {"removed_epochs": victims, "truncated_before": floor}
+
+
 def _segment_files(path: str, epoch: int) -> list[str]:
     d = os.path.join(path, f"epoch_hint={epoch}")
     return sorted(
