@@ -477,4 +477,7 @@ class KeyedJoinView:
         return df.drop(self.MATCH_COL)
 
     def compact(self) -> dict:
-        return self.view.compact()
+        out = {"view": self.view.compact()}
+        if self.fkidx is not None:
+            out["fkidx"] = self.fkidx.compact()
+        return out

@@ -683,14 +683,17 @@ def truncate_wal(
     return truncate_binlog(events_dir, floor)
 
 
-def warehouse_health(wh: Warehouse) -> dict:
+def warehouse_health(wh: Warehouse, events_dir: str | None = None) -> dict:
     """Liveness/sanity probe — the reference's health-check endpoint analog
     (fns-routing/.../HealthCheckFunction.kt:7-23, which reports service
     liveness + dependency status). Metadata-only: reads each table's newest
     snapshot JSON, zero Spark jobs, so it is cheap enough for a poller.
 
     Returns {"ok": bool, "tables": {name: {version, n_files, rows, last_operation}}}
-    with ok=False if any expected table is missing/unreadable."""
+    with ok=False if any expected table is missing/unreadable. Pass
+    ``events_dir`` to include the WAL's state (surviving segments, truncation
+    floor, this warehouse's applied watermark and its lag behind the log
+    head) — the numbers an ops loop alarms on."""
     expected = sorted(set(DESTINATION_TABLES)) + ["dead_letter", "lineage_metrics"]
     out: dict = {"ok": True, "tables": {}}
     for name in expected:
@@ -706,6 +709,26 @@ def warehouse_health(wh: Warehouse) -> dict:
         except Exception as e:  # noqa: BLE001 - a health probe reports, never raises
             out["ok"] = False
             out["tables"][name] = {"error": str(e)}
+    if events_dir is not None:
+        from data_exchange_routing_spark.sources.pyds import truncated_before
+
+        try:
+            segs = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(events_dir)
+                if d.startswith("epoch_hint=")
+            )
+            wm = applied_watermark(wh)
+            head = (segs[-1] + 1) if segs else truncated_before(events_dir)
+            out["wal"] = {
+                "segments": len(segs),
+                "truncated_before": truncated_before(events_dir),
+                "applied_watermark": wm,
+                "lag_epochs": max(0, head - wm),
+            }
+        except Exception as e:  # noqa: BLE001
+            out["ok"] = False
+            out["wal"] = {"error": str(e)}
     return out
 
 

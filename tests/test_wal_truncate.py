@@ -96,3 +96,22 @@ def test_binlog_stream_reader_starts_at_surviving_floor(spark, tmpdir_path, repl
     r = _BinlogStreamReader({"path": events}, CHANGE_EVENTS)
     assert r.initialOffset() == {"next_epoch": 2}
     assert r.latestOffset() == {"next_epoch": 4}
+
+
+def test_health_reports_wal_lag(spark, tmpdir_path, replayed):
+    from data_exchange_routing_spark.pipeline import warehouse_health
+
+    wh, events = replayed
+    h = warehouse_health(wh, events_dir=events)
+    assert h["ok"] and h["wal"] == {
+        "segments": 4, "truncated_before": 0,
+        "applied_watermark": 4, "lag_epochs": 0,
+    }
+    # new unapplied segments show as lag; truncation shows as floor
+    write_change_events(spark, events, 600, 60, n_epochs=5)
+    truncate_wal(wh, events)
+    h = warehouse_health(wh, events_dir=events)
+    assert h["wal"] == {
+        "segments": 1, "truncated_before": 4,
+        "applied_watermark": 4, "lag_epochs": 1,
+    }
