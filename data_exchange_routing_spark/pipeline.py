@@ -197,6 +197,31 @@ class Warehouse:
             if v > 0
         }
 
+    def register_views(self, tag: str | None = None, prefix: str = "") -> list[str]:
+        """Expose the warehouse to ``spark.sql``: one temp view per table.
+
+        With ``tag`` (or tag=None meaning a fresh consistent cut is NOT
+        taken — views track each table's LIVE current version at query
+        time), analysts get the plain SQL surface; with a published tag the
+        views pin to that consistent cut, so multi-table SQL joins are
+        snapshot-isolated exactly like ``read_consistent``. ``prefix``
+        namespaces the view names (e.g. "ws_"). Returns the view names.
+
+        Scale note: a temp view is just the lazy plan — registering costs
+        nothing; every SQL query re-plans through the same manifest-pruned
+        ``read()`` the DataFrame API uses, so pushdown/pruning behavior is
+        identical by construction."""
+        out = []
+        if tag is not None:
+            dfs = self.read_consistent(tag)
+        else:
+            dfs = {name: self.table(name).read() for name in self.list_tables()}
+        for name, df in sorted(dfs.items()):
+            view = f"{prefix}{name}"
+            df.createOrReplaceTempView(view)
+            out.append(view)
+        return out
+
     def rollback_to(self, tag: str) -> dict:
         """Disaster recovery: roll every table back to a published consistent
         cut (see ``publish_snapshot``), then drop the replay checkpoint marks
