@@ -830,6 +830,8 @@ def maintain(
     target_rows_per_bucket: int | None = None,
     minor: bool = False,
     retention: dict | None = None,
+    wal_events_dir: str | None = None,
+    wal_extra_consumer_positions: tuple = (),
 ) -> dict:
     """One incremental maintenance cycle — the ops loop a 100 TB deployment
     runs between (or concurrently with) epochs. Per destination table: rank
@@ -850,6 +852,11 @@ def maintain(
     — the growth path 16 -> 256 -> 1024 as the table grows. The rebucket
     already rewrites everything resolved, so selective compaction is skipped
     for that table this cycle.
+
+    ``wal_events_dir`` adds WAL retention to the cycle: event-log segments
+    below every consumer's position are garbage-collected (see
+    ``truncate_wal``; pass streaming cursors via
+    ``wal_extra_consumer_positions``).
 
     ``retention`` = {table_name: (ts_col, cutoff_datetime)} applies
     metadata-only data expiry (``LakeTable.expire_data``) to the named
@@ -906,4 +913,10 @@ def maintain(
         if expire_keep_last is not None:
             t.expire_snapshots(keep_last=expire_keep_last)
             t.vacuum_orphans()
+    if wal_events_dir is not None:
+        # WAL GC rides the same ops cycle: drop segments every consumer has
+        # passed (pass every streaming cursor or the laggard loses data)
+        report["wal"] = truncate_wal(
+            wh, wal_events_dir, wal_extra_consumer_positions
+        )
     return report

@@ -115,3 +115,12 @@ def test_health_reports_wal_lag(spark, tmpdir_path, replayed):
         "segments": 1, "truncated_before": 4,
         "applied_watermark": 4, "lag_epochs": 1,
     }
+
+
+def test_maintain_cycle_truncates_wal(spark, tmpdir_path, replayed):
+    from data_exchange_routing_spark.pipeline import maintain
+
+    wh, events = replayed
+    rep = maintain(wh, wal_events_dir=events)
+    assert rep["wal"]["removed_epochs"] == [0, 1, 2, 3]
+    assert truncated_before(events) == 4
