@@ -112,3 +112,38 @@ def stream_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_refresh_partitions(
+    spark,
+    table,
+    input_dir: str,
+    checkpoint_dir: str,
+    schema,
+    source: str = "stream-refresh",
+    max_files_per_trigger: int | None = None,
+):
+    """Crawl-refresh as a stream: each micro-batch atomically replaces
+    exactly the partitions it carries (``LakeTable.overwrite_partitions``) —
+    re-crawled day/host shards flow in continuously and the table always
+    shows whole shards, never a half-replaced one.
+
+    Exactly-once: the (source, batch_id) epoch guard absorbs Structured
+    Streaming's redeliveries — a retried batch after a sink-side crash is a
+    metadata no-op, so shards are never double-replaced out of order.
+    Append-only hidden-partitioned target required (same contract as the
+    batch call)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    refresh = reader.parquet(input_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        table.overwrite_partitions(batch_df, epoch_id=int(batch_id), source=source)
+
+    return (
+        refresh.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

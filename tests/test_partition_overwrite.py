@@ -160,3 +160,52 @@ def test_validations(spark, tmpdir_path):
     plain = LakeTable.create(spark, f"{tmpdir_path}/p", SCHEMA)
     with pytest.raises(ValueError, match="partition spec"):
         plain.overwrite_partitions(_base(spark))
+
+
+def test_streaming_refresh_replaces_partitions_exactly_once(spark, tmpdir_path):
+    """Crawl-refresh stream: micro-batches replace their partitions through
+    the epoch guard; a checkpointed re-run changes nothing."""
+    from data_exchange_routing_spark.streaming.ingest import stream_refresh_partitions
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA)
+    t.set_partition_spec([{"name": "d", "col": "ts", "transform": "days"}])
+    t.append(_base(spark), epoch_id=0)
+    # two refresh files -> two micro-batches (maxFilesPerTrigger=1): day 1
+    # then day 2, each with fewer rows than the original partition
+    refresh_dir = f"{tmpdir_path}/refresh"
+    _rows(spark, [(11, "2024-01-01 09:00:00", "r", 10)]).coalesce(1).write.parquet(
+        f"{refresh_dir}/f1"
+    )
+    _rows(spark, [(12, "2024-01-02 09:00:00", "r", 20)]).coalesce(1).write.parquet(
+        f"{refresh_dir}/f2"
+    )
+    import glob
+    import shutil
+
+    flat = f"{tmpdir_path}/flat"
+    import os
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(f"{refresh_dir}/*/*.parquet"))):
+        shutil.copy(f, f"{flat}/part-{i}.parquet")
+    ckpt = f"{tmpdir_path}/ckpt"
+    q = stream_refresh_partitions(
+        spark, t, flat, ckpt, SCHEMA, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    expected = {
+        (5, "2024-01-03", "a", 5.0),
+        (11, "2024-01-01", "r", 10.0),
+        (12, "2024-01-02", "r", 20.0),
+    }
+    assert _state(t) == expected
+    v = t.current_version()
+    # re-run from the same checkpoint: availableNow re-reads nothing new
+    q2 = stream_refresh_partitions(spark, t, flat, ckpt, SCHEMA)
+    q2.awaitTermination(120)
+    assert _state(t) == expected and t.current_version() == v
+    # a manually redelivered batch id is a guard no-op even with new data
+    res = t.overwrite_partitions(
+        _rows(spark, [(99, "2024-01-01 01:00:00", "x", 0)]),
+        epoch_id=0, source="stream-refresh",
+    )
+    assert res["skipped"] is True and _state(t) == expected
