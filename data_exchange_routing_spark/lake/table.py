@@ -1075,6 +1075,159 @@ class LakeTable:
                 z = z + F.shiftleft(F.shiftright(norm, i).bitwiseAND(F.lit(1)), i * n + ci)
         return z
 
+    @staticmethod
+    def _footer_column_stats(md, fields, key) -> dict:
+        """Manifest column statistics from ONE parquet footer (no data
+        IO): timestamp/numeric/string min-max ranges, NULL-presence
+        markers and the merge-key range. Shared by the staged-write
+        path (`_stage_files`) and metadata-only import (`add_files`)
+        so imported files prune exactly like native ones."""
+        extra: dict = {}
+        # timestamp-column ranges from the same footer walk: Iceberg
+        # column-stats analog that lets time-scoped reads of
+        # append-only tables prune files from the manifest alone
+        ts_cols = {
+            f.name for f in fields
+            if isinstance(f.dataType, T.TimestampType)
+        }
+        if ts_cols:
+            ts_stats: dict[str, list[str]] = {}
+            incomplete: set[str] = set()
+            ts_nulls: set[str] = set()
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name not in ts_cols:
+                        continue
+                    s = col.statistics
+                    if s is not None and (s.null_count or 0) > 0:
+                        # NULL presence marker (see expire_data):
+                        # tracked even for incomplete-stats columns
+                        ts_nulls.add(name)
+                    if name in incomplete:
+                        continue
+                    if s is None or not s.has_min_max:
+                        # a stats-less row group poisons the column:
+                        # its range is unknown, so never prune on it
+                        incomplete.add(name)
+                        ts_stats.pop(name, None)
+                        if s is None:
+                            # unknown null count => assume present
+                            ts_nulls.add(name)
+                        continue
+                    lo, hi = s.min.isoformat(), s.max.isoformat()
+                    cur = ts_stats.get(name)
+                    ts_stats[name] = (
+                        [lo, hi] if cur is None
+                        else [min(cur[0], lo), max(cur[1], hi)]
+                    )
+            if ts_stats:
+                extra["ts_stats"] = ts_stats
+            if ts_nulls:
+                extra["ts_nulls"] = sorted(ts_nulls)
+        # numeric- and string-column ranges from the SAME footer walk
+        # (no extra IO): generalizes ts_stats to int/long/float/
+        # double/date AND utf8 strings, so range_filter reads,
+        # delete_eq/delete_range pruning and MoR-delete compaction
+        # prune files on ANY such predicate — the Iceberg
+        # column-stats analog. String chunk stats are valid BOUNDS
+        # whenever present (parquet writers either keep exact
+        # min/max, omit oversized ones → has_min_max False → no
+        # pruning, or truncate bound-preservingly à la
+        # BinaryTruncator); long merged bounds are re-truncated
+        # below so a url/text column can't bloat the manifest.
+        # Binary columns stay excluded (html bytes: no meaningful
+        # range, no JSON encoding).
+        num_cols = {
+            f.name
+            for f in fields
+            if isinstance(
+                f.dataType,
+                (
+                    T.IntegerType,
+                    T.LongType,
+                    T.FloatType,
+                    T.DoubleType,
+                    T.DateType,
+                    T.StringType,
+                ),
+            )
+            and f.name not in INTERNAL_COLS
+            and f.name not in (BUCKET_COL, ROW_ID_COL)
+        }
+        if num_cols:
+            col_stats: dict[str, list] = {}
+            n_incomplete: set[str] = set()
+            col_nulls: set[str] = set()
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name not in num_cols:
+                        continue
+                    s = col.statistics
+                    if s is not None and (s.null_count or 0) > 0:
+                        col_nulls.add(name)
+                    if name in n_incomplete:
+                        continue
+                    if s is None or not s.has_min_max:
+                        n_incomplete.add(name)
+                        col_stats.pop(name, None)
+                        if s is None:
+                            col_nulls.add(name)
+                        continue
+                    lo, hi = s.min, s.max
+                    if hasattr(lo, "isoformat"):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    if isinstance(lo, bytes) or isinstance(hi, bytes):
+                        # un-annotated byte-array stats: order is not
+                        # comparable to str probes — never record
+                        n_incomplete.add(name)
+                        col_stats.pop(name, None)
+                        continue
+                    cur = col_stats.get(name)
+                    col_stats[name] = (
+                        [lo, hi] if cur is None
+                        else [min(cur[0], lo), max(cur[1], hi)]
+                    )
+            for name in list(col_stats):
+                lo, hi = col_stats[name]
+                if isinstance(lo, str):
+                    b = _bounded_str_range(lo, hi)
+                    if b is None:
+                        col_stats.pop(name)
+                    else:
+                        col_stats[name] = b
+            if col_stats:
+                extra["col_stats"] = col_stats
+            if col_nulls:
+                extra["col_nulls"] = sorted(col_nulls)
+        # merge-key range from the footers: manifest-level file
+        # pruning for point reads (Iceberg column-stats analog)
+        if key is not None:
+            kmin = kmax = None
+            complete = True
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema != key:
+                        continue
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        complete = False
+                        break
+                    lo = s.min.decode("utf-8", "replace") if isinstance(s.min, bytes) else s.min
+                    hi = s.max.decode("utf-8", "replace") if isinstance(s.max, bytes) else s.max
+                    kmin = lo if kmin is None else min(kmin, lo)
+                    kmax = hi if kmax is None else max(kmax, hi)
+                if not complete:
+                    break
+            if complete and kmin is not None:
+                extra["key_min"] = kmin
+                extra["key_max"] = kmax
+        return extra
+
     def _stage_files(
         self,
         df: DataFrame,
@@ -1180,149 +1333,7 @@ class LakeTable:
                 if part_values:
                     entry["partition"] = part_values
                     entry["spec_id"] = cur_spec
-                # timestamp-column ranges from the same footer walk: Iceberg
-                # column-stats analog that lets time-scoped reads of
-                # append-only tables prune files from the manifest alone
-                ts_cols = {
-                    f.name for f in df.schema.fields
-                    if isinstance(f.dataType, T.TimestampType)
-                }
-                if ts_cols:
-                    ts_stats: dict[str, list[str]] = {}
-                    incomplete: set[str] = set()
-                    ts_nulls: set[str] = set()
-                    for rg in range(md.num_row_groups):
-                        for ci in range(md.num_columns):
-                            col = md.row_group(rg).column(ci)
-                            name = col.path_in_schema
-                            if name not in ts_cols:
-                                continue
-                            s = col.statistics
-                            if s is not None and (s.null_count or 0) > 0:
-                                # NULL presence marker (see expire_data):
-                                # tracked even for incomplete-stats columns
-                                ts_nulls.add(name)
-                            if name in incomplete:
-                                continue
-                            if s is None or not s.has_min_max:
-                                # a stats-less row group poisons the column:
-                                # its range is unknown, so never prune on it
-                                incomplete.add(name)
-                                ts_stats.pop(name, None)
-                                if s is None:
-                                    # unknown null count => assume present
-                                    ts_nulls.add(name)
-                                continue
-                            lo, hi = s.min.isoformat(), s.max.isoformat()
-                            cur = ts_stats.get(name)
-                            ts_stats[name] = (
-                                [lo, hi] if cur is None
-                                else [min(cur[0], lo), max(cur[1], hi)]
-                            )
-                    if ts_stats:
-                        entry["ts_stats"] = ts_stats
-                    if ts_nulls:
-                        entry["ts_nulls"] = sorted(ts_nulls)
-                # numeric- and string-column ranges from the SAME footer walk
-                # (no extra IO): generalizes ts_stats to int/long/float/
-                # double/date AND utf8 strings, so range_filter reads,
-                # delete_eq/delete_range pruning and MoR-delete compaction
-                # prune files on ANY such predicate — the Iceberg
-                # column-stats analog. String chunk stats are valid BOUNDS
-                # whenever present (parquet writers either keep exact
-                # min/max, omit oversized ones → has_min_max False → no
-                # pruning, or truncate bound-preservingly à la
-                # BinaryTruncator); long merged bounds are re-truncated
-                # below so a url/text column can't bloat the manifest.
-                # Binary columns stay excluded (html bytes: no meaningful
-                # range, no JSON encoding).
-                num_cols = {
-                    f.name
-                    for f in df.schema.fields
-                    if isinstance(
-                        f.dataType,
-                        (
-                            T.IntegerType,
-                            T.LongType,
-                            T.FloatType,
-                            T.DoubleType,
-                            T.DateType,
-                            T.StringType,
-                        ),
-                    )
-                    and f.name not in INTERNAL_COLS
-                    and f.name not in (BUCKET_COL, ROW_ID_COL)
-                }
-                if num_cols:
-                    col_stats: dict[str, list] = {}
-                    n_incomplete: set[str] = set()
-                    col_nulls: set[str] = set()
-                    for rg in range(md.num_row_groups):
-                        for ci in range(md.num_columns):
-                            col = md.row_group(rg).column(ci)
-                            name = col.path_in_schema
-                            if name not in num_cols:
-                                continue
-                            s = col.statistics
-                            if s is not None and (s.null_count or 0) > 0:
-                                col_nulls.add(name)
-                            if name in n_incomplete:
-                                continue
-                            if s is None or not s.has_min_max:
-                                n_incomplete.add(name)
-                                col_stats.pop(name, None)
-                                if s is None:
-                                    col_nulls.add(name)
-                                continue
-                            lo, hi = s.min, s.max
-                            if hasattr(lo, "isoformat"):
-                                lo, hi = lo.isoformat(), hi.isoformat()
-                            if isinstance(lo, bytes) or isinstance(hi, bytes):
-                                # un-annotated byte-array stats: order is not
-                                # comparable to str probes — never record
-                                n_incomplete.add(name)
-                                col_stats.pop(name, None)
-                                continue
-                            cur = col_stats.get(name)
-                            col_stats[name] = (
-                                [lo, hi] if cur is None
-                                else [min(cur[0], lo), max(cur[1], hi)]
-                            )
-                    for name in list(col_stats):
-                        lo, hi = col_stats[name]
-                        if isinstance(lo, str):
-                            b = _bounded_str_range(lo, hi)
-                            if b is None:
-                                col_stats.pop(name)
-                            else:
-                                col_stats[name] = b
-                    if col_stats:
-                        entry["col_stats"] = col_stats
-                    if col_nulls:
-                        entry["col_nulls"] = sorted(col_nulls)
-                # merge-key range from the footers: manifest-level file
-                # pruning for point reads (Iceberg column-stats analog)
-                if snap.key is not None:
-                    kmin = kmax = None
-                    complete = True
-                    for rg in range(md.num_row_groups):
-                        for ci in range(md.num_columns):
-                            col = md.row_group(rg).column(ci)
-                            if col.path_in_schema != snap.key:
-                                continue
-                            s = col.statistics
-                            if s is None or not s.has_min_max:
-                                complete = False
-                                break
-                            lo = s.min.decode("utf-8", "replace") if isinstance(s.min, bytes) else s.min
-                            hi = s.max.decode("utf-8", "replace") if isinstance(s.max, bytes) else s.max
-                            kmin = lo if kmin is None else min(kmin, lo)
-                            kmax = hi if kmax is None else max(kmax, hi)
-                        if not complete:
-                            break
-                    if complete and kmin is not None:
-                        entry["key_min"] = kmin
-                        entry["key_max"] = kmax
+                entry.update(self._footer_column_stats(md, df.schema.fields, snap.key))
                 entries.append(entry)
         return entries
 
@@ -1856,6 +1867,98 @@ class LakeTable:
                 bloom[c] = base64.b64encode(np.packbits(bitmap).tobytes()).decode("ascii")
             entry["bloom"] = bloom
         return self.commit_staged_files([entry], schema, epoch_id=epoch_id, source=source)
+
+    def add_files(
+        self,
+        paths: list[str],
+        epoch_id: int | None = None,
+        source: str = "import",
+    ) -> dict:
+        """Metadata-only import of existing parquet files — the Iceberg
+        ``add_files`` / ``migrate`` procedure analog, and how a 100 TB
+        already-on-disk corpus onboards into the lake: ZERO data rows are
+        read or rewritten; cost is O(#files) footer reads on the driver.
+
+        Each source file is hardlinked (same filesystem; falls back to a
+        byte copy) into the table's data dir, so the table's
+        expire/vacuum lifecycle stays self-contained and source files are
+        never mutated or reclaimed. Files are registered in the manifest
+        with full footer statistics (rows, bytes, timestamp/numeric/string
+        min-max ranges, merge-key range) via the SAME stats walk as native
+        commits, so imported files prune identically under range reads,
+        ``delete_eq``/``delete_range`` and retention ``expire_data``;
+        missing stats stay conservative (never pruned, rewritten on expiry).
+
+        Append-only tables only: a keyed table's bucket layout is a
+        physical clustering the pre-existing files don't have — import into
+        a staging table and ``merge_cdc`` the rows across, or ``rebucket``.
+
+        Schema: the union of the files' schemas (Spark ``mergeSchema``
+        footer resolution — no data scan) must be additively compatible
+        with the table; new columns evolve the schema, columns a file
+        lacks read back as NULL, exactly like any evolved commit.
+
+        Exactly-once: ``epoch_id`` + ``source`` ride the standard epoch
+        guard — a redelivered import is a metadata no-op (the second
+        link pass writes into a fresh uuid dir that commit_staged_files
+        refuses, leaving only orphans that ``vacuum_orphans`` reclaims).
+
+        Reference: fns-routing's route step copies blobs between storage
+        accounts (RouteIngestedFile.kt:543-560); at lake scale the
+        equivalent onboarding move is metadata registration, not a byte
+        rewrite."""
+        import shutil
+
+        if not paths:
+            return {"skipped": True, "reason": "no-files"}
+        snap = self.snapshot()
+        if snap.key is not None:
+            raise ValueError(
+                "add_files requires an append-only (unkeyed) table: keyed "
+                "tables need the bucket clustering only a real write gives; "
+                "import into a staging table and merge_cdc across"
+            )
+        if epoch_id is not None and snap.epoch_committed(source, epoch_id):
+            return {"skipped": True, "epoch_id": epoch_id, "version": snap.version}
+        merged = (
+            self.spark.read.option("mergeSchema", "true").parquet(*paths).schema
+        )
+        reserved = set(INTERNAL_COLS) | {BUCKET_COL, ROW_ID_COL}
+        bad = [f.name for f in merged.fields if f.name in reserved]
+        if bad:
+            raise ValueError(f"add_files: reserved column names in source files: {bad}")
+        import pyarrow.parquet as pq
+
+        rel_dir = os.path.join(
+            _DATA_DIR, f"import-{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.path, rel_dir)
+        os.makedirs(out, exist_ok=True)
+        entries: list[dict] = []
+        for i, src_path in enumerate(paths):
+            dst = os.path.join(out, f"import-{i:05d}-{os.path.basename(src_path)}")
+            try:
+                os.link(src_path, dst)
+            except OSError:  # cross-device: fall back to a byte copy
+                shutil.copy2(src_path, dst)
+            md = pq.ParquetFile(dst).metadata
+            entry = {
+                "path": os.path.relpath(dst, self.path),
+                "bucket": -1,
+                "kind": "delta",
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(dst),
+            }
+            entry.update(self._footer_column_stats(md, merged.fields, snap.key))
+            entries.append(entry)
+        res = self.commit_staged_files(
+            entries,
+            merged,
+            epoch_id=epoch_id,
+            source=source,
+            summary={"files_imported": len(paths)},
+        )
+        return {**res, "files_imported": len(paths)}
 
     def merge_cdc(
         self,

@@ -6925,6 +6925,49 @@ def lake_time_travel_asof(spark, sf_dir):
 
 
 @q(
+    "lake_add_files",
+    # Metadata-only parquet import (lake/table.py:add_files — Iceberg
+    # add_files / migrate analog): an already-written 3-file corpus is
+    # registered into an empty table without reading a data row (hardlink +
+    # footer-stats manifest entries), a redelivered import no-ops under the
+    # epoch guard, and the read-back aggregate must hash-match DuckDB over
+    # the ORIGINAL events rows. In-query asserts: one manifest entry per
+    # source file; the re-import is skipped metadata-only.
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def lake_add_files(spark, sf_dir):
+    import os
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="addfiles_src_")
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    paths = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="addfiles_t_"), e.schema)
+    res = t.add_files(paths, epoch_id=0)
+    if res["skipped"] or len(t.snapshot().files) != len(paths):
+        raise AssertionError(f"import not metadata-only 1:1: {res}")
+    if not t.add_files(paths, epoch_id=0)["skipped"]:
+        raise AssertionError("redelivered import was not a metadata no-op")
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
     "lake_mor_delete_scan",
     # Merge-on-read deletes (lake/table.py:delete_eq_mor/_matching_mor/
     # update_matching_mor — Iceberg v2 delete-file analog): an equality
