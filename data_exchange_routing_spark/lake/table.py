@@ -1088,7 +1088,7 @@ class LakeTable:
         # append-only tables prune files from the manifest alone
         ts_cols = {
             f.name for f in fields
-            if isinstance(f.dataType, T.TimestampType)
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
         }
         if ts_cols:
             ts_stats: dict[str, list[str]] = {}
@@ -1929,6 +1929,9 @@ class LakeTable:
             raise ValueError(f"add_files: reserved column names in source files: {bad}")
         import pyarrow.parquet as pq
 
+        pst = self._part_state()
+        cur_spec = pst.get("current")
+        spec_fields = pst["specs"][str(cur_spec)] if cur_spec is not None else None
         rel_dir = os.path.join(
             _DATA_DIR, f"import-{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
@@ -1950,6 +1953,11 @@ class LakeTable:
                 "bytes": os.path.getsize(dst),
             }
             entry.update(self._footer_column_stats(md, merged.fields, snap.key))
+            if cur_spec is not None:
+                part = self._derive_import_partition(spec_fields, entry)
+                if part is not None:
+                    entry["partition"] = part
+                    entry["spec_id"] = cur_spec
             entries.append(entry)
         res = self.commit_staged_files(
             entries,
@@ -1959,6 +1967,47 @@ class LakeTable:
             summary={"files_imported": len(paths)},
         )
         return {**res, "files_imported": len(paths)}
+
+    @staticmethod
+    def _derive_import_partition(fields: list[dict], entry: dict) -> dict | None:
+        """Partition tuple for an imported file, PROVEN from its footer
+        stats alone — attached only when every spec field's transform is
+        provably constant across the file (null-free column, bounds present,
+        transform(min) == transform(max) via the exact Python write twins in
+        lake/partition.py). A file that can't be proven gets NO partition
+        metadata: reads keep it conservatively and overwrite_partitions
+        rewrites rather than metadata-drops it — pruning may be missed,
+        correctness never. Equal (possibly truncated) parquet string bounds
+        pin the column to a single value (lower == upper bound), so equality
+        checks on recorded bounds are sound even for truncated stats."""
+        from datetime import datetime as _dt
+
+        from data_exchange_routing_spark.lake import partition as _pt
+
+        out: dict = {}
+        for fld in fields:
+            col, tf = fld["col"], fld["transform"]
+            if tf in _pt._TIME_TRANSFORMS:
+                rng = (entry.get("ts_stats") or {}).get(col)
+                if rng is None or col in (entry.get("ts_nulls") or []):
+                    return None
+                lo = _pt._py_time(_dt.fromisoformat(rng[0]), tf)
+                hi = _pt._py_time(_dt.fromisoformat(rng[1]), tf)
+                if lo != hi:
+                    return None
+                out[fld["name"]] = lo
+            else:
+                rng = (entry.get("col_stats") or {}).get(col)
+                if rng is None or col in (entry.get("col_nulls") or []):
+                    return None
+                lo, hi = rng
+                # identity/bucket/truncate need an exactly-pinned value;
+                # floats are excluded (string formatting of the write
+                # expression is not reproducible from stats)
+                if lo != hi or isinstance(lo, float):
+                    return None
+                out[fld["name"]] = _pt._py_value(fld, lo)
+        return out
 
     def merge_cdc(
         self,

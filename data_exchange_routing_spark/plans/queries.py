@@ -6968,6 +6968,86 @@ def lake_add_files(spark, sf_dir):
 
 
 @q(
+    "lake_add_files_partitioned",
+    # Metadata-only import onto a hidden-partitioned table
+    # (lake/table.py:add_files + _derive_import_partition): three external
+    # single-day parquet files import with PROVEN days(ts) partition tuples
+    # (footer-stats constancy proof), then a dynamic partition overwrite of
+    # day 2024-01-11 (values doubled) drops the imported day file
+    # METADATA-ONLY — zero rewrites asserted in-query — and the per-day
+    # aggregate must hash-match the relational composition in DuckDB.
+    """
+    WITH src AS (
+      SELECT event_id, ts, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+    ),
+    final AS (
+      SELECT event_id, ts,
+             CASE WHEN CAST(ts AS DATE) = DATE '2024-01-11'
+                  THEN value * 2 ELSE value END AS value
+      FROM src
+    )
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(sum(value), 2) AS sum_value
+    FROM final
+    GROUP BY 1
+    """,
+)
+def lake_add_files_partitioned(spark, sf_dir):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "value")
+    paths = []
+    scratch = tempfile.mkdtemp(prefix="addfilespart_")
+    for d in (10, 11, 12):
+        day_dir = os.path.join(scratch, f"day{d}")
+        (
+            e.filter(
+                (F.col("ts") >= F.lit(datetime(2024, 1, d)))
+                & (F.col("ts") < F.lit(datetime(2024, 1, d + 1)))
+            )
+            .coalesce(1)
+            .write.parquet(day_dir)
+        )
+        paths += [
+            os.path.join(day_dir, f)
+            for f in os.listdir(day_dir)
+            if f.endswith(".parquet")
+        ]
+    t = LakeTable.create(spark, os.path.join(scratch, "t"), e.schema)
+    t.set_partition_spec([{"name": "d", "col": "ts", "transform": "days"}])
+    t.add_files(paths, epoch_id=0)
+    proven = [f for f in t.snapshot().files if "partition" in f]
+    if len(proven) != 3:
+        raise AssertionError(f"expected 3 proven partition tuples, got {len(proven)}")
+    repl = (
+        e.filter(
+            (F.col("ts") >= F.lit(datetime(2024, 1, 11)))
+            & (F.col("ts") < F.lit(datetime(2024, 1, 12)))
+        ).withColumn("value", F.col("value") * 2)
+    )
+    res = t.overwrite_partitions(repl, epoch_id=1)
+    if res["files_dropped"] != 1 or res["files_rewritten"]:
+        raise AssertionError(f"overwrite of an imported day was not metadata-only: {res}")
+    return (
+        t.read()
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@q(
     "lake_mor_delete_scan",
     # Merge-on-read deletes (lake/table.py:delete_eq_mor/_matching_mor/
     # update_matching_mor — Iceberg v2 delete-file analog): an equality

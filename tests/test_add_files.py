@@ -126,6 +126,51 @@ def test_import_rejects_keyed_tables_and_reserved_cols(spark, tmp_path):
         t.add_files(bad_srcs, epoch_id=0)
 
 
+def test_import_derives_provable_partition_tuples(spark, tmp_path):
+    """On a hidden-partitioned table, imported files whose footer stats PROVE
+    a constant partition value get the tuple (metadata pruning + metadata
+    partition overwrite work); mixed-day and null-bearing files get none and
+    stay conservative."""
+    from datetime import datetime
+
+    day1 = spark.createDataFrame(
+        [("a1", datetime(2024, 1, 1, 3), 1), ("a2", datetime(2024, 1, 1, 9), 2)], SCHEMA
+    )
+    day2 = spark.createDataFrame([("b1", datetime(2024, 1, 2, 5), 3)], SCHEMA)
+    mixed = spark.createDataFrame(
+        [("c1", datetime(2024, 1, 3, 1), 4), ("c2", datetime(2024, 1, 4, 1), 5)], SCHEMA
+    )
+    withnull = spark.createDataFrame([("d1", None, 6), ("d2", datetime(2024, 1, 5), 7)], SCHEMA)
+    srcs = []
+    for i, df in enumerate((day1, day2, mixed, withnull)):
+        d = str(tmp_path / f"s{i}")
+        df.coalesce(1).write.parquet(d)
+        srcs += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.set_partition_spec([{"name": "d", "col": "warc_ts", "transform": "days"}])
+    t.add_files(srcs, epoch_id=0)
+    by_day = {f.get("partition", {}).get("d"): f for f in t.snapshot().files}
+    assert {"2024-01-01", "2024-01-02"} <= set(by_day)
+    unproven = [f for f in t.snapshot().files if "partition" not in f]
+    assert len(unproven) == 2  # mixed-day + null-bearing
+    # metadata pruning sees the proven tuples
+    st = t.partition_prune_stats(part_eq=("warc_ts", datetime(2024, 1, 2, 12)))
+    assert st["files_kept"] == 3  # day2 + the two unproven (conservative)
+    # range read through the same pruning returns exact rows
+    got = sorted(
+        r.url for r in t.read(
+            range_filter=("warc_ts", datetime(2024, 1, 1), datetime(2024, 1, 1, 23))
+        ).collect()
+    )
+    assert got == ["a1", "a2"]
+    # partition overwrite: the proven day-1 file drops METADATA-ONLY; the
+    # unproven files are conservatively rewritten, never dropped
+    repl = spark.createDataFrame([("a9", datetime(2024, 1, 1, 12), 9)], SCHEMA)
+    res = t.overwrite_partitions(repl, epoch_id=1)
+    assert res["files_dropped"] == 1
+    assert sorted(r.url for r in t.read().collect()) == ["a9", "b1", "c1", "c2", "d1", "d2"]
+
+
 def test_sources_survive_table_lifecycle(spark, tmp_path):
     """Hardlinked sources are never mutated or reclaimed: compaction +
     snapshot expiry + vacuum on the table leave the source bytes intact."""
