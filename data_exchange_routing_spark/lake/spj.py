@@ -102,6 +102,16 @@ def bucket_join(
                 "bucket_join reads files by current name — run a full "
                 "compact()/rewrite_files() to purge old-name bytes first"
             )
+        act = tbl._active_defaults(snap, snap.files)
+        if act:
+            # the executor-side pyarrow reads have no per-file seq, so
+            # initial defaults on pre-add files would read NULL here —
+            # refuse loudly instead (a compact() materializes them)
+            raise ValueError(
+                f"{side} table has active column defaults {sorted(act)}; "
+                "bucket_join cannot apply initial defaults — run a full "
+                "compact() to materialize them first"
+            )
     lf, rf = _files_by_bucket(left, "bucket_join"), _files_by_bucket(right, "bucket_join")
     if lsnap.n_buckets != rsnap.n_buckets:
         raise ValueError(

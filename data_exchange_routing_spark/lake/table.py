@@ -622,8 +622,11 @@ class LakeTable:
         paths = [os.path.join(self.path, f["path"]) for f in files]
         renames = self._live_renames(snap)
         # only touch the hidden _metadata struct when row identity is
-        # actually needed: delete-free tables keep their exact pre-MoR plans
-        need_meta = keep_meta or bool(snap.delete_files) or with_row_ids
+        # actually needed: delete-free tables keep their exact pre-MoR plans.
+        # Active column defaults need the per-file seq too (initial-default
+        # rows are the ones whose file predates the ADD COLUMN).
+        defaults = self._active_defaults(snap, files)
+        need_meta = keep_meta or bool(snap.delete_files) or with_row_ids or bool(defaults)
         if paths and renames:
             # name-mapped RENAME COLUMN read path: request the alias names
             # alongside the schema (files written pre-rename store the bytes
@@ -682,6 +685,20 @@ class LakeTable:
                     F.coalesce(F.col(ROW_ID_COL), F.col("_mor_frid") + F.col("_mor_pos")),
                 )
             df = self._apply_delete_files(df, snap)
+            for c, d in defaults.items():
+                # rows from files written BEFORE the column existed read the
+                # initial default; post-add rows (incl. explicit NULLs) read
+                # their stored value. Unmapped files (NULL _mor_seq — the
+                # defensive never-happens branch of _attach_mor_meta) fall
+                # through to the stored value.
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        (F.col("_mor_seq") < F.lit(int(d["seq"])))
+                        & F.col(c).isNull(),
+                        F.lit(d["value"]).cast(d["type"]),
+                    ).otherwise(F.col(c)),
+                )
             df = df.drop("_mor_seq", "_mor_frid")
             if not keep_meta:
                 df = df.drop("_mor_file", "_mor_pos")
@@ -1426,8 +1443,22 @@ class LakeTable:
             rm = os.path.join(self.meta_dir, f"renamed-{name}.json")
             if os.path.exists(rm):
                 os.unlink(rm)
+            self._move_default(name, None)
             return {"version": new.version, "column": name}
         raise RuntimeError(f"drop_column contention exhausted retries on {self.path}")
+
+    def _move_default(self, old: str, new: str | None) -> None:
+        """Rekey (rename) or remove (drop) a column's initial-default entry."""
+        d = self._column_defaults()
+        if old not in d:
+            return
+        entry = d.pop(old)
+        if new is not None:
+            d[new] = entry
+        p = os.path.join(self.meta_dir, "defaults.json")
+        with open(p + ".tmp", "w") as f:
+            f.write(json.dumps(d, indent=1))
+        os.replace(p + ".tmp", p)
 
     def _clear_drop_markers(self) -> None:
         """Called after a FULL rewrite: every surviving data file was written
@@ -1443,6 +1474,117 @@ class LakeTable:
             os.unlink(os.path.join(self.meta_dir, f"dropped-{name}.json"))
         for name in self._rename_markers():
             os.unlink(os.path.join(self.meta_dir, f"renamed-{name}.json"))
+
+    # ------------------------------------------------- ADD COLUMN (default)
+
+    def _column_defaults(self) -> dict:
+        """{col: {"value": json, "type": ddl, "seq": added_version}} from
+        ``_meta/defaults.json`` (single-writer DDL metadata, like partition
+        specs)."""
+        p = os.path.join(self.meta_dir, "defaults.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _active_defaults(self, snap: Snapshot, files: list[dict]) -> dict:
+        """Defaults a scan of ``files`` must apply: a default is live only
+        while some scanned file PREDATES the column (seq < added version).
+        After compaction/rewrite materializes old rows, every live file's
+        seq clears the bar and the read tax disappears; ``as_of`` reads of
+        old versions still see pre-add files and re-activate it."""
+        d = self._column_defaults()
+        if not d or not files:
+            return {}
+        names = set(snap.schema().fieldNames())
+        min_seq = min(int(f.get("seq", 0)) for f in files)
+        return {c: v for c, v in d.items() if c in names and min_seq < v["seq"]}
+
+    def add_column(self, name: str, dtype, default=None) -> dict:
+        """Metadata-only ADD COLUMN with an optional INITIAL DEFAULT
+        (Iceberg v3 default-value analog): rows written BEFORE the column
+        existed read back ``default`` instead of NULL — zero rewrites at any
+        table size — while rows written after (including explicit NULLs)
+        read exactly what was written. The per-file data sequence number
+        already carried for merge-on-read deletes (``_mor_seq``) decides
+        which side of the add each row falls on, so application is one
+        column expression, no extra scan or shuffle. A rewrite
+        (compact/rewrite_files) materializes defaults into data; once no
+        live file predates the add, reads skip the machinery entirely.
+
+        Without ``default`` this is plain additive evolution, identical to
+        committing a wider batch (old rows NULL). Resurrection-guarded like
+        every schema change: a previously dropped name is refused until a
+        full rewrite purges the old bytes."""
+        snap = self.snapshot()
+        dt = dtype if isinstance(dtype, T.DataType) else (
+            T.StructType.fromDDL(f"`{name}` {dtype}").fields[0].dataType
+        )
+        if name in snap.schema().fieldNames():
+            raise ValueError(f"column {name!r} already exists on {self.path}")
+        protected = {snap.key, "warc_ts", *INTERNAL_COLS, BUCKET_COL, ROW_ID_COL}
+        if name in protected:
+            raise ValueError(f"cannot add reserved column name {name!r}")
+        if name in self._dropped_cols() or any(
+            name in aliases for aliases in self._rename_markers().values()
+        ):
+            raise ValueError(
+                f"column name {name!r} was dropped/renamed-away and old files "
+                "still hold its bytes; compact()/rewrite_files() first"
+            )
+        stored = default
+        if default is not None:
+            if hasattr(default, "isoformat"):
+                stored = default.isoformat()
+            elif not isinstance(default, (str, int, float, bool)):
+                raise ValueError(
+                    f"default must be a scalar literal, got {type(default)}"
+                )
+            # fail fast on an uncastable default (e.g. 'abc' as long);
+            # try_cast so ANSI mode reports None instead of throwing
+            probe = self.spark.range(1).select(
+                F.lit(stored).try_cast(dt).alias("d")
+            ).collect()[0]["d"]
+            if probe is None:
+                raise ValueError(f"default {default!r} does not cast to {dt.simpleString()}")
+        for _attempt in range(50):
+            snap = self.snapshot()
+            fields = snap.schema().fields + [T.StructField(name, dt, True)]
+            new = Snapshot(
+                version=snap.version + 1,
+                schema_json=json.dumps(T.StructType(fields).jsonValue()),
+                n_buckets=snap.n_buckets,
+                key=snap.key,
+                segments=snap.segments,
+                tail=snap.tail,
+                committed_epochs=snap.committed_epochs,
+                summary={
+                    "operation": "add-column",
+                    "column": name,
+                    "type": dt.simpleString(),
+                    "default": stored,
+                },
+                seg_files=snap.seg_files,
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                continue
+            if default is not None:
+                d = self._column_defaults()
+                d[name] = {
+                    "value": stored,
+                    "type": dt.simpleString(),
+                    "seq": new.version,
+                }
+                # overwrite-in-place (single-writer DDL metadata): tmp+rename
+                tmp = os.path.join(self.meta_dir, "defaults.json")
+                payload = json.dumps(d, indent=1)
+                with open(tmp + ".tmp", "w") as f:
+                    f.write(payload)
+                os.replace(tmp + ".tmp", tmp)
+            return {"version": new.version, "column": name, "default": stored}
+        raise RuntimeError(f"commit contention exhausted retries on {self.path}")
 
     # ------------------------------------------------------ RENAME COLUMN
 
@@ -1627,6 +1769,7 @@ class LakeTable:
                 # behind, inert (its current-name is no longer in any live
                 # schema) and GC'd by the next full-rewrite clear
                 os.unlink(os.path.join(self.meta_dir, f"renamed-{old}.json"))
+            self._move_default(old, new)
             return {"version": nxt.version, "from": old, "to": new, "aliases": aliases}
         raise RuntimeError(f"rename_column contention exhausted retries on {self.path}")
 
@@ -3536,6 +3679,9 @@ class LakeTable:
         props = self._props()
         if props:
             _atomic_write_json(os.path.join(dest.meta_dir, "props.json"), props)
+        dflt = self._column_defaults()
+        if dflt:
+            _atomic_write_json(os.path.join(dest.meta_dir, "defaults.json"), dflt)
         new = Snapshot(
             # the clone keeps the source's version number (not 1): data
             # sequence numbers copied with the entries stay below every

@@ -7048,6 +7048,51 @@ def lake_add_files_partitioned(spark, sf_dir):
 
 
 @q(
+    "lake_default_values",
+    # ADD COLUMN with an initial default (lake/table.py:add_column — Iceberg
+    # v3 default-value analog): epoch 0 (even event_ids) commits BEFORE the
+    # column exists, then `tier string DEFAULT 'web'` is added metadata-only,
+    # then epoch 1 (odd ids) writes explicit values ('news' for id%3==0,
+    # explicit NULL otherwise). Pre-add rows must read the default, post-add
+    # rows exactly what was written — the per-file sequence number decides.
+    # A rewrite then MATERIALIZES defaults (in-query assert: the default is
+    # retired from the read path) and the aggregate must still hash-match.
+    """
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'web'
+                WHEN event_id % 3 = 0 THEN 'news'
+                ELSE NULL END AS tier,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def lake_default_values(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select("event_id", "ts", "value")
+    t = LakeTable.create(spark, tempfile.mkdtemp(prefix="dflt_"), e.schema)
+    t.append(e.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    t.add_column("tier", "string", default="web")
+    post = e.filter(F.col("event_id") % 2 == 1).withColumn(
+        "tier", F.when(F.col("event_id") % 3 == 0, F.lit("news"))
+    )
+    t.append(post, epoch_id=1)
+    t.rewrite_files(n_files=2)
+    snap = t.snapshot()
+    if t._active_defaults(snap, snap.files):
+        raise AssertionError("rewrite did not materialize/retire the default")
+    return t.read().groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
     "lake_mor_delete_scan",
     # Merge-on-read deletes (lake/table.py:delete_eq_mor/_matching_mor/
     # update_matching_mor — Iceberg v2 delete-file analog): an equality
