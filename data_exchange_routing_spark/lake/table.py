@@ -684,13 +684,15 @@ class LakeTable:
                     ROW_ID_COL,
                     F.coalesce(F.col(ROW_ID_COL), F.col("_mor_frid") + F.col("_mor_pos")),
                 )
-            df = self._apply_delete_files(df, snap)
             for c, d in defaults.items():
                 # rows from files written BEFORE the column existed read the
                 # initial default; post-add rows (incl. explicit NULLs) read
                 # their stored value. Unmapped files (NULL _mor_seq — the
                 # defensive never-happens branch of _attach_mor_meta) fall
-                # through to the stored value.
+                # through to the stored value. Applied BEFORE delete files so
+                # an equality delete on a defaulted column matches the
+                # EFFECTIVE value (a stored-NULL pre-add row with default
+                # 'web' is deleted by delete_eq_mor('tier', 'web')).
                 df = df.withColumn(
                     c,
                     F.when(
@@ -699,6 +701,7 @@ class LakeTable:
                         F.lit(d["value"]).cast(d["type"]),
                     ).otherwise(F.col(c)),
                 )
+            df = self._apply_delete_files(df, snap)
             df = df.drop("_mor_seq", "_mor_frid")
             if not keep_meta:
                 df = df.drop("_mor_file", "_mor_pos")

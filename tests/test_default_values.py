@@ -123,6 +123,23 @@ def test_default_composes_with_mor_deletes(spark, tmp_path):
     assert all(v == "web" for v in rows.values())
 
 
+def test_mor_delete_on_defaulted_column_matches_effective_value(spark, tmp_path):
+    """delete_eq_mor on the defaulted column deletes by the EFFECTIVE value:
+    pre-add rows (stored NULL, read 'web') fall to delete_eq_mor('tier',
+    'web'); post-add explicit values follow their own stored value."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(_pages(spark, 0, 4), epoch_id=0)
+    t.add_column("tier", "string", default="web")
+    post = _pages(spark, 4, 8).withColumn(
+        "tier", F.when(F.col("n") % 2 == 0, F.lit("web")).otherwise(F.lit("news"))
+    )
+    t.append(post, epoch_id=1)
+    t.delete_eq_mor("tier", "web")
+    rows = {r.url: r.tier for r in t.read().collect()}
+    # pre-add rows (effective 'web') and post-add explicit 'web' both gone
+    assert rows == {"u5": "news", "u7": "news"}
+
+
 def test_bucket_join_refuses_active_defaults(spark, tmp_path):
     from data_exchange_routing_spark.lake.spj import bucket_join
 
