@@ -1231,6 +1231,50 @@ def web_warc_roundtrip(spark, sf_dir):
 
 
 @q(
+    "web_wet_roundtrip",
+    # WET derivative (sources/warc.py): documents become genuine Common-Crawl
+    # style WET files (warcinfo + conversion records, member-per-record gzip),
+    # parsed back by Content-Length framing. The oracle recomputes uri,
+    # byte length, text md5 AND the WARC-Refers-To header value straight from
+    # the table — proving text bytes and the provenance header survive the
+    # encode → gzip → parse round trip exactly.
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'https://example.org/doc/' || doc_id AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS text_md5,
+           '<urn:md5:' || md5('https://example.org/doc/' || doc_id || chr(10) || text) || '>'
+             AS refers_to
+    FROM documents
+    """,
+)
+def web_wet_roundtrip(spark, sf_dir):
+    from data_exchange_routing_spark.sources.warc import (
+        encode_wet_files,
+        parse_wet_records,
+    )
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias("uri"),
+        "text",
+    ).withColumn(
+        # the id a response record for this page would carry (provenance link)
+        "refers_to",
+        F.concat(F.lit("<urn:md5:"), F.md5(F.concat("uri", F.lit("\n"), "text")), F.lit(">")),
+    )
+    recs = parse_wet_records(
+        encode_wet_files(d, refers_col="refers_to", compression="gzip")
+    )
+    return recs.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "uri",
+        "content_length",
+        F.md5(F.col("text")).alias("text_md5"),
+        "refers_to",
+    )
+
+
+@q(
     "doc_lm_perplexity",
     # CCNet-style quality score: Laplace-smoothed bigram LM trained on the
     # corpus itself, each doc scored by mean log-prob. Multiply-referenced CTEs

@@ -39,22 +39,30 @@ _FIXED_DATE = "2024-01-01T00:00:00Z"  # deterministic encode (replay-stable)
 
 
 def build_warc_record(
-    uri: str,
+    uri: str | None,
     payload: bytes,
     rec_type: str = "response",
     date: str = _FIXED_DATE,
     content_type: str = "text/html",
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """One WARC/1.0 record as bytes. Record-ID is content-derived
-    (deterministic across retries), Content-Length frames the payload."""
-    rid = hashlib.md5(uri.encode("utf-8") + b"\x00" + payload).hexdigest()
+    (deterministic across retries), Content-Length frames the payload.
+    ``uri=None`` omits WARC-Target-URI (warcinfo records carry none);
+    ``extra_headers`` adds named headers (e.g. WARC-Refers-To) verbatim."""
+    rid = hashlib.md5((uri or "").encode("utf-8") + b"\x00" + payload).hexdigest()
     head = (
         b"WARC/1.0" + CRLF
         + f"WARC-Type: {rec_type}".encode() + CRLF
         + f"WARC-Record-ID: <urn:md5:{rid}>".encode() + CRLF
         + f"WARC-Date: {date}".encode() + CRLF
-        + f"WARC-Target-URI: {uri}".encode("utf-8") + CRLF
-        + f"Content-Type: {content_type}".encode() + CRLF
+    )
+    if uri is not None:
+        head += f"WARC-Target-URI: {uri}".encode("utf-8") + CRLF
+    for k, v in (extra_headers or {}).items():
+        head += f"{k}: {v}".encode("utf-8") + CRLF
+    head += (
+        f"Content-Type: {content_type}".encode() + CRLF
         + f"Content-Length: {len(payload)}".encode() + CRLF
         + CRLF
     )
@@ -277,6 +285,118 @@ def maybe_gunzip(buf: bytes) -> bytes:
 
         return _gzip.decompress(buf)  # handles concatenated members
     return buf
+
+
+# --------------------------------------------------------------------------
+# WET: the extracted-text DERIVATIVE of a crawl (Common Crawl's *.warc.wet.gz
+# sidecar family). A WET file IS a WARC file whose first record is `warcinfo`
+# (file-level provenance, application/warc-fields payload) followed by one
+# `conversion` record per page: text/plain payload = the extracted text,
+# WARC-Refers-To = the source response record's id. Because framing is plain
+# WARC, the registered `warc` Data Source and the CDX/span machinery read WET
+# files unchanged — this layer only fixes the record grammar.
+# --------------------------------------------------------------------------
+
+WET_WARCINFO_PAYLOAD = (
+    b"software: data-exchange-routing-spark" + CRLF
+    + b"format: WET File Format 1.0" + CRLF
+)
+
+WET_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), True),
+        T.StructField("refers_to", T.StringType(), True),
+        T.StructField("content_length", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def encode_wet_files(
+    df: DataFrame,
+    uri_col: str = "uri",
+    text_col: str = "text",
+    refers_col: str | None = None,
+    compression: str | None = None,
+) -> DataFrame:
+    """N (uri, extracted-text) rows → one WET file per Arrow batch
+    (mapInPandas, no shuffle): a leading ``warcinfo`` record then one
+    ``conversion`` record per row. ``refers_col`` (optional) carries the
+    source response record id into ``WARC-Refers-To``.
+    ``compression='gzip'`` emits member-per-record gzip (the Common Crawl
+    wire layout — stays record-splittable at compressed offsets)."""
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression {compression!r}")
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import gzip as _gzip
+
+        import pandas as pd
+
+        comp = (lambda b: _gzip.compress(b, mtime=0)) if compression else (lambda b: b)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            refers = pdf[refers_col] if refers_col else [None] * len(pdf)
+            chunks = [
+                comp(
+                    build_warc_record(
+                        None,
+                        WET_WARCINFO_PAYLOAD,
+                        rec_type="warcinfo",
+                        content_type="application/warc-fields",
+                    )
+                )
+            ]
+            for u, t, r in zip(pdf[uri_col], pdf[text_col], refers):
+                chunks.append(
+                    comp(
+                        build_warc_record(
+                            u,
+                            t.encode("utf-8"),
+                            rec_type="conversion",
+                            content_type="text/plain",
+                            extra_headers={"WARC-Refers-To": r} if r is not None else None,
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {"warc_file": [b"".join(chunks)], "n_records": [len(chunks)]}
+            )
+
+    return df.mapInPandas(op, WARC_FILE_SCHEMA)
+
+
+def parse_wet_records(df: DataFrame, file_col: str = "warc_file") -> DataFrame:
+    """1→N: each WET file row explodes into its ``conversion`` records with
+    the text decoded back to a string column. Enforces the WET grammar
+    loudly: first record MUST be ``warcinfo``, every following record MUST be
+    ``conversion`` — a mis-typed file dead-letters, never half-parses.
+    Transparently handles member-per-record gzip (magic-sniffed)."""
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "uri": [], "refers_to": [], "content_length": [], "text": [],
+            }
+            for buf in pdf[file_col]:
+                recs = list(parse_warc(maybe_gunzip(bytes(buf))))
+                if not recs or recs[0][0].get("WARC-Type") != "warcinfo":
+                    raise ValueError("WET: file must start with a warcinfo record")
+                for headers, payload in recs[1:]:
+                    if headers.get("WARC-Type") != "conversion":
+                        raise ValueError(
+                            f"WET: unexpected record type {headers.get('WARC-Type')!r}"
+                        )
+                    out["uri"].append(headers.get("WARC-Target-URI"))
+                    out["refers_to"].append(headers.get("WARC-Refers-To"))
+                    out["content_length"].append(int(headers["Content-Length"]))
+                    out["text"].append(payload.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, WET_RECORD_SCHEMA)
 
 
 def iter_warc_gz_spans(buf: bytes) -> Iterator[tuple[int, int, str]]:

@@ -140,3 +140,84 @@ def test_warc_gz_span_walk_rejects_garbage():
 
     with _pytest.raises(ValueError, match="not a gzip member"):
         list(iter_warc_gz_spans(b"plain not gz"))
+
+
+# ------------------------------------------------------------------ WET
+
+def test_wet_grammar_roundtrip_plain_and_gz(spark):
+    """WET derivative: warcinfo + conversion records, text and the
+    WARC-Refers-To provenance header survive byte-exactly, plain and
+    member-per-record gzip."""
+    from data_exchange_routing_spark.sources.warc import (
+        encode_wet_files,
+        parse_wet_records,
+    )
+
+    rows = [
+        (f"https://example.org/p/{i}", f"extracted text {i} — é\n\nWARC/1.0", f"<urn:md5:ref{i}>")
+        for i in range(23)
+    ]
+    df = spark.createDataFrame(rows, "uri string, text string, refers_to string").repartition(3)
+    for comp in (None, "gzip"):
+        out = parse_wet_records(
+            encode_wet_files(df, refers_col="refers_to", compression=comp)
+        ).toPandas()
+        assert sorted(zip(out["uri"], out["text"], out["refers_to"])) == sorted(rows)
+        assert (out["content_length"] == out["text"].map(lambda t: len(t.encode()))).all()
+
+
+def test_wet_warcinfo_leads_every_file(spark):
+    """Each encoded WET file starts with exactly one warcinfo record (no
+    Target-URI, warc-fields payload); a file NOT led by warcinfo is rejected
+    loudly by the WET parser."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_exchange_routing_spark.sources.warc import (
+        WET_WARCINFO_PAYLOAD,
+        build_warc_record,
+        encode_wet_files,
+        parse_warc,
+        parse_wet_records,
+    )
+
+    df = spark.createDataFrame([("u://1", "t")], "uri string, text string").coalesce(1)
+    buf = bytes(encode_wet_files(df).toPandas()["warc_file"][0])
+    recs = list(parse_warc(buf))
+    assert recs[0][0]["WARC-Type"] == "warcinfo"
+    assert "WARC-Target-URI" not in recs[0][0]
+    assert recs[0][1] == WET_WARCINFO_PAYLOAD
+    assert [h["WARC-Type"] for h, _ in recs[1:]] == ["conversion"]
+
+    # a conversion record with no warcinfo leader dead-letters loudly
+    bad = build_warc_record(
+        "u://1", b"t", rec_type="conversion", content_type="text/plain"
+    )
+    bad_df = spark.createDataFrame(
+        pd.DataFrame({"warc_file": [bad], "n_records": [1]})
+    )
+    with _pytest.raises(Exception, match="warcinfo"):
+        parse_wet_records(bad_df).collect()
+
+
+def test_wet_reads_through_registered_warc_source(spark, tmpdir_path):
+    """A WET file IS a WARC file: the registered `warc` Data Source scans it
+    unchanged and the conversion records carry their text payloads."""
+    from data_exchange_routing_spark.sources.pyds import register_sources
+    from data_exchange_routing_spark.sources.warc import encode_wet_files
+
+    register_sources(spark)
+    df = spark.createDataFrame(
+        [(f"u://{i}", f"txt {i}") for i in range(6)], "uri string, text string"
+    ).coalesce(1)
+    buf = encode_wet_files(df).toPandas()["warc_file"][0]
+    with open(f"{tmpdir_path}/part-0.warc", "wb") as f:
+        f.write(bytes(buf))
+    got = (
+        spark.read.format("warc").load(str(tmpdir_path))
+        .filter("rec_type = 'conversion'")
+        .toPandas()
+    )
+    assert sorted(bytes(p).decode() for p in got["payload"]) == sorted(
+        f"txt {i}" for i in range(6)
+    )
