@@ -5686,6 +5686,62 @@ def web_crawl_frontier(spark, sf_dir):
 
 
 @q(
+    "crawl_redirect_resolve",
+    # Redirect-chain resolution (functions/crawl.py:resolve_redirects):
+    # pointer-doubling transitive walk with the fetcher's bounded-hop policy
+    # (16). Edge families synthesized from doc_id: short chains to mod-8
+    # terminals, a 3-node loop (never resolves), and a 29-hop chain whose
+    # tail crosses the hop budget (long16 resolves at exactly 16 hops;
+    # long17+ do not). Oracle: hop-by-hop recursive CTE — 16 sequential
+    # steps where the engine pays ceil(log2 16) = 4 self-join rounds.
+    """
+    WITH RECURSIVE edges AS MATERIALIZED (
+      SELECT 'u' || doc_id AS src, 'u' || (doc_id - 1) AS dst
+      FROM documents WHERE doc_id % 8 <> 0
+      UNION ALL
+      SELECT 'cyc' || doc_id, 'cyc' || ((doc_id + 1) % 3)
+      FROM documents WHERE doc_id < 3
+      UNION ALL
+      SELECT 'long' || doc_id, 'long' || (doc_id - 1)
+      FROM documents WHERE doc_id BETWEEN 1 AND 29),
+    m AS (SELECT src, min(dst) AS dst FROM edges GROUP BY 1),
+    walk AS (
+      SELECT src, dst AS cur, 1 AS hops FROM m
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN m e ON w.cur = e.src
+      WHERE w.hops < 16),
+    term AS (
+      SELECT w.src, w.cur, w.hops FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM m e WHERE e.src = w.cur))
+    SELECT s.src,
+           t.cur AS final_url,
+           CAST(t.hops AS BIGINT) AS n_hops,
+           t.cur IS NOT NULL AS resolved
+    FROM (SELECT DISTINCT src FROM m) s LEFT JOIN term t USING (src)
+    """,
+)
+def crawl_redirect_resolve(spark, sf_dir):
+    from data_exchange_routing_spark.functions.crawl import resolve_redirects
+
+    d = ld(spark, sf_dir, "documents").select("doc_id")
+    u = F.col("doc_id")
+    fam1 = d.filter(u % 8 != 0).select(
+        F.concat(F.lit("u"), u.cast("string")).alias("src"),
+        F.concat(F.lit("u"), (u - 1).cast("string")).alias("dst"),
+    )
+    fam2 = d.filter(u < 3).select(
+        F.concat(F.lit("cyc"), u.cast("string")).alias("src"),
+        F.concat(F.lit("cyc"), ((u + 1) % 3).cast("string")).alias("dst"),
+    )
+    fam3 = d.filter((u >= 1) & (u <= 29)).select(
+        F.concat(F.lit("long"), u.cast("string")).alias("src"),
+        F.concat(F.lit("long"), (u - 1).cast("string")).alias("dst"),
+    )
+    return resolve_redirects(fam1.union(fam2).union(fam3), max_hops=16)
+
+
+@q(
     "doc_containment_pairs",
     # Asymmetric near-dup: shingle-set containment |A∩B|/|A| (Broder 1997) —
     # catches a short doc quoted wholesale inside a long one, which Jaccard

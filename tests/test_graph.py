@@ -176,3 +176,35 @@ def test_triangle_counts_matches_bruteforce(spark):
             for x in (a, b, c):
                 want[x] = want.get(x, 0) + 1
     assert got == want and sum(want.values()) % 3 == 0 and want
+
+
+def test_resolve_redirects_semantics(spark):
+    """Bounded-hop redirect resolution: chains resolve with exact hop counts,
+    loops and over-budget chains are unresolved, duplicate out-edges pick
+    min(dst) deterministically."""
+    from data_exchange_routing_spark.functions.crawl import resolve_redirects
+
+    edges = [
+        # chain a -> b -> c -> T (3 hops from a)
+        ("a", "b"), ("b", "c"), ("c", "T"),
+        # 2-loop
+        ("x", "y"), ("y", "x"),
+        # self-loop
+        ("s", "s"),
+        # duplicate out-edges: min(dst) wins -> 'm' -> 'b' -> ... (3 hops)
+        ("m", "z"), ("m", "b"),
+    ] + [(f"c{i}", f"c{i+1}") for i in range(40)]  # 40-chain: c0 needs 40 hops
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.src: r for r in resolve_redirects(df, max_hops=16).collect()}
+    assert (out["a"].final_url, out["a"].n_hops, out["a"].resolved) == ("T", 3, True)
+    assert out["x"].resolved is False and out["x"].final_url is None
+    assert out["y"].resolved is False
+    assert out["s"].resolved is False  # self-loop never terminates
+    assert (out["m"].final_url, out["m"].n_hops) == ("T", 3)  # min(b, z) = b
+    # budget boundary: c24 -> c40 is exactly 16 hops (resolved), c23 needs 17
+    assert (out["c25"].final_url, out["c25"].n_hops, out["c25"].resolved) == ("c40", 15, True)
+    assert (out["c24"].final_url, out["c24"].n_hops, out["c24"].resolved) == ("c40", 16, True)
+    assert out["c23"].resolved is False and out["c23"].n_hops is None
+    # every src accounted for exactly once
+    srcs = {s for s, _ in edges}
+    assert set(out) == srcs
