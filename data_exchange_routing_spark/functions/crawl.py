@@ -81,6 +81,61 @@ def robots_filter(
     )
 
 
+def blocklist_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Category blocklist filtering (UT1/URLhaus-style list shape): mark each
+    URL row with the blocklist categories it falls under.
+
+    ``rules`` columns: ``(category, domain, path_prefix)`` — a rule matches
+    when the URL's host IS the domain or is a subdomain of it (DNS suffix
+    match), and, if ``path_prefix`` is non-empty, the path starts with it.
+    Appends ``blocked`` (any rule matched) and ``categories`` (sorted
+    distinct matched categories; empty array when clean).
+
+    Scale shape: real blocklists are MILLIONS of domains (UT1's adult list
+    alone is ~4M), so suffix matching must NOT be an endswith theta-join
+    (nested-loop against every rule). Instead each host explodes into its
+    DNS suffixes (bounded by label count, ~4-6 rows) and equi-joins the rule
+    table on suffix = domain — a plain broadcast/shuffle HASH join that
+    scales to arbitrarily large lists; one groupBy over the URL row's
+    columns folds multi-rule hits back to one row.
+    """
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    r = rules.select(
+        F.col("category").alias("_b_cat"),
+        F.col("domain").alias("_b_dom"),
+        F.col("path_prefix").alias("_b_pfx"),
+    )
+    # a failed path-prefix check nulls the match rather than dropping the
+    # row — every exploded suffix row survives, so a URL can never vanish
+    # from the output however many rules its suffixes touch
+    path_ok = (
+        F.col("_b_pfx").isNull()
+        | (F.col("_b_pfx") == "")
+        | F.col(path_col).startswith(F.col("_b_pfx"))
+    )
+    joined = (
+        urls.withColumn("_suf", F.explode(sufs))
+        .join(F.broadcast(r), F.col("_suf") == F.col("_b_dom"), "left")
+        .withColumn("_b_match", F.when(path_ok, F.col("_b_cat")))
+    )
+    key_cols = list(urls.columns)
+    return (
+        joined.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set("_b_match")).alias("categories"))
+        .withColumn("blocked", F.size("categories") > 0)
+    )
+
+
 def resolve_redirects(
     edges: DataFrame,
     src_col: str = "src",

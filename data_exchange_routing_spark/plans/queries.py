@@ -5741,6 +5741,62 @@ def crawl_redirect_resolve(spark, sf_dir):
     return resolve_redirects(fam1.union(fam2).union(fam3), max_hops=16)
 
 
+_BLOCKLIST_RULES = [
+    ("ads", "example1.com", ""),           # whole registered domain
+    ("tracking", "com", "/Path/1"),        # TLD suffix + path prefix
+    ("malware", "evil.example", ""),       # matches nothing in the corpus
+    ("adult", "example3.com", "/Path/33"), # domain + narrow path prefix
+]
+_BLOCKLIST_VALUES = ", ".join(f"('{c}', '{d}', '{p}')" for c, d, p in _BLOCKLIST_RULES)
+
+
+@q(
+    "web_blocklist_filter",
+    # UT1-style category blocklist: host matches a rule's domain by DNS
+    # SUFFIX (subdomains included), optional path prefix narrows it. The
+    # engine explodes each host into its suffixes and hash-equi-joins the
+    # broadcast rule table — the shape that survives multi-million-domain
+    # lists where an endswith nested-loop join cannot.
+    f"""
+    WITH {_CANON_URL_SQL_CTE},
+    rules(b_cat, b_dom, b_pfx) AS (VALUES {_BLOCKLIST_VALUES}),
+    suf AS (
+      SELECT c.doc_id, c.host, c.path,
+             array_to_string(string_split(c.host, '.')[i:], '.') AS suffix
+      FROM canon c,
+           UNNEST(range(1, len(string_split(c.host, '.')) + 1)) AS t(i)),
+    m AS (
+      SELECT s.doc_id, s.host, s.path,
+             CASE WHEN r.b_pfx = '' OR starts_with(s.path, r.b_pfx)
+                  THEN r.b_cat END AS hit
+      FROM suf s LEFT JOIN rules r ON s.suffix = r.b_dom)
+    SELECT doc_id, host, path,
+           coalesce(list(DISTINCT hit ORDER BY hit) FILTER (hit IS NOT NULL),
+                    CAST([] AS VARCHAR[])) AS categories,
+           count(hit) > 0 AS blocked
+    FROM m GROUP BY 1, 2, 3
+    """,
+)
+def web_blocklist_filter(spark, sf_dir):
+    from data_exchange_routing_spark.functions.crawl import blocklist_filter
+    from data_exchange_routing_spark.operators.parse import canonicalize_url, host_of
+
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    canon = canonicalize_url(d).select(
+        "doc_id",
+        host_of(F.col("url_canonical")).alias("host"),
+        F.regexp_extract("url_canonical", "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1).alias("path"),
+    )
+    rules = canon.sparkSession.createDataFrame(
+        _BLOCKLIST_RULES, "category string, domain string, path_prefix string"
+    )
+    return blocklist_filter(canon, rules).select(
+        "doc_id", "host", "path", "categories", "blocked"
+    )
+
+
 @q(
     "doc_containment_pairs",
     # Asymmetric near-dup: shingle-set containment |A∩B|/|A| (Broder 1997) —

@@ -1060,3 +1060,38 @@ def test_pmi_collocations_hand_computed(spark):
     assert abs(got[("the", "cat")][1] - round(exp2, 6)) < 1e-9
     # adjacency never crosses: ('cat','the') from doc boundaries absent
     assert ("cat", "the") not in got
+
+
+def test_blocklist_filter_suffix_and_prefix(spark):
+    """DNS-suffix domain match (subdomains in, lookalikes out), optional
+    path-prefix narrowing, multi-category union, and the no-vanish rule:
+    a URL whose every suffix joins a failing rule still comes back."""
+    from data_exchange_routing_spark.functions.crawl import blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("u1", "ads.bad.com", "/x"),        # subdomain of bad.com
+            ("u2", "bad.com", "/x"),            # exact domain
+            ("u3", "notbad.com", "/x"),         # lookalike must NOT match
+            ("u4", "bad.com", "/promo/1"),      # second category via prefix
+            ("u5", "clean.org", "/x"),          # clean
+            ("u6", "pfx.com", "/other"),        # all suffixes rule-joined, all fail
+        ],
+        "uid string, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("ads", "bad.com", ""),
+            ("promo", "bad.com", "/promo/"),
+            ("deep", "pfx.com", "/only/"),
+            ("deep", "com", "/only/"),
+        ],
+        "category string, domain string, path_prefix string",
+    )
+    out = {r.uid: r for r in blocklist_filter(urls, rules).collect()}
+    assert out["u1"].blocked and out["u1"].categories == ["ads"]
+    assert out["u2"].categories == ["ads"]
+    assert not out["u3"].blocked and out["u3"].categories == []
+    assert out["u4"].categories == ["ads", "promo"]
+    assert not out["u5"].blocked
+    assert "u6" in out and not out["u6"].blocked  # row survives failed matches
