@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -414,3 +415,248 @@ def hard_negatives(
         .filter(F.col("rk") <= k)
         .select("anchor_id", "neg_id", "sim", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ / IVF-ADC family, Jégou et al. 2011 — public
+# algorithm). The vector splits into m subvectors; each subspace gets a
+# 2^nbits-codeword codebook; a vector's code is m small ints (64 dims ->
+# 8 bytes at m=8/nbits=4, a 32x memory cut vs float32). Search is ADC
+# (asymmetric distance): the query stays full-precision, per-query lookup
+# tables give each candidate's approximate distance as m table lookups —
+# no vector arithmetic per candidate. Scale shape: encoding is a pure
+# map-side projection (codebooks folded in as literals, zero shuffle);
+# search broadcasts the queries' LUTs and pays one window per query for
+# top-k, exactly like brute_force_topk but over codes instead of vectors.
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks_md5(dim: int, m: int = 8, nbits: int = 4) -> list[list[list[float]]]:
+    """Data-independent md5-derived codebooks in [-1,1]^(dim/m) —
+    deterministic across engines (the oracle regenerates the same floats),
+    the PQ analog of the LSH module's _hyperplanes. Use pq_train for
+    data-adapted codebooks."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        [
+            [
+                (int(hashlib.md5(f"pq:{s}:{c}:{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+                / 1000.0
+                for j in range(dsub)
+            ]
+            for c in range(1 << nbits)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks trained on the deterministic
+    hash-ordered sample (one TakeOrdered pass, driver-side Lloyd — codebooks
+    are control-plane tiny: m * 2^nbits * dim/m floats at any corpus size).
+    Deterministic: xxhash64 ordering fixes sample and init; empty cells
+    re-seed with the worst-quantized sample subvector."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("i"), _dvec(F.col(vec_col)).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("i")))
+        .orderBy("h", "i")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub, ncw = dim // m, 1 << nbits
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        if len(Xs) <= ncw:
+            books.append([[float(x) for x in row] for row in Xs])
+            continue
+        C = Xs[:ncw].copy()
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            newC = C.copy()
+            for c in range(ncw):
+                members = Xs[assign == c]
+                if len(members):
+                    newC[c] = members.mean(axis=0)
+                else:
+                    newC[c] = Xs[d2.min(axis=1).argmax()]
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _pq_sub_dist(vec, off: int, codeword: list[float]):
+    """Sequential left-assoc sum of (v[off+j] - w_j)^2 — the SAME IEEE op
+    order an unrolled SQL `(e-w)*(e-w) + ...` chain evaluates, so encode
+    argmins are bit-identical across engines."""
+    import functools
+    import operator
+
+    terms = [
+        (F.element_at(vec, off + j + 1) - F.lit(w)) * (F.element_at(vec, off + j + 1) - F.lit(w))
+        for j, w in enumerate(codeword)
+    ]
+    return functools.reduce(operator.add, terms)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """(vid, vec, vnorm, code array<int>): nearest codeword per subspace,
+    ties to the smaller codeword id. Zero shuffles at any scale either way:
+
+    - ``expr``: codebooks fold into the expression tree as literals — pure
+      JVM projection, bit-reproducible against the unrolled-SQL oracle.
+      Codegen cost grows with m * 2^nbits, so it fits SMALL codebooks.
+    - ``numpy``: Arrow-batched pandas UDF, one einsum-style argmin per
+      subspace over the whole batch — the production path for real
+      codebooks (nbits >= 6), ~codebook-size-independent codegen. numpy
+      argmin takes the first minimum, matching the expr tie-break.
+
+    ``auto`` picks expr for m * 2^nbits <= 256, numpy beyond."""
+    total = sum(len(b) for b in codebooks)
+    if method == "auto":
+        method = "expr" if total <= 256 else "numpy"
+    dsub = len(codebooks[0][0])
+    v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+    v = v.withColumn("vnorm", vec_norm(F.col("vec")))
+    if method == "expr":
+        code_cols = []
+        for s, book in enumerate(codebooks):
+            cands = F.array(
+                *[
+                    F.struct(
+                        _pq_sub_dist(F.col("vec"), s * dsub, cw).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c, cw in enumerate(book)
+                ]
+            )
+            code_cols.append(F.element_at(F.array_sort(cands), 1)["c"])
+        return v.withColumn("code", F.array(*code_cols))
+    if method != "numpy":
+        raise ValueError(f"unknown pq_encode method {method!r}")
+    books = [[list(map(float, cw)) for cw in b] for b in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((len(X), len(books)), dtype=np.int32)
+        for s, book in enumerate(books):
+            C = np.asarray(book)
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; ||x||^2 is rank-constant
+            d2 = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return v.withColumn("code", _enc(F.col("vec")))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """ADC top-k: candidates are scored by m LUT lookups against the
+    PQ-coded corpus (approximate L2), queries stay full precision and are
+    broadcast with their lookup tables. ``rerank=0`` returns the pure ADC
+    ranking (query_id, nn_id, adc, rk) — the oracle-checkable machinery
+    path. ``rerank=R`` takes the top-R ADC shortlist and re-scores it with
+    EXACT cosine on the carried vectors (no second corpus join), returning
+    (query_id, nn_id, sim, rk) — the production path whose recall is gated
+    vs brute_force_topk in tests."""
+    import numpy as np
+
+    codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    qrows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("i"), _dvec(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    dsub = len(codebooks[0][0])
+    q_data = []
+    for r in qrows:
+        qv = np.array(r["v"], dtype=np.float64)
+        lut = [
+            [float(((qv[s * dsub : (s + 1) * dsub] - np.array(cw)) ** 2).sum()) for cw in book]
+            for s, book in enumerate(codebooks)
+        ]
+        q_data.append((int(r["i"]), [float(x) for x in qv], lut))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        q_data, "query_id long, q_vec array<double>, lut array<array<double>>"
+    ).withColumn("q_norm", vec_norm(F.col("q_vec")))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("code"), F.col("lut"), lambda c, l: F.element_at(l, c.cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        codes.join(F.broadcast(qdf), F.col("vid") != F.col("query_id"))
+        .withColumn("adc", F.round(adc, 6))
+    )
+    if rerank <= 0:
+        w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", F.col("vid").alias("nn_id"), "adc", F.col("rk").cast("int").alias("rk"))
+        )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
+    short = cand.withColumn("srk", F.row_number().over(w)).filter(F.col("srk") <= rerank)
+    short = short.withColumn(
+        "sim",
+        F.round(cosine_prenorm(F.col("q_vec"), F.col("vec"), F.col("q_norm"), F.col("vnorm")), 6),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        short.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("vid").alias("nn_id"), "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", min_norm: float = 1e-12
+) -> DataFrame:
+    """Replace ``vec_col`` with its unit-L2 version (map-side, no shuffle).
+    For cosine search over PQ/IVF this is the standard front-door: on unit
+    vectors L2 distance is 2 - 2*cos, so an L2-trained quantizer ranks by
+    cosine. Cosine itself is norm-invariant, so exact rerank results are
+    unchanged."""
+    v = _dvec(F.col(vec_col))
+    n = F.greatest(vec_norm(v), F.lit(min_norm))
+    return df.withColumn(vec_col, F.transform(v, lambda x: x / n))

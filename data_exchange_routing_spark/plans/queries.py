@@ -1839,6 +1839,59 @@ def _lsh_ann_sql(k: int = 3, n_planes: int = 8, dim: int = 64) -> str:
 ORACLE["emb_lsh_ann"] = _lsh_ann_sql()
 
 
+def _pq_adc_sql(k: int = 3, m: int = 8, nbits: int = 4, dim: int = 64, nq: int = 5) -> str:
+    """ADC oracle twin: codebooks are the SAME md5-derived floats the Spark
+    query folds in as literals; encode argmins are bit-identical because
+    both engines evaluate the identical left-assoc (e-w)*(e-w) chains."""
+    books = SIM.pq_codebooks_md5(dim, m, nbits)
+    dsub = dim // m
+    values = ", ".join(
+        f"({s}, {c}, " + ", ".join(repr(w) for w in cw) + ")"
+        for s, book in enumerate(books)
+        for c, cw in enumerate(book)
+    )
+    wcols = ", ".join(f"w{j}" for j in range(1, dsub + 1))
+    dist = " + ".join(
+        f"(emb[s*{dsub} + {j}] - w{j}) * (emb[s*{dsub} + {j}] - w{j})"
+        for j in range(1, dsub + 1)
+    )
+    qdist = dist.replace("emb[", "qemb[")
+    return f"""
+    WITH cw(s, c, {wcols}) AS (VALUES {values}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dists AS (SELECT v.vec_id, cw.s, cw.c, {dist} AS d FROM v CROSS JOIN cw),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rk
+        FROM dists) WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < {nq}),
+    qd AS (SELECT q.query_id, cw.s, cw.c, {qdist} AS ld FROM q CROSS JOIN cw),
+    adc AS (
+      SELECT qd.query_id, co.vec_id AS nn_id, round(sum(qd.ld), 6) AS adc
+      FROM codes co JOIN qd ON co.s = qd.s AND co.c = qd.c AND qd.query_id <> co.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, nn_id, adc, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, nn_id) AS rk
+      FROM adc) WHERE rk <= {k}
+    """
+
+
+@q(
+    "emb_pq_adc_topk",
+    # Product quantization (Jégou et al. 2011): corpus encoded to m=8
+    # 4-bit codes (a pure map-side projection), queries broadcast with
+    # their ADC lookup tables, candidates scored by 8 table lookups — no
+    # vector arithmetic per candidate. md5-grid codebooks make the whole
+    # machinery EXACT-oracle-checkable; data-trained codebooks + exact
+    # rerank are the production path, recall-gated in tests.
+    _pq_adc_sql(),
+)
+def emb_pq_adc_topk(spark, sf_dir):
+    emb = ld(spark, sf_dir, "embeddings")
+    books = SIM.pq_codebooks_md5(64, 8, 4)
+    return SIM.pq_adc_topk(emb, query_ids=list(range(5)), codebooks=books, k=3)
+
+
 @q("emb_ivf_ann", None)  # rows-only: approximate path (IVF inverted lists)
 def emb_ivf_ann(spark, sf_dir):
     return SIM.ivf_ann_topk(ld(spark, sf_dir, "embeddings"), k=3, n_centroids=16)
