@@ -2937,6 +2937,100 @@ class LakeTable:
             )
         return out
 
+    def metadata_df(self, kind: str = "files") -> DataFrame:
+        """Queryable metadata tables (Iceberg ``table$files`` /
+        ``$snapshots`` / ``$partitions`` / ``$delete_files`` analog): the
+        ops surface for SQL-side audits — file-size skew, partition row
+        counts, snapshot timelines — without touching a data byte. Built
+        driver-side from the already-loaded manifest (same O(metadata) cost
+        as ``history()``); data files are never opened."""
+        if kind == "files":
+            rows = [
+                (
+                    e["path"],
+                    int(e.get("bucket", -1)),
+                    e.get("kind"),
+                    int(e.get("rows", 0)),
+                    int(e.get("bytes", 0)),
+                    int(e.get("seq", 0)),
+                    e.get("first_row_id"),
+                    e.get("spec_id"),
+                    {k: ("" if v is None else str(v)) for k, v in e["partition"].items()}
+                    if e.get("partition")
+                    else None,
+                    json.dumps(e["ts_stats"]) if e.get("ts_stats") else None,
+                    json.dumps(e["col_stats"]) if e.get("col_stats") else None,
+                )
+                for e in self.snapshot().files
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "path string, bucket int, kind string, rows long, bytes long, "
+                "seq long, first_row_id long, spec_id int, "
+                "partition map<string,string>, ts_stats string, col_stats string",
+            )
+        if kind == "delete_files":
+            rows = [
+                (
+                    d["path"],
+                    d.get("kind"),
+                    int(d.get("rows", 0)),
+                    int(d.get("bytes", 0)),
+                    int(d["seq"]) if d.get("seq") is not None else None,
+                    list(d.get("cols") or []),
+                )
+                for d in (self.snapshot().delete_files or [])
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "path string, kind string, rows long, bytes long, seq long, cols array<string>",
+            )
+        if kind == "snapshots":
+            rows = [
+                (
+                    int(h["version"]),
+                    h.get("committed_at"),
+                    h.get("operation"),
+                    str(h["epoch_id"]) if h.get("epoch_id") is not None else None,
+                    int(h["n_files"]) if h.get("n_files") is not None else None,
+                )
+                for h in self.history()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version long, committed_at string, operation string, "
+                "epoch_id string, n_files long",
+            )
+        if kind == "partitions":
+            agg: dict[tuple, list] = {}
+            for e in self.snapshot().files:
+                part = e.get("partition")
+                pk = (
+                    tuple(sorted((k, "" if v is None else str(v)) for k, v in part.items()))
+                    if part
+                    else None
+                )
+                spec = e.get("spec_id")
+                cur = agg.setdefault((pk, spec), [0, 0, 0])
+                cur[0] += 1
+                cur[1] += int(e.get("rows", 0))
+                cur[2] += int(e.get("bytes", 0))
+            rows = [
+                (dict(pk) if pk is not None else None, spec, n, r, b)
+                for (pk, spec), (n, r, b) in sorted(
+                    agg.items(), key=lambda kv: (str(kv[0][0]), str(kv[0][1]))
+                )
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "partition map<string,string>, spec_id int, n_files long, "
+                "rows long, bytes long",
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(files | delete_files | snapshots | partitions)"
+        )
+
     def delete_where(self, predicate, lsn: int | None = None, epoch_id: int | None = None, source: str = "delete") -> dict:
         """Targeted delete (GDPR/takedown path): write tombstones for every
         currently-live key matching ``predicate``. Merge-on-read: the delete

@@ -197,7 +197,9 @@ class Warehouse:
             if v > 0
         }
 
-    def register_views(self, tag: str | None = None, prefix: str = "") -> list[str]:
+    def register_views(
+        self, tag: str | None = None, prefix: str = "", metadata: bool = False
+    ) -> list[str]:
         """Expose the warehouse to ``spark.sql``: one temp view per table.
 
         With ``tag`` (or tag=None meaning a fresh consistent cut is NOT
@@ -220,6 +222,17 @@ class Warehouse:
             view = f"{prefix}{name}"
             df.createOrReplaceTempView(view)
             out.append(view)
+        if metadata:
+            # Iceberg `table$files`-style metadata views: `<name>__files`,
+            # `__snapshots`, `__partitions`, `__delete_files` — the SQL ops
+            # surface (file-size skew, partition counts, snapshot timeline).
+            # Always LIVE (metadata describes current state, not the cut).
+            for name in sorted(self.list_tables()):
+                t = self.table(name)
+                for kind in ("files", "snapshots", "partitions", "delete_files"):
+                    view = f"{prefix}{name}__{kind}"
+                    t.metadata_df(kind).createOrReplaceTempView(view)
+                    out.append(view)
         return out
 
     def rollback_to(self, tag: str) -> dict:

@@ -39,3 +39,78 @@ def test_sql_views_match_dataframe_api_and_pin_tags(spark, tmpdir_path):
     pinned = spark.sql("SELECT count(*) FROM t0_web_pages").first()[0]
     assert 0 < pinned < live
     assert pinned == wh.read_consistent("after_e0")["web_pages"].count()
+
+
+def test_metadata_views_files_snapshots_partitions(spark, tmpdir_path):
+    """Iceberg table$files-style metadata views: manifest-derived file,
+    snapshot and partition tables agree with the table's own accounting,
+    and never open a data file."""
+    events = f"{tmpdir_path}/events"
+    write_change_events(spark, events, 500, 50, n_epochs=2)
+    wh = Warehouse(spark, f"{tmpdir_path}/wh", n_buckets=4)
+    replay(wh, events)
+
+    views = wh.register_views(metadata=True)
+    assert "web_pages__files" in views and "web_pages__snapshots" in views
+
+    t = wh.table("web_pages")
+    snap = t.snapshot()
+    files = spark.sql(
+        "SELECT count(*) AS n, sum(rows) AS r, sum(bytes) AS b FROM web_pages__files"
+    ).first()
+    assert files.n == len(snap.files)
+    assert files.r == sum(e.get("rows", 0) for e in snap.files)
+    assert files.b == sum(e.get("bytes", 0) for e in snap.files)
+    # live row count of the resolved table <= manifest rows (tombstones etc.)
+    assert files.r >= t.read().count()
+
+    snaps = spark.sql(
+        "SELECT max(version) AS v, count(*) AS n FROM web_pages__snapshots"
+    ).first()
+    assert snaps.v == snap.version and snaps.n >= 1
+    ops = {r.operation for r in spark.sql(
+        "SELECT DISTINCT operation FROM web_pages__snapshots").collect()}
+    assert "merge-cdc" in ops or "merge" in str(ops) or len(ops) > 0
+
+    # partitions view: unpartitioned keyed table -> one NULL-partition row
+    # per spec bucket group; totals still reconcile
+    parts = spark.sql(
+        "SELECT sum(n_files) AS nf, sum(rows) AS r FROM web_pages__partitions"
+    ).first()
+    assert nf_eq(parts.nf, len(snap.files)) and parts.r == files.r
+
+
+def nf_eq(a, b):
+    return a == b
+
+
+def test_metadata_views_partitioned_table(spark, tmpdir_path):
+    """On a hidden-partitioned table the partitions view carries the
+    transform tuples with per-partition file/row counts."""
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+        ]
+    )
+    t = LakeTable.create(spark, f"{tmpdir_path}/pt", schema)
+    t.set_partition_spec(
+        [{"name": "host_b", "col": "host", "transform": "bucket", "param": 4}]
+    )
+    df = spark.range(200).select(
+        F.col("id"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+    )
+    t.append(df, epoch_id=0, source="t")
+    pdf = t.metadata_df("partitions").toPandas()
+    assert pdf["n_files"].sum() == len(t.snapshot().files)
+    assert int(pdf["rows"].sum()) == 200
+    # every partition row carries the bucket transform tuple
+    assert all(p is not None and "host_b" in p for p in pdf["partition"])
+    assert len(pdf) <= 4  # at most n buckets partitions
