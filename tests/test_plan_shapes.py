@@ -292,6 +292,10 @@ _EXECUTES_ON_BUILD = {
     "doc_bpe_encode", "doc_bpe_encode_arrow", "doc_incremental_lsh_pairs",
     "web_label_propagation", "doc_dedup_cluster_survivors",
     "doc_curation_pipeline", "doc_training_shards", "warc_cdx_ranged_scan",
+    # pointer-doubling rounds localCheckpoint eagerly on build
+    "crawl_redirect_resolve",
+    # collects the 5 query vectors to build per-query ADC LUTs
+    "emb_pq_adc_topk",
 }
 
 # Quadratic shapes that are the DOCUMENTED small-scale exact twin of a
@@ -330,3 +334,30 @@ def test_no_row_udf_or_stray_cartesian_in_any_registry_plan(spark):
         audited += 1
     assert not offenders, offenders
     assert audited >= 120, f"audit covered only {audited} queries"
+
+
+def test_blocklist_suffix_join_is_hash_not_nested_loop(spark):
+    """web_blocklist_filter: the suffix-vs-domain match must plan as a
+    Broadcast HASH join (equi-join on the exploded suffix) — an endswith
+    nested loop would scan every rule per URL and die on real
+    multi-million-domain lists."""
+    plan = _plan(spark, "web_blocklist_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_numpy_path_is_arrow_vectorized(spark):
+    """Production PQ encode (large codebooks) must be ArrowEvalPython —
+    one Python call per Arrow batch, never row-wise."""
+    from data_exchange_routing_spark.functions.similarity import (
+        pq_codebooks_md5,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = pq_encode(
+        emb, pq_codebooks_md5(64, 8, 6), method="numpy"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
