@@ -123,8 +123,10 @@ def blocklist_filter(
         | (F.col("_b_pfx") == "")
         | F.col(path_col).startswith(F.col("_b_pfx"))
     )
+    # explode_outer: a NULL/empty host still yields one (null-suffix) row,
+    # so malformed URLs come back blocked=false instead of vanishing
     joined = (
-        urls.withColumn("_suf", F.explode(sufs))
+        urls.withColumn("_suf", F.explode_outer(sufs))
         .join(F.broadcast(r), F.col("_suf") == F.col("_b_dom"), "left")
         .withColumn("_b_match", F.when(path_ok, F.col("_b_cat")))
     )

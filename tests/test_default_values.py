@@ -156,3 +156,36 @@ def test_bucket_join_refuses_active_defaults(spark, tmp_path):
         bucket_join(left, right)
     left.compact()
     assert bucket_join(left, right).count() == 4
+
+
+def test_imported_files_do_not_inherit_defaults(spark, tmpdir_path):
+    """add_files x ADD COLUMN DEFAULT: an imported file registers with a
+    FRESH data sequence number (Iceberg semantics), so its rows read
+    as-written (NULL) — only files that PREDATE the column add read the
+    default."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema), epoch_id=0, source="s")
+    t.add_column("tier", "string", default="bronze")
+
+    # corpus written elsewhere, WITHOUT the tier column
+    src = f"{tmpdir_path}/ext.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([10, 11], pa.int64()), "v": pa.array(["x", "y"])}), src
+    )
+    t.add_files([src], epoch_id=1, source="imp")
+
+    rows = {r.id: r.tier for r in t.read().select("id", "tier").collect()}
+    assert rows[1] == "bronze" and rows[2] == "bronze"  # pre-add files: default
+    assert rows[10] is None and rows[11] is None  # imported: as-written (absent)
+
+

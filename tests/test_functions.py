@@ -1140,3 +1140,20 @@ def test_pq_encode_deterministic_and_train_stable(spark):
     # the Arrow/numpy production encoder agrees with the codegen'd path
     c3 = {r.vid: list(r.code) for r in pq_encode(emb, b1, method="numpy").collect()}
     assert c3 == c1
+
+
+def test_blocklist_null_or_empty_host_survives(spark):
+    """Regression: a NULL/empty host must come back blocked=false, not
+    vanish from the output (explode_outer, not explode)."""
+    from data_exchange_routing_spark.functions.crawl import blocklist_filter
+
+    urls = spark.createDataFrame(
+        [("u1", None, "/x"), ("u2", "", "/x"), ("u3", "bad.com", "/x")],
+        "uid string, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("ads", "bad.com", "")], "category string, domain string, path_prefix string"
+    )
+    out = {r.uid: r for r in blocklist_filter(urls, rules).collect()}
+    assert set(out) == {"u1", "u2", "u3"}
+    assert not out["u1"].blocked and not out["u2"].blocked and out["u3"].blocked
