@@ -138,6 +138,62 @@ def blocklist_filter(
     )
 
 
+def registered_domains(
+    urls: DataFrame,
+    suffixes: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction with Public-Suffix-List
+    semantics: the LONGEST suffix of the host present in ``suffixes``
+    (column ``suffix``) is the public suffix; the registered domain is one
+    label more. Hosts with no listed suffix fall back to the PSL's implicit
+    ``*`` rule (last label is the suffix). A host that IS a public suffix
+    outright gets NULL (you cannot register "co.uk"). This is what
+    per-domain caps and politeness budgets should key on — "a.example.co.uk"
+    and "b.example.co.uk" are the same owner, "a.co.uk" and "b.co.uk" are
+    not.
+
+    Appends ``public_suffix`` and ``registered_domain``. Scale shape:
+    identical to blocklist_filter — hosts explode into their DNS suffixes
+    and hash-equi-join the (broadcast) suffix list; the full PSL is ~9k
+    rows, a classic broadcast dimension. One groupBy folds the candidates
+    to the longest match; NULL hosts survive via explode_outer."""
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    # candidate rows: (position i 1-based, suffix labels[i:])
+    cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(labels, i, n), ".").alias("suf")
+        ),
+    )
+    s = suffixes.select(F.col("suffix").alias("_ps_suf"))
+    joined = urls.withColumn("_c", F.explode_outer(cands)).join(
+        F.broadcast(s), F.col("_c.suf") == F.col("_ps_suf"), "left"
+    )
+    # longest matched suffix = smallest pos with a match; fall back to the
+    # implicit * rule (pos = n, the bare last label) when nothing matched
+    hit = F.when(F.col("_ps_suf").isNotNull(), F.col("_c.pos"))
+    key_cols = list(urls.columns)
+    won = joined.groupBy(*key_cols).agg(
+        F.min(hit).alias("_pos"), F.max(F.size(F.split(F.col(host_col), r"\."))).alias("_n")
+    )
+    pos = F.coalesce(F.col("_pos"), F.col("_n"))  # * rule fallback
+    lbl = F.split(F.col(host_col), r"\.")
+    out = won.select(
+        *key_cols,
+        F.when(
+            F.col(host_col).isNotNull() & (F.col(host_col) != ""),
+            F.array_join(F.slice(lbl, pos, F.col("_n")), "."),
+        ).alias("public_suffix"),
+        F.when(
+            F.col(host_col).isNotNull() & (F.col(host_col) != "") & (pos > 1),
+            F.array_join(F.slice(lbl, pos - 1, F.col("_n")), "."),
+        ).alias("registered_domain"),
+    )
+    return out
+
+
 def resolve_redirects(
     edges: DataFrame,
     src_col: str = "src",

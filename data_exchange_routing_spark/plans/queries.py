@@ -5850,6 +5850,65 @@ def web_blocklist_filter(spark, sf_dir):
     )
 
 
+_PSL_SUFFIXES = ["com", "co.uk", "uk", "github.io", "io", "org"]
+_PSL_VALUES = ", ".join(f"('{s}')" for s in _PSL_SUFFIXES)
+_HOST_SYNTH_SQL = """
+      CASE WHEN doc_id % 11 = 0 THEN 'co.uk'
+           ELSE (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+                                 WHEN 2 THEN 'a.b.' ELSE 'deep.' END)
+                || 'site' || (doc_id % 7)
+                || (CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                                    ELSE '.github.io' END)
+      END
+"""
+
+
+@q(
+    "web_registered_domain",
+    # eTLD+1 extraction with Public-Suffix-List semantics: longest listed
+    # suffix wins, implicit * rule for unknown TLDs, a host that IS a
+    # public suffix registers NULL. Same suffix-explode + broadcast hash
+    # join shape as the blocklist (the full PSL is a ~9k-row dimension).
+    f"""
+    WITH h AS (SELECT doc_id, {_HOST_SYNTH_SQL} AS host FROM documents),
+    psl(suffix) AS (VALUES {_PSL_VALUES}),
+    lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM h),
+    cand AS (
+      SELECT l.doc_id, l.host, l.labels, i,
+             array_to_string(l.labels[i:], '.') AS suf
+      FROM lab l, UNNEST(range(1, len(l.labels) + 1)) AS t(i)),
+    m AS (
+      SELECT c.doc_id, c.host, c.labels,
+             min(CASE WHEN p.suffix IS NOT NULL THEN c.i END) AS minpos,
+             len(c.labels) AS n
+      FROM cand c LEFT JOIN psl p ON c.suf = p.suffix
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, host,
+           array_to_string(labels[coalesce(minpos, n):], '.') AS public_suffix,
+           CASE WHEN coalesce(minpos, n) > 1
+                THEN array_to_string(labels[coalesce(minpos, n) - 1:], '.') END
+             AS registered_domain
+    FROM m
+    """,
+)
+def web_registered_domain(spark, sf_dir):
+    from data_exchange_routing_spark.functions.crawl import registered_domains
+
+    u = F.col("doc_id")
+    host = F.when(u % 11 == 0, F.lit("co.uk")).otherwise(
+        F.concat(
+            F.when(u % 4 == 0, F.lit("")).when(u % 4 == 1, F.lit("www."))
+            .when(u % 4 == 2, F.lit("a.b.")).otherwise(F.lit("deep.")),
+            F.lit("site"), (u % 7).cast("string"),
+            F.when(u % 3 == 0, F.lit(".com")).when(u % 3 == 1, F.lit(".co.uk"))
+            .otherwise(F.lit(".github.io")),
+        )
+    )
+    d = ld(spark, sf_dir, "documents").select("doc_id", host.alias("host"))
+    psl = d.sparkSession.createDataFrame([(s,) for s in _PSL_SUFFIXES], "suffix string")
+    return registered_domains(d, psl)
+
+
 @q(
     "doc_containment_pairs",
     # Asymmetric near-dup: shingle-set containment |A∩B|/|A| (Broder 1997) —

@@ -1157,3 +1157,36 @@ def test_blocklist_null_or_empty_host_survives(spark):
     out = {r.uid: r for r in blocklist_filter(urls, rules).collect()}
     assert set(out) == {"u1", "u2", "u3"}
     assert not out["u1"].blocked and not out["u2"].blocked and out["u3"].blocked
+
+
+def test_registered_domains_psl_semantics(spark):
+    """eTLD+1: longest listed suffix wins, * fallback for unknown TLDs,
+    bare public suffix -> NULL, NULL/empty hosts survive."""
+    from data_exchange_routing_spark.functions.crawl import registered_domains
+
+    urls = spark.createDataFrame(
+        [
+            ("u1", "a.b.example.co.uk"),   # co.uk beats uk -> example.co.uk
+            ("u2", "example.com"),
+            ("u3", "x.github.io"),         # github.io is the suffix
+            ("u4", "github.io"),           # IS a public suffix -> NULL
+            ("u5", "foo.unknowntld"),      # * rule -> foo.unknowntld
+            ("u6", "unknowntld"),          # bare unknown label -> NULL (pos=1)
+            ("u7", None),
+            ("u8", ""),
+        ],
+        "uid string, host string",
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("github.io",), ("io",)], "suffix string"
+    )
+    out = {r.uid: r for r in registered_domains(urls, psl).collect()}
+    assert out["u1"].registered_domain == "example.co.uk"
+    assert out["u1"].public_suffix == "co.uk"
+    assert out["u2"].registered_domain == "example.com"
+    assert out["u3"].registered_domain == "x.github.io"
+    assert out["u4"].registered_domain is None and out["u4"].public_suffix == "github.io"
+    assert out["u5"].registered_domain == "foo.unknowntld"
+    assert out["u5"].public_suffix == "unknowntld"
+    assert out["u6"].registered_domain is None
+    assert out["u7"].registered_domain is None and "u8" in out
