@@ -81,6 +81,18 @@ def robots_filter(
     )
 
 
+def _dns_suffixes(host_col: str):
+    """All DNS suffixes of a host as an array column: "a.b.c" ->
+    ["a.b.c", "b.c", "c"]. Shared by blocklist_filter and
+    registered_domains so suffix-handling fixes land in one place."""
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
 def blocklist_filter(
     urls: DataFrame,
     rules: DataFrame,
@@ -104,12 +116,7 @@ def blocklist_filter(
     scales to arbitrarily large lists; one groupBy over the URL row's
     columns folds multi-rule hits back to one row.
     """
-    labels = F.split(F.col(host_col), r"\.")
-    n = F.size(labels)
-    sufs = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(labels, i, n), "."),
-    )
+    sufs = _dns_suffixes(host_col)
     r = rules.select(
         F.col("category").alias("_b_cat"),
         F.col("domain").alias("_b_dom"),
@@ -158,14 +165,11 @@ def registered_domains(
     and hash-equi-join the (broadcast) suffix list; the full PSL is ~9k
     rows, a classic broadcast dimension. One groupBy folds the candidates
     to the longest match; NULL hosts survive via explode_outer."""
-    labels = F.split(F.col(host_col), r"\.")
-    n = F.size(labels)
-    # candidate rows: (position i 1-based, suffix labels[i:])
+    # candidate rows: (position i 1-based, suffix labels[i:]) — suffix
+    # construction shared with blocklist_filter via _dns_suffixes
     cands = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            i.alias("pos"), F.array_join(F.slice(labels, i, n), ".").alias("suf")
-        ),
+        _dns_suffixes(host_col),
+        lambda suf, i: F.struct((i + 1).alias("pos"), suf.alias("suf")),
     )
     s = suffixes.select(F.col("suffix").alias("_ps_suf"))
     joined = urls.withColumn("_c", F.explode_outer(cands)).join(
@@ -239,18 +243,25 @@ def resolve_redirects(
         undone = state.filter(~F.col("done"))
         if undone.isEmpty():
             break
+        # "no b row" (a.cur is terminal -> done, stay) is distinct from a b
+        # row CARRYING a NULL cur (walked into a malformed NULL-dst edge —
+        # the NULL must propagate so the chain ends unresolved, not be
+        # coalesced back to the pre-step node)
+        no_b = F.col("b.src").isNull()
         stepped = undone.alias("a").join(
             state.alias("b"), F.col("a.cur") == F.col("b.src"), "left"
         ).select(
             F.col("a.src").alias("src"),
-            F.coalesce(F.col("b.cur"), F.col("a.cur")).alias("cur"),
-            (F.col("a.hops") + F.coalesce(F.col("b.hops"), F.lit(0))).alias("hops"),
-            F.coalesce(F.col("b.done"), F.lit(True)).alias("done"),
+            F.when(no_b, F.col("a.cur")).otherwise(F.col("b.cur")).alias("cur"),
+            (F.col("a.hops") + F.when(no_b, F.lit(0)).otherwise(F.col("b.hops"))).alias("hops"),
+            F.when(no_b, F.lit(True)).otherwise(F.col("b.done")).alias("done"),
         )
         state = (
             state.filter(F.col("done")).unionByName(stepped).localCheckpoint(eager=True)
         )
-    ok = F.col("done") & (F.col("hops") <= max_hops)
+    # a NULL dst (malformed Location) walks to "done" with cur NULL — that
+    # is NOT a resolved terminal; require a real landing URL
+    ok = F.col("done") & (F.col("hops") <= max_hops) & F.col("cur").isNotNull()
     return state.select(
         "src",
         F.when(ok, F.col("cur")).alias("final_url"),

@@ -491,12 +491,15 @@ def pq_train(
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             newC = C.copy()
+            # hand empty cells DISTINCT worst-quantized points (one shared
+            # re-seed would leave duplicate codewords wasting capacity)
+            worst = iter(np.argsort(-d2.min(axis=1)))
             for c in range(ncw):
                 members = Xs[assign == c]
                 if len(members):
                     newC[c] = members.mean(axis=0)
                 else:
-                    newC[c] = Xs[d2.min(axis=1).argmax()]
+                    newC[c] = Xs[next(worst)]
             if np.allclose(newC, C, atol=1e-12):
                 C = newC
                 break
@@ -532,10 +535,14 @@ def pq_encode(
     - ``expr``: codebooks fold into the expression tree as literals — pure
       JVM projection, bit-reproducible against the unrolled-SQL oracle.
       Codegen cost grows with m * 2^nbits, so it fits SMALL codebooks.
-    - ``numpy``: Arrow-batched pandas UDF, one einsum-style argmin per
+    - ``numpy``: Arrow-batched pandas UDF, one vectorized argmin per
       subspace over the whole batch — the production path for real
-      codebooks (nbits >= 6), ~codebook-size-independent codegen. numpy
-      argmin takes the first minimum, matching the expr tie-break.
+      codebooks (nbits >= 6), ~codebook-size-independent codegen. Distances
+      are computed element-per-element and summed over the subspace axis
+      (sequential for dsub < 128, numpy's pairwise blocksize), the SAME
+      IEEE order as the expr path's left-assoc chain, and numpy argmin
+      takes the first minimum — codes agree with the expr path
+      bit-for-bit for dsub < 128.
 
     ``auto`` picks expr for m * 2^nbits <= 256, numpy beyond."""
     total = sum(len(b) for b in codebooks)
@@ -571,8 +578,12 @@ def pq_encode(
         for s, book in enumerate(books):
             C = np.asarray(book)
             Xs = X[:, s * dsub : (s + 1) * dsub]
-            # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; ||x||^2 is rank-constant
-            d2 = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            # full (x-c)^2 per element then sum over the last axis: for
+            # dsub < 128 numpy sums sequentially (below its pairwise
+            # blocksize), i.e. the SAME left-assoc IEEE order as the expr
+            # path's unrolled chain — argmins agree bit-for-bit, ties and
+            # all (the -2xc+||c||^2 shortcut would not)
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             out[:, s] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
@@ -608,6 +619,8 @@ def pq_adc_topk(
     q_data = []
     for r in qrows:
         qv = np.array(r["v"], dtype=np.float64)
+        # per-element squares then .sum(): sequential for dsub < 128 —
+        # the same left-assoc IEEE order as the oracle's unrolled SQL chain
         lut = [
             [float(((qv[s * dsub : (s + 1) * dsub] - np.array(cw)) ** 2).sum()) for cw in book]
             for s, book in enumerate(codebooks)
@@ -656,7 +669,16 @@ def l2_normalize(
     For cosine search over PQ/IVF this is the standard front-door: on unit
     vectors L2 distance is 2 - 2*cos, so an L2-trained quantizer ranks by
     cosine. Cosine itself is norm-invariant, so exact rerank results are
-    unchanged."""
+    unchanged.
+
+    The norm is HOISTED into a column before the per-element divide
+    (higher-order-function lambdas re-evaluate embedded subtrees per
+    element — inlining vec_norm there would make this O(dim^2) per row;
+    same discipline as cosine_prenorm)."""
     v = _dvec(F.col(vec_col))
-    n = F.greatest(vec_norm(v), F.lit(min_norm))
-    return df.withColumn(vec_col, F.transform(v, lambda x: x / n))
+    tmp = "_l2n_norm"
+    return (
+        df.withColumn(tmp, F.greatest(vec_norm(v), F.lit(min_norm)))
+        .withColumn(vec_col, F.transform(v, lambda x: x / F.col(tmp)))
+        .drop(tmp)
+    )

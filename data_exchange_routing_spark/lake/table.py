@@ -2943,7 +2943,9 @@ class LakeTable:
         ops surface for SQL-side audits — file-size skew, partition row
         counts, snapshot timelines — without touching a data byte. Built
         driver-side from the already-loaded manifest (same O(metadata) cost
-        as ``history()``); data files are never opened."""
+        as ``history()``); data files are never opened. The result is a
+        POINT-IN-TIME materialization (LocalRelation): call again for the
+        state after later commits."""
         if kind == "files":
             rows = [
                 (

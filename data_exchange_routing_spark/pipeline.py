@@ -226,7 +226,12 @@ class Warehouse:
             # Iceberg `table$files`-style metadata views: `<name>__files`,
             # `__snapshots`, `__partitions`, `__delete_files` — the SQL ops
             # surface (file-size skew, partition counts, snapshot timeline).
-            # Always LIVE (metadata describes current state, not the cut).
+            # POINT-IN-TIME: each view materializes the manifest AS OF this
+            # call (a LocalRelation of driver-side rows); later commits are
+            # not reflected until register_views runs again — re-register
+            # (or call metadata_df) for fresh state. That is the right
+            # default for audits: the four views of one registration
+            # describe ONE consistent metadata state.
             for name in sorted(self.list_tables()):
                 t = self.table(name)
                 for kind in ("files", "snapshots", "partitions", "delete_files"):

@@ -208,3 +208,18 @@ def test_resolve_redirects_semantics(spark):
     # every src accounted for exactly once
     srcs = {s for s, _ in edges}
     assert set(out) == srcs
+
+
+def test_resolve_redirects_null_dst_is_unresolved(spark):
+    """A NULL dst (malformed Location header) must come back
+    resolved=false — never resolved=true with a NULL landing URL."""
+    from data_exchange_routing_spark.functions.crawl import resolve_redirects
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "a"), ("c", "T")], "src string, dst string"
+    )
+    out = {r.src: r for r in resolve_redirects(df, max_hops=8).collect()}
+    assert out["a"].resolved is False and out["a"].final_url is None
+    # b -> a -> (null): walk dead-ends on a's null edge; landing unusable
+    assert out["b"].resolved is False
+    assert out["c"].resolved is True and out["c"].final_url == "T"
