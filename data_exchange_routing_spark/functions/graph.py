@@ -325,3 +325,54 @@ def hits(
             .localCheckpoint(eager=True)
         )
     return hub.join(auth, "node")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    whose degree among the SURVIVORS is < k until a fixed point — the
+    standard dense-subgraph primitive (link-spam farms, community cores,
+    crawl-seed selection). Returns (node, in_core boolean) over every node
+    of the input graph.
+
+    Scale shape per round: one join of the symmetric edge list against the
+    surviving-node set plus one map-side-combinable degree count — two
+    shuffles, same budget as a connected-components round — and each
+    round's survivor set is eagerly localCheckpoint'd (the CC lineage
+    rule). Rounds are bounded by the longest peel chain, not corpus size;
+    the loop early-exits at the fixed point. Peeling is monotone (nodes
+    only ever leave), so any round count >= the convergence depth yields
+    the identical core — the property the unrolled-SQL oracle keys on.
+    """
+    e = _canonical_edges(edges, src, dst)
+    sym = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    ).persist()
+    all_nodes = sym.select("x").distinct().localCheckpoint(eager=True)
+    alive = all_nodes
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            sym.join(alive.withColumnRenamed("x", "y"), "y")
+            .join(alive, "x")
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        new_alive = deg.filter(F.col("d") >= k).select("x").localCheckpoint(eager=True)
+        n_new = new_alive.count()
+        alive = new_alive
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+    sym.unpersist()
+    return all_nodes.join(
+        alive.withColumn("_in", F.lit(True)), "x", "left"
+    ).select(
+        F.col("x").alias("node"),
+        F.coalesce(F.col("_in"), F.lit(False)).alias("in_core"),
+    )

@@ -5909,6 +5909,72 @@ def web_registered_domain(spark, sf_dir):
     return registered_domains(d, psl)
 
 
+def _kcore_sql(k: int = 2, rounds: int = 10) -> str:
+    """Unrolled peeling oracle: s_{i+1} = nodes of s_i with degree >= k
+    among s_i. Peeling is monotone, so any unroll depth >= the graph's peel
+    depth equals the engine's run-to-convergence fixed point (the synthetic
+    graph's longest pendant chain peels in 6 rounds < 10)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f"s{i + 1} AS (SELECT x FROM ("
+            f"SELECT s.x, count(*) AS c FROM sym s "
+            f"JOIN s{i} a ON s.x = a.x JOIN s{i} b ON s.y = b.x "
+            f"GROUP BY 1) WHERE c >= {k})"
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH fam AS (
+      SELECT 'T' || (doc_id % 20) || '_' || (doc_id // 20) AS u,
+             'T' || (doc_id % 20) || '_' || ((doc_id // 20 + 1) % 3) AS v
+      FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT 'P' || ((doc_id - 60) % 12) || '_' || ((doc_id - 60) // 12),
+             'P' || ((doc_id - 60) % 12) || '_' || ((doc_id - 60) // 12 + 1)
+      FROM documents WHERE doc_id BETWEEN 60 AND 119
+      UNION ALL
+      SELECT 'T' || (doc_id - 120) || '_0', 'P' || (doc_id - 120) || '_0'
+      FROM documents WHERE doc_id BETWEEN 120 AND 131),
+    e0 AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM fam WHERE u <> v),
+    sym AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+    s0 AS (SELECT DISTINCT x FROM sym),
+    {chain}
+    SELECT n.x AS node, c.x IS NOT NULL AS in_core
+    FROM s0 n LEFT JOIN s{rounds} c ON n.x = c.x
+    """
+
+
+@q(
+    "web_kcore",
+    # k-core decomposition (dense-subgraph primitive: spam farms, crawl
+    # seeds): iterative peeling to a fixed point vs a 10-round unrolled-SQL
+    # peel. Graph: 20 triangles (the 2-core) + pendant chains of depth 6
+    # hanging off them (peel away round by round).
+    _kcore_sql(),
+)
+def web_kcore(spark, sf_dir):
+    from data_exchange_routing_spark.functions.graph import k_core
+
+    d = ld(spark, sf_dir, "documents").select("doc_id")
+    u = F.col("doc_id")
+    fam1 = d.filter(u < 60).select(
+        F.concat(F.lit("T"), (u % 20).cast("string"), F.lit("_"), F.expr("doc_id div 20").cast("string")).alias("src"),
+        F.concat(F.lit("T"), (u % 20).cast("string"), F.lit("_"), ((F.expr("doc_id div 20") + 1) % 3).cast("string")).alias("dst"),
+    )
+    i = u - 60
+    fam2 = d.filter((u >= 60) & (u <= 119)).select(
+        F.concat(F.lit("P"), (i % 12).cast("string"), F.lit("_"), F.expr("(doc_id - 60) div 12").cast("string")).alias("src"),
+        F.concat(F.lit("P"), (i % 12).cast("string"), F.lit("_"), (F.expr("(doc_id - 60) div 12") + 1).cast("string")).alias("dst"),
+    )
+    fam3 = d.filter((u >= 120) & (u <= 131)).select(
+        F.concat(F.lit("T"), (u - 120).cast("string"), F.lit("_0")).alias("src"),
+        F.concat(F.lit("P"), (u - 120).cast("string"), F.lit("_0")).alias("dst"),
+    )
+    # peel depth of this graph is 6; 10 bounds the round count (monotone
+    # peeling: any bound >= depth yields the identical fixed point)
+    return k_core(fam1.union(fam2).union(fam3), k=2, max_rounds=10)
+
+
 @q(
     "doc_containment_pairs",
     # Asymmetric near-dup: shingle-set containment |A∩B|/|A| (Broder 1997) —

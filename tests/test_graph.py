@@ -223,3 +223,26 @@ def test_resolve_redirects_null_dst_is_unresolved(spark):
     # b -> a -> (null): walk dead-ends on a's null edge; landing unusable
     assert out["b"].resolved is False
     assert out["c"].resolved is True and out["c"].final_url == "T"
+
+
+def test_k_core_peeling_semantics(spark):
+    """k-core: pendant chains peel away round by round, cliques survive;
+    every input node reported with an in_core flag."""
+    from data_exchange_routing_spark.functions.graph import k_core
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    chain = [("c", "p0"), ("p0", "p1"), ("p1", "p2")]
+    iso = [("x", "y")]  # degree-1 pair: peels entirely at k=2
+    df = spark.createDataFrame(tri + chain + iso, "src string, dst string")
+    out = {r.node: r.in_core for r in k_core(df, k=2).collect()}
+    assert out == {
+        "a": True, "b": True, "c": True,
+        "p0": False, "p1": False, "p2": False,
+        "x": False, "y": False,
+    }
+    # k=3: a triangle is NOT a 3-core (each node has degree 2)
+    out3 = {r.node: r.in_core for r in k_core(df, k=3).collect()}
+    assert not any(out3.values())
+    # k=1: everything with an edge survives
+    out1 = {r.node: r.in_core for r in k_core(df, k=1).collect()}
+    assert all(out1.values())
