@@ -45,6 +45,9 @@ HEADLINE = [
     "doc_dedup_spans",
     "doc_lm_perplexity",
     "doc_bpe_encode_arrow",
+    # round-2 session-7 additions
+    "web_blocklist_filter",
+    "emb_pq_adc_topk",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "400000"))

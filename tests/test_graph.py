@@ -246,3 +246,52 @@ def test_k_core_peeling_semantics(spark):
     # k=1: everything with an edge survives
     out1 = {r.node: r.in_core for r in k_core(df, k=1).collect()}
     assert all(out1.values())
+
+
+def test_resolve_redirects_matches_python_walk_property(spark):
+    """Property: on random functional graphs (with cycles, self-loops,
+    NULL dsts, duplicate out-edges), the engine's pointer-doubled result
+    equals a hop-by-hop Python walk with the same bounded-hop policy."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_exchange_routing_spark.functions.crawl import resolve_redirects
+
+    H = 8
+
+    def py_oracle(edges):
+        # min() over non-null dsts (matches F.min skipping NULLs);
+        # all-null stays None
+        m2 = {}
+        for s, _ in edges:
+            if s is None:
+                continue
+            ds = [dd for ss, dd in edges if ss == s and dd is not None]
+            m2[s] = min(ds) if ds else None
+        out = {}
+        for s in m2:
+            cur, hops = s, 0
+            while hops < H and cur in m2:
+                nxt = m2[cur]
+                cur = nxt
+                hops += 1
+                if cur is None:
+                    break
+            resolved = cur is not None and cur not in m2 and hops <= H
+            out[s] = (cur if resolved else None, hops if resolved else None, resolved)
+        return out
+
+    nodes = st.sampled_from([f"n{i}" for i in range(12)])
+    edge = st.tuples(nodes, st.one_of(st.none(), nodes))
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(edge, min_size=1, max_size=20))
+    def prop(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.src: (r.final_url, r.n_hops, r.resolved)
+            for r in resolve_redirects(df, max_hops=H).collect()
+        }
+        assert got == py_oracle(edges)
+
+    prop()
