@@ -10,7 +10,10 @@ gate-tested elsewhere; this test proves they compose):
   3. per-URL sitemap freshness is joined against the stored captures'
      max(warc_ts) -> recrawl candidates (lastmod newer than the capture),
   4. REP robots rules filter the candidates (longest-prefix-match),
-  5. frontier_schedule assigns per-host politeness waves,
+  4b. a category blocklist bans one registered domain outright (DNS-suffix
+     hash join) and registered_domains (PSL) derives the key politeness
+     budgets group on,
+  5. frontier_schedule assigns per-registered-domain politeness waves,
   6. the scheduled frontier is turned into synthesized fetch events (a new
      binlog segment) and replayed into the SAME warehouse,
   7. the final web_pages state equals the pandas oracle over
@@ -31,11 +34,20 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_exchange_routing_spark.functions.crawl import frontier_schedule, robots_filter
+from data_exchange_routing_spark.functions.crawl import (
+    blocklist_filter,
+    frontier_schedule,
+    registered_domains,
+    robots_filter,
+)
 from data_exchange_routing_spark.operators.parse import canonicalize_url, host_of
 from data_exchange_routing_spark.pipeline import Warehouse, replay
 from data_exchange_routing_spark.sources.datagen import write_change_events
 from tests.oracle import oracle_final_states
+
+
+def host_of_py(url: str) -> str:
+    return url.split("://", 1)[1].split("/", 1)[0]
 
 N_EVENTS = 3000
 N_URLS = 250
@@ -121,9 +133,27 @@ def test_crawl_refresh_cycle(spark, cycle_events_dir, tmpdir_path):
     }
     assert got_allowed == exp_allowed
 
-    # -- 5. politeness waves: <= concurrency fetches per host per wave -----
+    # -- 4b. blocklist ban of one domain + PSL registered-domain keying ----
+    banned = sorted(hosts)[0]
+    bl_rules = spark.createDataFrame(
+        [("banned", banned, "")], "category string, domain string, path_prefix string"
+    )
+    bl = blocklist_filter(allowed.select("url", "host", "path", "last_mod", "staleness_days"), bl_rules)
+    assert {r["url"] for r in bl.filter(F.col("blocked")).collect()} == {
+        u for u in exp_allowed if host_of_py(u) == banned
+    }
+    clean = bl.filter(~F.col("blocked"))
+    exp_fetched = {u for u in exp_allowed if host_of_py(u) != banned}
+
+    psl = spark.createDataFrame([("example",)], "suffix string")
+    dom = registered_domains(clean, psl)
+    # datagen hosts are site-N.example: one label above the suffix, so the
+    # registered domain IS the host — the politeness key the budget wants
+    assert dom.filter(F.col("registered_domain") != F.col("host")).count() == 0
+
+    # -- 5. politeness waves: <= concurrency fetches per domain per wave ---
     sched = frontier_schedule(
-        allowed.select("url", "host", "last_mod", "staleness_days"),
+        dom.select("url", F.col("registered_domain").alias("host"), "last_mod", "staleness_days"),
         host_col="host",
         priority_cols=[F.col("staleness_days").desc(), F.col("url").asc()],
         concurrency=2,
@@ -191,6 +221,6 @@ def test_crawl_refresh_cycle(spark, cycle_events_dir, tmpdir_path):
 
     # every scheduled url now carries the refreshed payload (LWW took the
     # newer (warc_ts, lsn)); byte-identical text via the shared extractor
-    refreshed = got[got["url"].isin(exp_allowed)]
-    assert len(refreshed) == len(exp_allowed)
+    refreshed = got[got["url"].isin(exp_fetched)]
+    assert len(refreshed) == len(exp_fetched)
     assert refreshed["text"].str.contains("refetched", regex=False).all()
