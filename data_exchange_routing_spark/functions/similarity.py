@@ -598,6 +598,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    encode_method: str = "auto",
 ) -> DataFrame:
     """ADC top-k: candidates are scored by m LUT lookups against the
     PQ-coded corpus (approximate L2), queries stay full precision and are
@@ -609,7 +610,7 @@ def pq_adc_topk(
     vs brute_force_topk in tests."""
     import numpy as np
 
-    codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col, method=encode_method)
     qrows = (
         df.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("i"), _dvec(F.col(vec_col)).alias("v"))

@@ -1889,7 +1889,12 @@ def _pq_adc_sql(k: int = 3, m: int = 8, nbits: int = 4, dim: int = 64, nq: int =
 def emb_pq_adc_topk(spark, sf_dir):
     emb = ld(spark, sf_dir, "embeddings")
     books = SIM.pq_codebooks_md5(64, 8, 4)
-    return SIM.pq_adc_topk(emb, query_ids=list(range(5)), codebooks=books, k=3)
+    # numpy encoder: bit-identical codes to the expr path for dsub < 128
+    # (same left-assoc sums, same first-min tie-break) WITHOUT the ~10 s
+    # whole-stage-codegen compile of 128 unrolled distance expressions
+    return SIM.pq_adc_topk(
+        emb, query_ids=list(range(5)), codebooks=books, k=3, encode_method="numpy"
+    )
 
 
 @q("emb_ivf_ann", None)  # rows-only: approximate path (IVF inverted lists)
