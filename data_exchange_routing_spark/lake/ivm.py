@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .table import DELETED_COL, LSN_COL, LakeTable
+from .table import DELETED_COL, LSN_COL, LakeTable, _atomic_write_json
 
 _TS_FLOOR = "0001-01-01 00:00:00"
 
@@ -71,6 +71,21 @@ class KeyedAggView:
                source_schema: T.StructType, n_buckets: int = 16) -> "KeyedAggView":
         v = cls(spark, path, key, group_by, sums)
         by_name = {f.name: f for f in source_schema.fields}
+        # readable validation up front: a missing column otherwise KeyErrors
+        # deep in field construction; 'warc_ts'/internal names collide with
+        # the contribution table's CDC bookkeeping columns
+        reserved = {"warc_ts", "src_lsn", "is_dead", "n_rows", LSN_COL, DELETED_COL, key}
+        for c in list(group_by) + list(sums.values()):
+            if c not in by_name:
+                raise ValueError(f"column {c!r} not in source schema")
+            if c in reserved:
+                raise ValueError(
+                    f"column {c!r} collides with the view's key/ordering/"
+                    "bookkeeping columns; alias it in the source first"
+                )
+        for out in sums:
+            if out in reserved or out in group_by:
+                raise ValueError(f"sum output name {out!r} collides")
         contrib_fields = [
             T.StructField(key, by_name[key].dataType),
             T.StructField("warc_ts", T.TimestampType()),
@@ -122,6 +137,10 @@ class KeyedAggView:
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            # materialized ONCE: the winner set feeds the retraction lookup,
+            # the adjustment append AND the contribution merge — without
+            # this the batch window re-evaluates per job
+            .localCheckpoint(eager=True)
         )
         # retraction lookup — bucket-pruned to the batch's keys; tombstones
         # are stored as live is_dead rows so the LWW comparison sees them
@@ -173,8 +192,14 @@ class KeyedAggView:
             )
             .filter(nonzero)
         )
-        # adjustments FIRST (crash argument in the module docstring)
-        res_a = self.adjust.append(adj, epoch_id=epoch_id, source="ivm")
+        # adjustments FIRST (crash argument in the module docstring).
+        # epoch ids here are change-feed to_version cursor positions —
+        # contiguous — so both guards use the monotonic high-watermark
+        # encoding (the plain set guard would grow each snapshot by one
+        # integer per batch forever; see mirror_into_table)
+        res_a = self.adjust.append(
+            adj, epoch_id=epoch_id, source="ivm", epoch_monotonic=True
+        )
         # contribution state: every batch winner merges with the SOURCE's
         # (warc_ts, lsn), so contrib's own LWW replicates the source exactly
         # — losers of `wins` simply lose the merge too. Tombstones become
@@ -188,13 +213,21 @@ class KeyedAggView:
         ).withColumn(LSN_COL, F.col("src_lsn")).withColumn(
             DELETED_COL, F.lit(False)
         )
-        res_c = self.contrib.merge_cdc(upd, epoch_id=epoch_id, source="ivm")
+        res_c = self.contrib.merge_cdc(
+            upd, epoch_id=epoch_id, source="ivm", epoch_monotonic=True
+        )
         return {"skipped": False, "adjust": res_a, "contrib": res_c}
 
     def read(self) -> DataFrame:
         """The finished aggregate: one fold over the adjustment log. Groups
         whose live-row count netted to zero disappear, exactly like the
-        batch GROUP BY over the source's current state."""
+        batch GROUP BY over the source's current state.
+
+        Sum semantics: contributions are ``SUM(COALESCE(x, 0))`` — a group
+        whose live values are all NULL reads 0.0 where SQL ``sum(x)`` would
+        read NULL (sums must net exactly under retraction, so NULL cannot
+        be represented in the log). Consumers needing the distinction can
+        compare ``n_rows`` against a maintained non-null count column."""
         folded = (
             self.adjust.read()
             .groupBy(*self.group_by)
@@ -206,9 +239,27 @@ class KeyedAggView:
         return folded.filter(F.col("n_rows") > 0)
 
     def compact(self) -> dict:
-        """Fold the adjustment log to one file (append-only rewrite); the
-        contribution table compacts via normal keyed maintenance."""
-        return self.adjust.rewrite_files()
+        """FOLD the adjustment log: group-sum every accumulated adjustment
+        row into one net row per group (dropping groups netted fully to
+        zero) and rewrite the log with the result — read()'s sum-of-sums is
+        invariant under this, and the log returns to O(live groups) instead
+        of O(batches ever applied). The contribution table compacts via
+        normal keyed maintenance."""
+        nonzero = F.col("n_rows") != 0
+        for out in self.sums:
+            nonzero = nonzero | (F.col(out) != 0.0)
+
+        def fold(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy(*self.group_by)
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    *[F.sum(out).alias(out) for out in self.sums],
+                )
+                .filter(nonzero)
+            )
+
+        return self.adjust.rewrite_files(transform=fold)
 
 
 class KeyedJoinView:
@@ -303,6 +354,14 @@ class KeyedJoinView:
             ])
             LakeTable.create(spark, v.fkidx.path, idx_fields, key=fk,
                              n_buckets=min(n_buckets, 8))
+            # the index stores VIEW bucket ids — record the bucket count
+            # they were computed under so a later view rebucket() can be
+            # detected (stored ids would then be meaningless, and "stale
+            # entries are only false positives" would silently break)
+            _atomic_write_json(
+                os.path.join(v.fkidx.meta_dir, "props.json"),
+                {"view_n_buckets": n_buckets},
+            )
         return v
 
     @classmethod
@@ -331,6 +390,11 @@ class KeyedJoinView:
         table winners and net away."""
         from pyspark.sql import Window as W
 
+        # full redelivery no-op BEFORE any job: the view commit is the last
+        # half, so its guard witnessing the epoch means the fkidx half (if
+        # any) committed too (index-first ordering below)
+        if self.view.snapshot().epoch_committed("fact", epoch_id):
+            return {"skipped": True, "epoch_id": epoch_id}
         fact_cols = self._fact_cols()
         need = list(dict.fromkeys(fact_cols + [LSN_COL, DELETED_COL]))
         batch = changes.select(*need)
@@ -339,6 +403,7 @@ class KeyedJoinView:
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .localCheckpoint(eager=True)  # feeds live/dead/fkidx branches once
         )
         tick = self._tick()
         alive = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -399,35 +464,33 @@ class KeyedJoinView:
 
     def apply_dim_changes(self, changes: DataFrame, epoch_id: int) -> dict:
         """Fold one dim change-feed batch: re-emit every live view row whose
-        fk equals a changed dim key, carrying the new dim image (nulls +
-        matched=false on a dim delete). The delta is broadcast; one resolved
-        view scan, no O(view × delta)."""
-        from pyspark.sql import Window as W
-
+        fk equals a changed dim key. The batch is only a TRIGGER SET — the
+        re-emitted enrichment values come from the dim table's CURRENT
+        resolved state (bucket-pruned lookup), not the batch images: a
+        change feed delivers raw committed revisions, so a late-arriving
+        stale revision (older warc_ts landing in a later feed batch) must
+        not overwrite newer dim data the dim's own LWW already kept. The
+        delta is broadcast; one resolved view scan, no O(view × delta)."""
+        if self.view.snapshot().epoch_committed("dim", epoch_id):
+            return {"skipped": True, "epoch_id": epoch_id}
         dim_key = self.dim.snapshot().key
-        need = list(dict.fromkeys(
-            [dim_key, "warc_ts"] + self.dim_cols + [LSN_COL, DELETED_COL]
-        ))
-        batch = changes.select(*need)
-        w = W.partitionBy(dim_key).orderBy(F.desc("warc_ts"), F.desc(LSN_COL))
-        win = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        keys = changes.select(F.col(dim_key).alias("_jv_dk")).distinct()
+        state = self.dim.lookup_join(
+            keys, probe_key="_jv_dk", columns=self.dim_cols,
+            indicator="_jv_alive",
         )
-        d_alive = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        delta = win.select(
-            F.col(dim_key).alias("_jv_dk"),
-            d_alive.alias("_jv_alive"),
+        delta = state.select(
+            "_jv_dk",
+            "_jv_alive",
             *[F.col(c).alias(f"_jv_{c}") for c in self.dim_cols],
         )
         fact_cols = self._fact_cols()
         touched: list[int] | None = None
-        if self.fkidx is not None:
+        if self.fkidx is not None and self._fkidx_valid():
             # scale path: the fk index names the view buckets that can hold
             # dependent rows — O(delta + touched buckets), never O(view)
             idx = self.fkidx.lookup_join(
-                win.select(dim_key), probe_key=dim_key, columns=["buckets"]
+                keys, probe_key="_jv_dk", columns=["buckets"]
             )
             touched = sorted(
                 {
@@ -461,6 +524,20 @@ class KeyedJoinView:
         if touched is not None:
             res = dict(res, touched_buckets=touched)
         return res
+
+    def _fkidx_valid(self) -> bool:
+        """The index's stored bucket ids are only meaningful under the view
+        bucket count they were computed with; after a view rebucket() the
+        scale path falls back to full view scans (correct, just broader)
+        until the index is rebuilt."""
+        import json as _json
+
+        p = os.path.join(self.fkidx.meta_dir, "props.json")
+        if not os.path.exists(p):
+            return False
+        with open(p) as fh:
+            rec = _json.load(fh).get("view_n_buckets")
+        return rec == self.view.snapshot().n_buckets
 
     def _dim_types(self) -> list[tuple[str, T.DataType]]:
         by_name = {f.name: f.dataType for f in self.view.snapshot().schema().fields}

@@ -157,12 +157,22 @@ def salted_repartition(df: DataFrame, pcols: list[str], salt: int) -> DataFrame:
     cols = [F.col(c) for c in pcols]
     if salt <= 1:
         return df.repartition(*cols)
-    # MapType is not hashable in Spark (HASH_MAP_TYPE error); any remaining
-    # column set salts fine — uniformity, not uniqueness, is what matters
+    # MapType is not hashable in Spark (HASH_MAP_TYPE error) at ANY nesting
+    # depth (array<map>, struct{m: map}); any remaining column set salts
+    # fine — uniformity, not uniqueness, is what matters
+    def _has_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
     data_cols = [
         F.col(f.name)
         for f in df.schema.fields
-        if not f.name.startswith(PART_PREFIX) and not isinstance(f.dataType, T.MapType)
+        if not f.name.startswith(PART_PREFIX) and not _has_map(f.dataType)
     ]
     # non-empty by construction: every spec field's source column is a
     # hashable scalar/timestamp (validate_spec) and rides in the dataframe
@@ -253,11 +263,34 @@ def range_keep(fld: dict, part_value: str, lo, hi) -> bool:
     return True
 
 
+def normalize_bound(value, dtype):
+    """Predicate bound -> the Python value whose ``str()`` matches the write
+    expression's cast-to-string of the COLUMN-typed value. Without this, an
+    integral float bound on a long column ('42.0' vs stored '42'), an int
+    bound on a double column ('42' vs stored '42.0'), or a Python bool
+    ('True' vs Spark 'true') silently prunes files whose rows the SQL
+    predicate WOULD match. Non-coercible bounds (42.5 on a long column)
+    pass through: their string never equals a stored value, which matches
+    the row predicate's own empty result."""
+    if dtype is None or value is None:
+        return value
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        if isinstance(value, int):
+            return float(value)
+    return value
+
+
 def prune_files(
     files: list[dict],
     specs: dict,
     part_eq: tuple | None,
     part_range: tuple | None,
+    schema: T.StructType | None = None,
 ) -> list[dict]:
     """Manifest-level file pruning through each file's OWN spec (evolution-safe).
 
@@ -265,7 +298,22 @@ def prune_files(
     compaction outputs written while no spec was active) are always kept; a
     NULL partition value keeps its file too. The caller still applies the
     exact row predicate — pruning only ever removes provably-disjoint files.
+    ``schema`` (when available) normalizes bound values to the column's
+    type so cross-type bounds can never prune rows the row predicate would
+    keep (see normalize_bound); normalization is LOCAL to pruning — the
+    caller's row predicate keeps its original literals.
     """
+    if schema is not None:
+        types = {f.name: f.dataType for f in schema.fields}
+        if part_eq is not None:
+            part_eq = (part_eq[0], normalize_bound(part_eq[1], types.get(part_eq[0])))
+        if part_range is not None:
+            dt = types.get(part_range[0])
+            part_range = (
+                part_range[0],
+                normalize_bound(part_range[1], dt),
+                normalize_bound(part_range[2], dt),
+            )
 
     def _keep(f: dict) -> bool:
         part = f.get("partition")

@@ -336,7 +336,10 @@ class LakeTable:
 
         snap = self.snapshot()
         files = snap.files
-        kept = _pt.prune_files(files, self._part_state().get("specs", {}), part_eq, part_range)
+        kept = _pt.prune_files(
+            files, self._part_state().get("specs", {}), part_eq, part_range,
+            schema=snap.schema(),
+        )
         return {
             "files_total": len(files),
             "files_kept": len(kept),
@@ -896,7 +899,7 @@ class LakeTable:
             from data_exchange_routing_spark.lake import partition as _pt
 
             specs = self._part_state().get("specs", {})
-            files = _pt.prune_files(files, specs, part_eq, part_range)
+            files = _pt.prune_files(files, specs, part_eq, part_range, schema=snap.schema())
             df = self._read_files(snap, files, with_internal=with_internal, with_row_ids=with_row_ids)
             if part_eq is not None:
                 df = df.filter(F.col(part_eq[0]) == F.lit(part_eq[1]))
@@ -1900,15 +1903,20 @@ class LakeTable:
         epoch_id: int | None = None,
         source: str = "default",
         summary: dict | None = None,
+        epoch_monotonic: bool = False,
     ) -> dict:
-        """Plain append (no merge key): dead_letter / lineage tables."""
+        """Plain append (no merge key): dead_letter / lineage tables.
+        ``epoch_monotonic=True`` for contiguous cursor-position epoch ids
+        (change-feed to_versions) — high-watermark guard encoding instead
+        of the per-id set (see merge_cdc)."""
         snap = self.snapshot()
         if snap.key is not None:
             raise ValueError(
                 "append() on a keyed table would write unbucketed (-1) files "
                 "that defeat bucket pruning; use merge_cdc() instead"
             )
-        return self._commit(df, epoch_id, source, summary, is_cdc=False)
+        return self._commit(df, epoch_id, source, summary, is_cdc=False,
+                            epoch_monotonic=epoch_monotonic)
 
     def append_rows(
         self,
@@ -2868,20 +2876,38 @@ class LakeTable:
             "files": len(new_files),
         }
 
-    def rewrite_files(self, n_files: int = 1, sort_by: list[str] | None = None) -> dict:
+    def rewrite_files(
+        self,
+        n_files: int = 1,
+        sort_by: list[str] | None = None,
+        transform=None,
+    ) -> dict:
         """Unkeyed-table compaction: fold the accumulated per-epoch append
         files into ``n_files`` fresh base files (optionally cluster-sorted
         within each, tightening row-group min/max skipping), replacing the
-        file list atomically. Content-preserving; the committed-epoch guard
-        set survives, so redelivery of an already-folded epoch stays a no-op.
-        The append-only analog of ``compact()`` — a stream appending one
-        file per micro-batch (lineage, dead-letter, the LSH band index)
-        stays O(n_files) to scan instead of O(epochs)."""
+        file list atomically. Content-preserving by default; the
+        committed-epoch guard set survives, so redelivery of an
+        already-folded epoch stays a no-op. The append-only analog of
+        ``compact()`` — a stream appending one file per micro-batch
+        (lineage, dead-letter, the LSH band index) stays O(n_files) to scan
+        instead of O(epochs).
+
+        ``transform`` (optional, DataFrame -> DataFrame, same schema): a
+        READ-EQUIVALENT fold applied during the rewrite — the caller
+        guarantees downstream reads produce identical results over the
+        folded rows (e.g. an adjustment log whose consumer sums it:
+        group-summed rows are indistinguishable under the fold). A
+        transformed rewrite collapses row identity, so row-lineage ids are
+        freshly assigned, exactly like any rewrite of rows that no longer
+        exist one-for-one."""
         snap = self.snapshot()
         if snap.key is not None:
             raise ValueError("rewrite_files is for unkeyed tables; keyed tables use compact()")
-        df = self._read_files(snap, snap.files, with_internal=True, with_row_ids=True)
-        out = self._align(df, snap.schema())
+        if transform is not None:
+            out = self._align(transform(self.read()), snap.schema())
+        else:
+            df = self._read_files(snap, snap.files, with_internal=True, with_row_ids=True)
+            out = self._align(df, snap.schema())
         files = self._stage_files(
             out,
             snap,
@@ -3136,7 +3162,7 @@ class LakeTable:
         }
 
     # --------------------------------------------- append-only row deletes
-    def _file_may_contain(self, f: dict, col: str, value, props: dict, specs: dict) -> bool:
+    def _file_may_contain(self, f: dict, col: str, value, props: dict, specs: dict, schema: T.StructType | None = None) -> bool:
         """Metadata-only "can this data file hold a row with col == value?"
         — hidden-partition transforms (through the file's OWN spec id),
         manifest min/max column stats, and the Bloom file index, in that
@@ -3148,7 +3174,8 @@ class LakeTable:
 
         if value is None:
             return True
-        if _pt.prune_files([f], specs, (col, value), None) == []:
+        if _pt.prune_files([f], specs, (col, value), None,
+                           schema=schema if schema is not None else self.snapshot().schema()) == []:
             return False
         iso = value.isoformat() if hasattr(value, "isoformat") else value
         rng = (f.get("col_stats") or {}).get(col) or (f.get("ts_stats") or {}).get(col)
@@ -3173,9 +3200,10 @@ class LakeTable:
         NULL rows never match an equality predicate and are always kept."""
         props = self._props()
         specs = self._part_state().get("specs", {})
+        schema = self.snapshot().schema()
 
         def may_match(f: dict) -> bool:
-            return self._file_may_contain(f, col, value, props, specs)
+            return self._file_may_contain(f, col, value, props, specs, schema=schema)
 
         return self._delete_rows(
             F.col(col) == F.lit(value),
@@ -3192,9 +3220,10 @@ class LakeTable:
         lo_c = lo.isoformat() if hasattr(lo, "isoformat") else lo
         hi_c = hi.isoformat() if hasattr(hi, "isoformat") else hi
         specs = self._part_state().get("specs", {})
+        schema = self.snapshot().schema()
 
         def may_match(f: dict) -> bool:
-            if _pt.prune_files([f], specs, None, (col, lo, hi)) == []:
+            if _pt.prune_files([f], specs, None, (col, lo, hi), schema=schema) == []:
                 return False
             rng = (f.get("col_stats") or {}).get(col) or (f.get("ts_stats") or {}).get(col)
             if rng is not None:
@@ -3643,6 +3672,7 @@ class LakeTable:
         props = self._props()
         specs = self._part_state().get("specs", {})
         by_name = {f.name: f for f in snap.schema().fields}
+        schema = snap.schema()
         eq_sets: list[tuple[list[str], int, list[tuple]]] = []
         for d in dels:
             if d["kind"] != "eqdel" or d.get("rows", 0) <= 0:
@@ -3667,7 +3697,7 @@ class LakeTable:
                     continue
                 for tup in tuples:
                     if all(
-                        self._file_may_contain(f, c, v, props, specs)
+                        self._file_may_contain(f, c, v, props, specs, schema=schema)
                         for c, v in zip(cols, tup)
                     ):
                         return True

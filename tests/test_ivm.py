@@ -156,3 +156,62 @@ def test_ivm_driven_by_changefeed_consumer(spark, tmp_path):
     c2 = ChangeFeedConsumer(spark, src.path, consumer_id="ivm", with_internal=True)
     assert c2.drain(fold)["processed_versions"] == 0
     assert _got(view) == _expected(src)
+
+
+def test_aggview_compact_folds_log_and_guards_stay_flat(spark, tmpdir_path):
+    """compact() group-sums the adjustment log to O(live groups) rows (read
+    unchanged), and the monotonic epoch guards keep committed_epochs at a
+    bounded encoding instead of one integer per batch."""
+    from data_exchange_routing_spark.lake.ivm import KeyedAggView
+
+    src_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    view = KeyedAggView.create(
+        spark, f"{tmpdir_path}/agg_fold", "url", ["lang"], {"sum_n": "n"},
+        src_schema, n_buckets=4,
+    )
+    for ep in range(1, 7):
+        batch = (
+            spark.createDataFrame(
+                [(f"u{i}", "en" if i % 2 else "de", i + ep) for i in range(6)],
+                "url string, lang string, n long",
+            )
+            .withColumn("warc_ts", F.to_timestamp(F.lit(f"2024-01-0{ep} 00:00:00")))
+            .withColumn("_lsn", F.lit(ep).cast("long"))
+            .withColumn("_deleted", F.lit(False))
+        )
+        view.apply_changes(batch, epoch_id=ep)
+    before = {tuple(r) for r in view.read().collect()}
+    n_log_rows = view.adjust.read().count()
+    assert n_log_rows > 2  # adjustments accumulated across epochs
+    res = view.compact()
+    assert not res.get("skipped", False)
+    assert view.adjust.read().count() == 2  # one net row per live group
+    assert {tuple(r) for r in view.read().collect()} == before
+    # monotonic guard: committed_epochs holds a watermark, not 6 integers
+    enc = view.adjust.snapshot().committed_epochs["ivm"]
+    assert isinstance(enc, dict) and enc.get("w") == 6 and not enc.get("extra")
+
+
+def test_aggview_create_validates_columns(spark, tmpdir_path):
+    from data_exchange_routing_spark.lake.ivm import KeyedAggView
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in source schema"):
+        KeyedAggView.create(spark, f"{tmpdir_path}/v1", "url", ["nope"], {}, schema)
+    with _pytest.raises(ValueError, match="collides"):
+        KeyedAggView.create(spark, f"{tmpdir_path}/v2", "url", ["warc_ts"], {}, schema)

@@ -238,3 +238,48 @@ def test_fk_index_prunes_dim_apply(spark, tmpdir_path, setup):
         ("u2", "fr", 2, "r2-fr", 9),
         ("u3", "fr", 3, "r2-fr", 9),
     }
+
+
+def test_stale_dim_revision_does_not_overwrite_newer(spark, tmpdir_path, setup):
+    """A late-arriving STALE dim revision (older warc_ts committed in a
+    later feed batch) must not overwrite newer dim data in the view: the
+    dim table's own LWW keeps the newer row, and the view re-enriches from
+    the dim's CURRENT state, not the batch image."""
+    fact, dim = setup
+    view = KeyedJoinView.create(
+        spark, f"{tmpdir_path}/v_stale", FACT_SCHEMA, "url", "lang",
+        dim, ["region", "boost"], how="left",
+    )
+    _drive(spark, fact, dim, view, [
+        ("dim", _dim_batch(spark, [("en", "NEW", 2, False)], "2024-01-05 00:00:00", 10), 0),
+        ("fact", _fact_batch(spark, [("u1", "en", 1, False)], "2024-01-01 00:00:00", 1), 0),
+        # stale revision: older warc_ts, later feed batch — dim LWW keeps NEW
+        ("dim", _dim_batch(spark, [("en", "OLD", 1, False)], "2024-01-02 00:00:00", 11), 1),
+    ])
+    rows = {r.url: r.region for r in view.read().collect()}
+    assert rows == {"u1": "NEW"}
+
+
+def test_fkidx_bypassed_after_view_rebucket(spark, tmpdir_path, setup):
+    """ADVICE-class fix: fkidx bucket ids are only meaningful under the
+    bucket count they were computed with. After view.rebucket() the dim
+    apply must fall back to a full view scan (correct, broader) instead of
+    scanning the wrong buckets and silently missing dependent rows."""
+    fact, dim = setup
+    view = KeyedJoinView.create(
+        spark, f"{tmpdir_path}/v_rb", FACT_SCHEMA, "url", "lang",
+        dim, ["region", "boost"], how="left", n_buckets=4, fk_index=True,
+    )
+    _drive(spark, fact, dim, view, [
+        ("dim", _dim_batch(spark, [("en", "R1", 1, False)], "2024-01-01 00:00:00", 1), 0),
+        ("fact", _fact_batch(spark, [(f"u{i}", "en", i, False) for i in range(8)],
+                             "2024-01-02 00:00:00", 2), 0),
+    ])
+    assert view._fkidx_valid()
+    view.view.rebucket(16)
+    assert not view._fkidx_valid()
+    # dim update after the rebucket: full-scan fallback keeps correctness
+    _drive(spark, fact, dim, view, [
+        ("dim", _dim_batch(spark, [("en", "R2", 2, False)], "2024-01-03 00:00:00", 3), 1),
+    ])
+    assert {r.region for r in view.read().collect()} == {"R2"}

@@ -300,3 +300,87 @@ def test_partitioned_table_random_ops_match_oracle(spark, tmp_path_factory, ops)
     url = "https://h3.example/"
     got_e = sorted(tuple(r) for r in t.read(part_eq=("url", url)).collect())
     assert got_e == sorted(r for r in oracle if r[0] == url)
+
+
+def test_cross_type_bounds_never_prune_matching_rows(spark, tmpdir_path):
+    """ADVICE-class fix: an integral-float bound on a long column (42.0 vs
+    stored '42'), an int bound on a double column, and Python bools must
+    prune consistently with the SQL row predicate — never silently empty."""
+    t = LakeTable.create(
+        spark,
+        f"{tmpdir_path}/xb",
+        T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("x", T.DoubleType()),
+                T.StructField("warc_ts", T.TimestampType()),
+            ]
+        ),
+    )
+    t.set_partition_spec(
+        [
+            {"name": "n_id", "col": "n", "transform": "identity"},
+        ]
+    )
+    rows = [(i, float(i) / 2, datetime(2024, 3, 1, 0, 0)) for i in range(6)]
+    t.append(spark.createDataFrame(rows, t.snapshot().schema()), epoch_id=0)
+
+    # float bound on a long identity partition: must still find n == 4
+    got = t.read(part_eq=("n", 4.0)).collect()
+    assert [r.n for r in got] == [4]
+    # non-integral float: empty BOTH ways (consistent with the row predicate)
+    assert t.read(part_eq=("n", 4.5)).count() == 0
+    # delete_eq with a float bound must actually delete (GDPR path)
+    res = t.delete_eq("n", 3.0)
+    assert not res.get("skipped", False)
+    assert t.read().filter("n = 3").count() == 0
+
+
+def test_cross_type_bucket_bound_prunes_consistently(spark, tmpdir_path):
+    """bucket[N] transform: the bound is bucketed via the COLUMN-typed
+    string ('42'), so a 42.0 probe lands in the same bucket."""
+    t = LakeTable.create(
+        spark,
+        f"{tmpdir_path}/xbb",
+        T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("warc_ts", T.TimestampType()),
+            ]
+        ),
+    )
+    t.set_partition_spec(
+        [{"name": "n_b", "col": "n", "transform": "bucket", "param": 4}]
+    )
+    rows = [(i, datetime(2024, 3, 1)) for i in range(20)]
+    t.append(spark.createDataFrame(rows, t.snapshot().schema()), epoch_id=0)
+    assert [r.n for r in t.read(part_eq=("n", 7.0)).collect()] == [7]
+
+
+def test_salted_write_with_nested_map_column(spark, tmpdir_path):
+    """Regression: a nested map (array<map<...>>) must be excluded from the
+    write-salt hash at any depth — salted appends used to crash with
+    HASH_MAP_TYPE."""
+    t = LakeTable.create(
+        spark,
+        f"{tmpdir_path}/nm",
+        T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField(
+                    "headers",
+                    T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+                ),
+                T.StructField("warc_ts", T.TimestampType()),
+            ]
+        ),
+    )
+    t.set_partition_spec(
+        [{"name": "d", "col": "warc_ts", "transform": "days"}], salt=2
+    )
+    df = spark.createDataFrame(
+        [(i, [{"k": f"v{i}"}], datetime(2024, 3, 1)) for i in range(8)],
+        t.snapshot().schema(),
+    )
+    t.append(df, epoch_id=0)
+    assert t.read().count() == 8
