@@ -157,7 +157,11 @@ class _WarcReader(DataSourceReader):
         # emit arrow batches (no per-row rows)
         import pyarrow as pa
 
-        from data_exchange_routing_spark.sources.warc import maybe_gunzip, parse_warc
+        from data_exchange_routing_spark.sources.warc import (
+            maybe_gunzip,
+            parse_warc,
+            record_columns,
+        )
 
         with open(partition.path, "rb") as f:
             if partition.length >= 0:
@@ -168,17 +172,7 @@ class _WarcReader(DataSourceReader):
         # .warc.gz: member-per-record gzip — a CDX range is whole members, so
         # a ranged slice decompresses standalone (magic-sniffed, not by name)
         buf = maybe_gunzip(buf)
-        cols: dict[str, list] = {
-            "uri": [], "rec_type": [], "warc_date": [], "record_id": [],
-            "content_length": [], "payload": [],
-        }
-        for headers, payload in parse_warc(buf):
-            cols["uri"].append(headers.get("WARC-Target-URI"))
-            cols["rec_type"].append(headers.get("WARC-Type"))
-            cols["warc_date"].append(headers.get("WARC-Date"))
-            cols["record_id"].append(headers.get("WARC-Record-ID"))
-            cols["content_length"].append(int(headers["Content-Length"]))
-            cols["payload"].append(payload)
+        cols = record_columns(parse_warc(buf))
         n = len(cols["uri"])
         yield pa.RecordBatch.from_pydict(
             {
@@ -247,32 +241,58 @@ class _WarcWriter(DataSourceWriter):
         return _WarcCommit(tmp, n)
 
     def commit(self, messages) -> None:  # driver-side
+        import json as _json
+
+        os.makedirs(self.path, exist_ok=True)  # zero-task write: empty dir + marker
+        # _SUCCESS carries the PUBLISHED part list: a crashed earlier commit
+        # (renames done, marker not written) leaves parts outside the
+        # manifest, and the retry removes exactly those before publishing —
+        # append mode can never double-publish an attempt's records. A
+        # legacy empty _SUCCESS (pre-manifest) vouches for all current parts.
+        published: set[str] = set()
+        marker = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    published = set(_json.load(fh))
+            except (ValueError, OSError):
+                published = {
+                    n for n in os.listdir(self.path)
+                    if n.startswith("part-") and n.endswith((".warc", ".warc.gz"))
+                }
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.endswith((".warc", ".warc.gz")) and not name.startswith("."):
                     os.unlink(os.path.join(self.path, name))
-        # append mode numbers new files after the existing max part index so a
-        # second write never clobbers a prior commit's files
-        existing = [
-            int(n[5:10])
-            for n in os.listdir(self.path)
-            if n.startswith("part-")
-            and n.endswith((".warc", ".warc.gz"))
-            and n[5:10].isdigit()
-        ]
+            published = set()
+        else:
+            for name in os.listdir(self.path):  # crashed-attempt orphans
+                if (
+                    name.startswith("part-")
+                    and name.endswith((".warc", ".warc.gz"))
+                    and name not in published
+                ):
+                    os.unlink(os.path.join(self.path, name))
+        # append mode numbers new files after the published max part index so
+        # a second write never clobbers a prior commit's files
+        existing = [int(n[5:10]) for n in published if n[5:10].isdigit()]
         base = max(existing) + 1 if existing else 0
         i = 0
         for m in sorted((m for m in messages if m), key=lambda m: m.tmp_path):
             if m.n_records == 0:
                 os.unlink(m.tmp_path)
                 continue
-            os.rename(m.tmp_path, os.path.join(self.path, f"part-{base + i:05d}{self.ext}"))
+            name = f"part-{base + i:05d}{self.ext}"
+            os.rename(m.tmp_path, os.path.join(self.path, name))
+            published.add(name)
             i += 1
         for name in os.listdir(self.path):  # sweep zombie-attempt orphans
             if name.startswith(".tmp-"):
                 os.unlink(os.path.join(self.path, name))
-        with open(os.path.join(self.path, "_SUCCESS"), "w"):
-            pass
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(sorted(published), fh)
+        os.replace(tmp, marker)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -398,24 +418,39 @@ class _BinlogStreamReader(DataSourceStreamReader):
         # visibility rule: a segment is ready when its own _SUCCESS marker
         # exists (incremental per-segment producer) OR the log root carries
         # one (whole-log batch write — Spark's commit protocol writes root
-        # _SUCCESS last, after every task file is renamed into place)
+        # _SUCCESS last, after every task file is renamed into place; the
+        # binlog stream WRITER retires the root marker before appending, so
+        # a mixed log always gates per segment). CONTIGUOUS PREFIX ONLY: an
+        # existing-but-unready segment dir hides every later epoch — without
+        # this, offsets would advance past a mid-commit segment and its rows
+        # would be permanently skipped once its marker lands below the
+        # committed offset.
         root_ok = os.path.exists(os.path.join(self.path, "_SUCCESS"))
-        return [
-            e
-            for e in _list_epochs(self.path)
-            if root_ok
-            or os.path.exists(os.path.join(self.path, f"epoch_hint={e}", "_SUCCESS"))
-        ]
+        out: list[int] = []
+        for e in _list_epochs(self.path):
+            if not (
+                root_ok
+                or os.path.exists(
+                    os.path.join(self.path, f"epoch_hint={e}", "_SUCCESS")
+                )
+            ):
+                break
+            out.append(e)
+        return out
 
     def initialOffset(self) -> dict:
         eps = self._ready_epochs()
         return {"next_epoch": eps[0] if eps else 0}
 
     def latestOffset(self) -> dict:
+        # monotone: never below the committed offset or the truncation floor
+        # (after a full WAL truncation an empty listing must not regress the
+        # checkpoint to 0 and grind through bounded empty batches)
+        base = max(self._committed or 0, truncated_before(self.path))
         eps = self._ready_epochs()
         if not eps:
-            return {"next_epoch": 0}
-        hi = eps[-1] + 1
+            return {"next_epoch": base}
+        hi = max(eps[-1] + 1, base)
         if self.max_epochs and self._committed is not None:
             # backpressure: bound each micro-batch to maxEpochsPerBatch
             # segments past the last committed offset. Only once a commit
@@ -519,7 +554,25 @@ class _BinlogStreamWriter(DataSourceStreamWriter):
         if os.path.exists(os.path.join(seg, "_SUCCESS")):
             shutil.rmtree(wip, ignore_errors=True)  # redelivery: no-op
             return
+        # a root _SUCCESS (whole-log batch bootstrap) would vouch for every
+        # FUTURE segment too; before this producer appends, migrate the log
+        # to per-segment gating: stamp each existing segment's own marker,
+        # then retire the root one. Readers see either state consistently.
+        root = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(root):
+            for e in _list_epochs(self.path):
+                m = os.path.join(self.path, f"epoch_hint={e}", "_SUCCESS")
+                if not os.path.exists(m):
+                    with open(m, "w"):
+                        pass
+            os.unlink(root)
         os.makedirs(seg, exist_ok=True)
+        # a segment dir WITHOUT _SUCCESS is a crashed earlier attempt: its
+        # renamed files are uncommitted — clear them or the redelivered
+        # batch would publish every row twice
+        for n in os.listdir(seg):
+            if n.endswith(".parquet"):
+                os.unlink(os.path.join(seg, n))
         for m in messages:
             if m and m.rows > 0:
                 os.rename(m.file, os.path.join(seg, os.path.basename(m.file)))
@@ -566,9 +619,26 @@ class BinlogDataSource(DataSource):
         eps = _list_epochs(path)
         if not eps:
             raise FileNotFoundError(f"no epoch_hint=K segments under {path}")
-        files = _segment_files(path, eps[0])
+        root_ok = os.path.exists(os.path.join(path, "_SUCCESS"))
+        files: list[str] = []
+        # prefer a READY segment (same gate as the reader): a dir mid-commit
+        # may transiently hold no parquet files and must not fail the query
+        for e in eps:
+            if root_ok or os.path.exists(
+                os.path.join(path, f"epoch_hint={e}", "_SUCCESS")
+            ):
+                files = _segment_files(path, e)
+                if files:
+                    break
+        if not files:  # fall back to any segment with files (legacy logs)
+            for e in eps:
+                files = _segment_files(path, e)
+                if files:
+                    break
         if not files:
-            raise FileNotFoundError(f"segment epoch_hint={eps[0]} has no parquet files")
+            raise FileNotFoundError(
+                f"no committed segment with parquet files under {path}"
+            )
         # drop the partition column (epoch_hint) — it is directory metadata;
         # the stream exposes the file columns exactly as written
         return from_arrow_schema(pq.read_schema(files[0]))

@@ -107,6 +107,25 @@ def parse_warc(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         yield headers, payload
 
 
+def record_columns(recs: "Iterator[tuple[dict, bytes]]") -> dict[str, list]:
+    """(headers, payload) records -> the six standard output columns.
+    The ONE place the header->column mapping lives: the legacy
+    mapInPandas parser and the registered `warc` Data Source both call it
+    (the suite asserts they match byte-identically — keep it that way)."""
+    cols: dict[str, list] = {
+        "uri": [], "rec_type": [], "warc_date": [], "record_id": [],
+        "content_length": [], "payload": [],
+    }
+    for headers, payload in recs:
+        cols["uri"].append(headers.get("WARC-Target-URI"))
+        cols["rec_type"].append(headers.get("WARC-Type"))
+        cols["warc_date"].append(headers.get("WARC-Date"))
+        cols["record_id"].append(headers.get("WARC-Record-ID"))
+        cols["content_length"].append(int(headers["Content-Length"]))
+        cols["payload"].append(payload)
+    return cols
+
+
 def iter_warc_spans(buf: bytes) -> Iterator[tuple[int, int, str]]:
     """Yield (record_offset, record_nbytes, uri) per record — the byte-exact
     record framing a CDX index stores so readers can split WITHIN a WARC file
@@ -169,13 +188,8 @@ def parse_warc_records(df: DataFrame, file_col: str = "warc_file") -> DataFrame:
                 "record_id": [], "content_length": [], "payload": [],
             }
             for buf in pdf[file_col]:
-                for headers, payload in parse_warc(bytes(buf)):
-                    out["uri"].append(headers.get("WARC-Target-URI"))
-                    out["rec_type"].append(headers.get("WARC-Type"))
-                    out["warc_date"].append(headers.get("WARC-Date"))
-                    out["record_id"].append(headers.get("WARC-Record-ID"))
-                    out["content_length"].append(int(headers["Content-Length"]))
-                    out["payload"].append(payload)
+                for k, v in record_columns(parse_warc(bytes(buf))).items():
+                    out[k].extend(v)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, WARC_RECORD_SCHEMA)

@@ -65,6 +65,7 @@ def stream_ingest(
     dedup_strategy: str = "local",
     suppress_redelivery_watermark: str | None = None,
     source: str = "files",
+    max_epochs_per_batch: int | None = None,
 ) -> StreamingQuery:
     """Start an availableNow streaming ingest of the event log into the
     warehouse. Returns the running query; callers awaitTermination().
@@ -88,9 +89,25 @@ def stream_ingest(
     if source == "binlog":
         from data_exchange_routing_spark.sources.pyds import register_sources
 
+        if max_files_per_trigger is not None:
+            # loud, not silent: the binlog source paces in EPOCHS, and a
+            # dropped backpressure knob would read the whole outstanding WAL
+            # in one batch on a caller that asked for bounded triggers
+            raise ValueError(
+                "max_files_per_trigger applies to source='files'; use "
+                "max_epochs_per_batch with source='binlog'"
+            )
         register_sources(spark)
-        events = spark.readStream.format("binlog").load(events_dir)
+        reader = spark.readStream.format("binlog")
+        if max_epochs_per_batch is not None:
+            reader = reader.option("maxEpochsPerBatch", max_epochs_per_batch)
+        events = reader.load(events_dir)
     else:
+        if max_epochs_per_batch is not None:
+            raise ValueError(
+                "max_epochs_per_batch applies to source='binlog'; use "
+                "max_files_per_trigger with source='files'"
+            )
         reader = spark.readStream.schema(CHANGE_EVENTS)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

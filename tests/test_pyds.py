@@ -466,3 +466,130 @@ def test_warc_gz_sink_roundtrip_and_cdx_splits(spark, tmp_path):
     )
     assert ranged.rdd.getNumPartitions() > 4  # sub-file splits of 2 gz files
     assert _canon_warc(ranged) == _canon_warc(df)
+
+
+def test_binlog_sink_crashed_attempt_files_cleared_on_redelivery(tmp_path):
+    """A driver crash AFTER some renames but BEFORE _SUCCESS leaves
+    uncommitted files in the segment; the redelivered batch must clear them
+    or every row of the crashed attempt publishes twice."""
+    from data_exchange_routing_spark.sources.pyds import (
+        _BinlogStreamWriter,
+        _BinlogWriteCommit,
+    )
+
+    root = str(tmp_path / "log")
+    seg = os.path.join(root, "epoch_hint=3")
+    os.makedirs(seg)
+    with open(os.path.join(seg, "stale-attempt.parquet"), "wb") as f:
+        f.write(b"crashed attempt rows")  # no _SUCCESS: uncommitted
+    wip = os.path.join(root, "_wip-3")
+    os.makedirs(wip)
+    fresh = os.path.join(wip, "retry.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"retry rows")
+    _BinlogStreamWriter({"path": root}, None).commit([_BinlogWriteCommit(fresh, 2)], 3)
+    assert sorted(os.listdir(seg)) == ["_SUCCESS", "retry.parquet"]
+
+
+def test_binlog_sink_retires_root_success_marker(tmp_path):
+    """Appending to a batch-bootstrapped log (root _SUCCESS): the producer
+    stamps per-segment markers on every existing segment and retires the
+    root marker, so later half-committed appends can never ride the root
+    marker into visibility."""
+    from data_exchange_routing_spark.sources.pyds import (
+        _BinlogStreamReader,
+        _BinlogStreamWriter,
+        _BinlogWriteCommit,
+    )
+
+    root = str(tmp_path / "log")
+    for e in (0, 1):
+        os.makedirs(os.path.join(root, f"epoch_hint={e}"))
+        with open(os.path.join(root, f"epoch_hint={e}", "d.parquet"), "wb") as f:
+            f.write(b"x")
+    open(os.path.join(root, "_SUCCESS"), "w").close()  # bootstrap root marker
+    wip = os.path.join(root, "_wip-2")
+    os.makedirs(wip)
+    nf = os.path.join(wip, "n.parquet")
+    with open(nf, "wb") as f:
+        f.write(b"y")
+    _BinlogStreamWriter({"path": root}, None).commit([_BinlogWriteCommit(nf, 1)], 2)
+    assert not os.path.exists(os.path.join(root, "_SUCCESS"))
+    r = _BinlogStreamReader({"path": root}, None)
+    assert r._ready_epochs() == [0, 1, 2]  # all gated per segment now
+
+
+def test_binlog_reader_contiguous_prefix_and_monotone_offsets(tmp_path):
+    """An existing-but-unready segment hides every later epoch (no silent
+    gap skip), and latestOffset never regresses below the committed offset
+    even when the listing goes empty (post-truncation)."""
+    from data_exchange_routing_spark.sources.pyds import (
+        _BinlogStreamReader,
+        truncate_binlog,
+    )
+
+    root = str(tmp_path / "log")
+    for e in (0, 1, 2):
+        os.makedirs(os.path.join(root, f"epoch_hint={e}"))
+        with open(os.path.join(root, f"epoch_hint={e}", "d.parquet"), "wb") as f:
+            f.write(b"x")
+        if e != 1:  # epoch 1 mid-commit: no marker yet
+            open(os.path.join(root, f"epoch_hint={e}", "_SUCCESS"), "w").close()
+    r = _BinlogStreamReader({"path": root}, None)
+    assert r._ready_epochs() == [0]
+    assert r.latestOffset() == {"next_epoch": 1}
+    open(os.path.join(root, "epoch_hint=1", "_SUCCESS"), "w").close()
+    assert r._ready_epochs() == [0, 1, 2]
+    assert r.latestOffset() == {"next_epoch": 3}
+    # committed past everything; WAL truncated away entirely
+    r.commit({"next_epoch": 3})
+    truncate_binlog(root, 3)
+    assert r.latestOffset() == {"next_epoch": 3}  # no regression to 0
+
+
+def test_warc_sink_append_crash_orphans_removed(spark, tmp_path):
+    """_SUCCESS is a manifest of published parts: parts outside it (a
+    crashed append attempt's renames) are removed by the next commit, so
+    append mode never double-publishes an attempt's records."""
+    out = str(tmp_path / "sink")
+    df1 = spark.createDataFrame(
+        [(f"u://{i}", f"r{i}".encode()) for i in range(4)], "uri string, payload binary"
+    ).coalesce(1)
+    df1.write.format("warc").mode("overwrite").save(out)
+    # simulate a crashed append attempt: a part file NOT in the manifest
+    with open(os.path.join(out, "part-00099.warc"), "wb") as f:
+        f.write(b"garbage from crashed attempt")
+    df2 = spark.createDataFrame(
+        [("u://new", b"new")], "uri string, payload binary"
+    ).coalesce(1)
+    df2.write.format("warc").mode("append").save(out)
+    got = spark.read.format("warc").load(out)
+    assert got.count() == 5  # 4 + 1, crashed attempt contributed nothing
+    assert not os.path.exists(os.path.join(out, "part-00099.warc"))
+
+
+def test_warc_sink_empty_dataframe_fresh_path(spark, tmp_path):
+    """Zero write tasks: commit still produces the dir + marker instead of
+    FileNotFoundError."""
+    out = str(tmp_path / "empty_sink")
+    spark.createDataFrame([], "uri string, payload binary").repartition(1).write.format(
+        "warc"
+    ).mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [n for n in os.listdir(out) if n.startswith("part-")]
+    # (the reader stays loud on empty globs by design — no read-back)
+
+
+def test_stream_ingest_backpressure_knobs_are_loud(spark, tmp_path):
+    """The files knob on the binlog source (and vice versa) raises instead
+    of silently reading the whole outstanding WAL in one batch."""
+    from data_exchange_routing_spark.pipeline import Warehouse
+    from data_exchange_routing_spark.streaming.ingest import stream_ingest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), n_buckets=4)
+    with pytest.raises(ValueError, match="max_epochs_per_batch"):
+        stream_ingest(spark, str(tmp_path / "ev"), wh, str(tmp_path / "ck"),
+                      max_files_per_trigger=10, source="binlog")
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        stream_ingest(spark, str(tmp_path / "ev"), wh, str(tmp_path / "ck2"),
+                      max_epochs_per_batch=2, source="files")
