@@ -348,6 +348,10 @@ def k_core(
     the loop early-exits at the fixed point. Peeling is monotone (nodes
     only ever leave), so any round count >= the convergence depth yields
     the identical core — the property the unrolled-SQL oracle keys on.
+    ``max_rounds`` is a SAFETY CAP, not a result knob: if the peel is
+    still shrinking when the cap is exhausted, the survivor set would be
+    a silent SUPERSET of the true core, so the function raises instead of
+    returning it (round-3 ADVICE).
     """
     e = _canonical_edges(edges, src, dst)
     sym = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
@@ -356,6 +360,7 @@ def k_core(
     all_nodes = sym.select("x").distinct().localCheckpoint(eager=True)
     alive = all_nodes
     n_alive = alive.count()
+    converged = False
     for _ in range(max_rounds):
         deg = (
             sym.join(alive.withColumnRenamed("x", "y"), "y")
@@ -367,9 +372,18 @@ def k_core(
         n_new = new_alive.count()
         alive = new_alive
         if n_new == n_alive:
+            converged = True
             break
         n_alive = n_new
     sym.unpersist()
+    if not converged and alive.count() > 0:
+        # an empty survivor set IS the fixed point (nothing left to peel)
+        raise RuntimeError(
+            f"k_core did not reach the peel fixed point within max_rounds="
+            f"{max_rounds} ({n_alive} nodes still alive and shrinking); "
+            f"raise max_rounds — returning now would report a superset of "
+            f"the true {k}-core as in_core=true"
+        )
     return all_nodes.join(
         alive.withColumn("_in", F.lit(True)), "x", "left"
     ).select(

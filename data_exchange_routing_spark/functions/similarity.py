@@ -538,11 +538,11 @@ def pq_encode(
     - ``numpy``: Arrow-batched pandas UDF, one vectorized argmin per
       subspace over the whole batch — the production path for real
       codebooks (nbits >= 6), ~codebook-size-independent codegen. Distances
-      are computed element-per-element and summed over the subspace axis
-      (sequential for dsub < 128, numpy's pairwise blocksize), the SAME
-      IEEE order as the expr path's left-assoc chain, and numpy argmin
-      takes the first minimum — codes agree with the expr path
-      bit-for-bit for dsub < 128.
+      accumulate with an explicit left-assoc loop over the subspace axis
+      (element-wise adds, never np.sum's 8-accumulator pairwise reduce),
+      the SAME IEEE order as the expr path's left-assoc chain, and numpy
+      argmin takes the first minimum — codes agree with the expr path
+      bit-for-bit at ANY dsub.
 
     ``auto`` picks expr for m * 2^nbits <= 256, numpy beyond."""
     total = sum(len(b) for b in codebooks)
@@ -578,12 +578,19 @@ def pq_encode(
         for s, book in enumerate(books):
             C = np.asarray(book)
             Xs = X[:, s * dsub : (s + 1) * dsub]
-            # full (x-c)^2 per element then sum over the last axis: for
-            # dsub < 128 numpy sums sequentially (below its pairwise
-            # blocksize), i.e. the SAME left-assoc IEEE order as the expr
-            # path's unrolled chain — argmins agree bit-for-bit, ties and
-            # all (the -2xc+||c||^2 shortcut would not)
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # explicit left-assoc accumulation over the subspace axis:
+            # each step is element-wise, so every (row, codeword) cell sums
+            # t0 + t1 + ... in the SAME IEEE order as the expr path's
+            # unrolled chain — argmins agree bit-for-bit, ties and all.
+            # (np .sum(axis=...) would NOT: numpy unrolls reductions over
+            # 8 accumulators with a pairwise combine for n >= 8, so with
+            # the default dsub=8 ~40% of sums differ in the last bit; and
+            # the -2xc+||c||^2 shortcut would not either)
+            diff = Xs[:, 0, None] - C[None, :, 0]
+            d2 = diff * diff
+            for j in range(1, dsub):
+                diff = Xs[:, j, None] - C[None, :, j]
+                d2 = d2 + diff * diff
             out[:, s] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
@@ -620,10 +627,20 @@ def pq_adc_topk(
     q_data = []
     for r in qrows:
         qv = np.array(r["v"], dtype=np.float64)
-        # per-element squares then .sum(): sequential for dsub < 128 —
-        # the same left-assoc IEEE order as the oracle's unrolled SQL chain
+        # explicit left-assoc scalar accumulation — the same IEEE order as
+        # the oracle's unrolled SQL chain (np .sum() switches to an
+        # 8-accumulator pairwise combine at n >= 8, which breaks the
+        # bit-identity the exact oracle gate relies on)
+        def _lassoc(a: "np.ndarray", cw: list[float]) -> float:
+            d0 = a[0] - cw[0]
+            acc = d0 * d0
+            for j in range(1, len(cw)):
+                dj = a[j] - cw[j]
+                acc = acc + dj * dj
+            return float(acc)
+
         lut = [
-            [float(((qv[s * dsub : (s + 1) * dsub] - np.array(cw)) ** 2).sum()) for cw in book]
+            [_lassoc(qv[s * dsub : (s + 1) * dsub], cw) for cw in book]
             for s, book in enumerate(codebooks)
         ]
         q_data.append((int(r["i"]), [float(x) for x in qv], lut))

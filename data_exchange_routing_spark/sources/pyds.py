@@ -249,9 +249,18 @@ class _WarcWriter(DataSourceWriter):
         # manifest, and the retry removes exactly those before publishing —
         # append mode can never double-publish an attempt's records. A
         # legacy empty _SUCCESS (pre-manifest) vouches for all current parts.
+        # A MISSING _SUCCESS is ambiguous: it could be this writer's very
+        # first commit crashing between rename and marker, OR a directory
+        # whose marker was lost (copied without it, cleaned up, or parts
+        # written by another tool). Unlinking would destroy foreign data in
+        # the second case, so suspected orphans are QUARANTINED (renamed to
+        # a dot-prefixed name invisible to readers) instead of deleted:
+        # the crash-retry still can't double-publish, and a lost-marker
+        # directory keeps its bytes recoverable.
         published: set[str] = set()
         marker = os.path.join(self.path, "_SUCCESS")
-        if os.path.exists(marker):
+        marker_exists = os.path.exists(marker)
+        if marker_exists:
             try:
                 with open(marker) as fh:
                     published = set(_json.load(fh))
@@ -272,7 +281,13 @@ class _WarcWriter(DataSourceWriter):
                     and name.endswith((".warc", ".warc.gz"))
                     and name not in published
                 ):
-                    os.unlink(os.path.join(self.path, name))
+                    full = os.path.join(self.path, name)
+                    if marker_exists:
+                        # provably this writer's own crashed attempt
+                        # (every real commit rewrites the manifest)
+                        os.unlink(full)
+                    else:
+                        os.replace(full, os.path.join(self.path, f".quarantine-{name}"))
         # append mode numbers new files after the published max part index so
         # a second write never clobbers a prior commit's files
         existing = [int(n[5:10]) for n in published if n[5:10].isdigit()]

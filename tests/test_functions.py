@@ -1125,6 +1125,48 @@ def test_pq_trained_recall_and_compression(spark):
     assert recall >= 0.9, f"PQ recall {recall} below gate"
 
 
+def test_pq_encode_numpy_expr_bit_identity_on_near_ties(spark):
+    """Regression (round-3 ADVICE): numpy's .sum() switches to an
+    8-accumulator pairwise reduce at n >= 8, so with the default dsub=8 the
+    numpy encoder could disagree with the expr path's left-assoc chain on
+    near-tie codewords. The vectors below are a found adversarial case: c1's
+    diffs are a permutation of c0's, so the real-valued distances are EQUAL;
+    left-assoc summation ties them bit-for-bit (argmin -> c0, the smaller
+    id) while np.sum-order makes c1 strictly smaller (argmin -> c1). The
+    fixed encoder must match the expr path on BOTH codewords AND on random
+    data."""
+    from data_exchange_routing_spark.functions.similarity import pq_encode
+
+    x = [0.1257302210933933, -0.1321048632913019, 0.6404226504432821,
+         0.10490011715303971, -0.535669373161111, 0.36159505490948474,
+         1.3040000451301372, 0.9470809631292422]
+    c0 = [-0.7037352358069926, -1.2654214710460525, -0.6232744625373522,
+          0.0413259793472436, -2.3250307746388343, -0.21879166393254573,
+          -1.2459109472530652, -0.7322673547034516]
+    c1 = [0.0621560832875972, -1.8114531811239956, 0.060035931601251646,
+          -1.6844612843246838, -1.3651348300614967, -0.771721552845266,
+          0.04030293214950298, -1.6028300292539601]
+    books = [[c0, c1]]
+    emb = spark.createDataFrame([(0, x)], "vec_id long, embedding array<double>")
+    ce = {r.vid: list(r.code) for r in pq_encode(emb, books, method="expr").collect()}
+    cn = {r.vid: list(r.code) for r in pq_encode(emb, books, method="numpy").collect()}
+    assert ce == cn == {0: [0]}, f"expr {ce} vs numpy {cn} (np.sum order would give [1])"
+
+    # broader sweep: permuted-diff codewords make every row a near-tie
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(64):
+        xi = rng.normal(size=8)
+        c0i = rng.normal(size=8)
+        rows.append((i, xi.tolist()))
+    cbook = [c0, c1, rng.normal(size=8).tolist(), rng.normal(size=8).tolist()]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e2 = {r.vid: list(r.code) for r in pq_encode(emb2, [cbook], method="expr").collect()}
+    n2 = {r.vid: list(r.code) for r in pq_encode(emb2, [cbook], method="numpy").collect()}
+    assert e2 == n2
+
+
 def test_pq_encode_deterministic_and_train_stable(spark):
     """Encoding is a pure function of (vector, codebooks); training is
     deterministic across invocations (hash-ordered sample, fixed init)."""

@@ -248,6 +248,24 @@ def test_k_core_peeling_semantics(spark):
     assert all(out1.values())
 
 
+def test_k_core_raises_on_exhausted_rounds_instead_of_superset(spark):
+    """Regression (round-3 ADVICE): a peel that is still shrinking when
+    max_rounds runs out must raise, not silently report the unpeeled
+    remainder as in_core=true. A pendant path peels one node per round, so
+    a path deeper than max_rounds exhausts the cap (true 2-core: empty)."""
+    import pytest
+
+    from data_exchange_routing_spark.functions.graph import k_core
+
+    path = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        k_core(df, k=2, max_rounds=3)
+    # with enough rounds the same input converges to the empty core
+    out = {r.node: r.in_core for r in k_core(df, k=2, max_rounds=10).collect()}
+    assert not any(out.values())
+
+
 def test_resolve_redirects_matches_python_walk_property(spark):
     """Property: on random functional graphs (with cycles, self-loops,
     NULL dsts, duplicate out-edges), the engine's pointer-doubled result

@@ -568,6 +568,34 @@ def test_warc_sink_append_crash_orphans_removed(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "part-00099.warc"))
 
 
+def test_warc_sink_append_missing_manifest_quarantines_not_deletes(spark, tmp_path):
+    """Regression (round-3 ADVICE): appending into a directory whose
+    _SUCCESS was lost (copied without the marker / produced by another
+    tool) must NOT silently destroy the pre-existing parts. They are
+    quarantined to dot-prefixed names — invisible to readers (so a crashed
+    first-commit retry still can't double-publish) but recoverable on
+    disk."""
+    out = str(tmp_path / "foreign")
+    os.makedirs(out)
+    # a foreign/marker-less part file with real bytes
+    from data_exchange_routing_spark.sources.warc import build_warc_record
+    foreign = build_warc_record("u://foreign", b"precious")
+    with open(os.path.join(out, "part-00000.warc"), "wb") as f:
+        f.write(foreign)
+    df = spark.createDataFrame(
+        [("u://new", b"new")], "uri string, payload binary"
+    ).coalesce(1)
+    df.write.format("warc").mode("append").save(out)
+    got = spark.read.format("warc").load(out)
+    # reader sees only the committed write (exactly-once preserved) ...
+    assert [r.uri for r in got.collect()] == ["u://new"]
+    # ... but the foreign bytes survive, quarantined
+    qname = os.path.join(out, ".quarantine-part-00000.warc")
+    assert os.path.exists(qname)
+    with open(qname, "rb") as f:
+        assert f.read() == foreign
+
+
 def test_warc_sink_empty_dataframe_fresh_path(spark, tmp_path):
     """Zero write tasks: commit still produces the dir + marker instead of
     FileNotFoundError."""

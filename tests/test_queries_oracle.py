@@ -10,7 +10,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from data_exchange_routing_spark.plans.queries import ORACLE, QUERIES
+from data_exchange_routing_spark.plans.queries import DRIVER_PRIORITY, ORACLE, QUERIES
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = [
@@ -45,7 +45,14 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+def _marked(name: str):
+    """`-m smoke` runs the 50 driver-priority queries; `-m full_oracle`
+    the rest; no -m runs everything (the de-facto driver twin)."""
+    mark = pytest.mark.smoke if name in DRIVER_PRIORITY else pytest.mark.full_oracle
+    return pytest.param(name, marks=mark)
+
+
+@pytest.mark.parametrize("name", [_marked(n) for n in sorted(ORACLE)])
 def test_query_matches_oracle(spark, con, name):
     got = QUERIES[name](spark, SF_DIR).toPandas()
     exp = con.sql(ORACLE[name]).df()

@@ -1,0 +1,88 @@
+"""Registry hygiene gates.
+
+1. DRIVER_PRIORITY integrity: exactly 50 names, all registered, all
+   oracle-backed, and `__spark_entry__.queries()` yields them FIRST —
+   the driver's correctness gate samples the first 50 registry entries,
+   so this ordering IS what decides which operators get the hard
+   external signal.
+2. Every registry entry ships a DuckDB oracle OR is on the explicit
+   rows-only allowlist with a named hard gate elsewhere in tests/ —
+   new queries cannot land silently unverified.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from data_exchange_routing_spark.plans.queries import (
+    DRIVER_PRIORITY,
+    ORACLE,
+    QUERIES,
+    driver_ordered,
+)
+
+# Every rows-only registry entry must appear here with the test module
+# that carries its hard (non-oracle) gate.
+ROWS_ONLY_GATES = {
+    "emb_ivf_ann": "tests/test_kmeans.py",          # recall>=0.9 gate + exhaustive EXACT twin query
+    "emb_kmeans_clusters": "tests/test_kmeans.py",  # numpy-Lloyd exact twin
+    "multimodal_features": "tests/test_functions.py",  # stub demo; real codecs have EXACT oracles
+    "cdc_replay_web_pages": "tests/test_replay_e2e.py",  # final-state table-diff gate
+}
+
+
+def test_priority_list_is_exactly_the_50_driver_slots():
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50, "duplicates in DRIVER_PRIORITY"
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"priority names not registered: {missing}"
+    unoracled = [n for n in DRIVER_PRIORITY if n not in ORACLE]
+    assert not unoracled, f"priority slots must be oracle-backed: {unoracled}"
+
+
+def test_spark_entry_yields_priority_first():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qkeys = list(mod.queries())
+    assert qkeys[:50] == DRIVER_PRIORITY
+    assert set(qkeys) == set(QUERIES), "reorder must not drop/add entries"
+    okeys = list(mod.oracle_sql())
+    assert okeys[:50] == DRIVER_PRIORITY
+    assert set(okeys) == set(ORACLE)
+
+
+def test_priority_spans_every_subsystem():
+    prefixes = {"lake": 0, "cdc": 0, "web": 0, "warc": 0, "emb": 0, "multimodal": 0, "doc": 0, "events": 0, "q": 0}
+    for n in DRIVER_PRIORITY:
+        for p in prefixes:
+            if n.startswith(p + "_") or (p == "q" and n[0] == "q" and n[1].isdigit()):
+                prefixes[p] += 1
+                break
+    for fam in ("lake", "cdc", "web", "emb", "multimodal", "doc", "events"):
+        assert prefixes[fam] >= 2, f"family {fam} underrepresented: {prefixes}"
+
+
+def test_every_registry_entry_has_oracle_or_named_gate():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in QUERIES:
+        if name in ORACLE:
+            continue
+        assert name in ROWS_ONLY_GATES, (
+            f"registry entry {name!r} has neither a DuckDB oracle nor a "
+            f"ROWS_ONLY_GATES entry naming its hard gate"
+        )
+        assert os.path.exists(os.path.join(repo, ROWS_ONLY_GATES[name])), name
+    stale = set(ROWS_ONLY_GATES) - set(QUERIES)
+    assert not stale, f"ROWS_ONLY_GATES entries for unregistered queries: {stale}"
+
+
+def test_driver_ordered_preserves_everything():
+    d = {k: i for i, k in enumerate(QUERIES)}
+    out = driver_ordered(d)
+    assert set(out) == set(d)
+    assert list(out)[:50] == [n for n in DRIVER_PRIORITY if n in d]
