@@ -125,17 +125,46 @@ def decode_bmp(payload: bytes):
     return w, h, px.copy()
 
 
+def sniff_decode_meta(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """Magic-byte dispatch to the REAL in-repo codecs (round-3 punch list:
+    the generic path no longer needs a trusted ``kind`` column):
+
+    - ``BM``            -> 24-bit BMP: (width, height, 1)
+    - ``RIFF..WAVE``    -> 16-bit PCM WAV: (None, None, n sample frames —
+      "frame" in the audio sense: one sample across channels)
+    - ``GIF87a/GIF89a`` -> animated GIF: (width, height, n frames)
+
+    Truly-unknown formats raise NotImplementedError — the documented fence:
+    no codec libs ship in this container, and silently faking metadata for
+    real unknown bytes would poison downstream filters."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        w, h, _px = decode_bmp(b)
+        return (w, h, 1)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        _rate, ch, pcm = decode_wav(b)
+        return (None, None, len(pcm) // ch)
+    if b[:6] in (b"GIF89a", b"GIF87a"):
+        w, h, frames = decode_gif(b)
+        return (w, h, len(frames))
+    raise NotImplementedError(
+        f"no codec for payload magic {b[:8]!r} (BMP/WAV/GIF ship in-repo; "
+        "other formats need an external media library)"
+    )
+
+
 def extract_media_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     """mapInPandas feature extraction: one Python call per Arrow batch, binary
-    column transferred zero-copy. Partition-parallel; no shuffle."""
+    column transferred zero-copy. Partition-parallel; no shuffle. With
+    ``use_fake_decoder=False`` payloads are dispatched BY CONTENT to the
+    real BMP/WAV/GIF codecs (sniff_decode_meta); the fake decoder remains
+    only for stub demos over arbitrary bytes."""
 
     def meta_of(kind: str, b) -> tuple:
         if b is None:
             return (None, None, None)
-        if not use_fake_decoder and kind == "image":
-            # REAL decode: pure-stdlib BMP header/pixel parse, 1 frame
-            w, h, _px = decode_bmp(b)
-            return (w, h, 1)
+        if not use_fake_decoder:
+            return sniff_decode_meta(b)
         return fake_decode_meta(b)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

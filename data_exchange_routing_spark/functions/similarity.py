@@ -128,6 +128,10 @@ def ivf_train_centroids(
         sim = X @ C.T
         assign = sim.argmax(axis=1)
         new_c = np.empty_like(C)
+        # hand empty cells DISTINCT worst-served vectors (ascending best-sim
+        # order) — one shared re-seed would leave duplicate centroids wasting
+        # list capacity; mirrors the PQ trainer's fix (round-3 punch list)
+        worst = iter(np.argsort(sim.max(axis=1)))
         for j in range(n_centroids):
             members = X[assign == j]
             if len(members):
@@ -135,8 +139,7 @@ def ivf_train_centroids(
                 norm = np.linalg.norm(m)
                 new_c[j] = m / norm if norm > 1e-12 else C[j]
             else:
-                # re-seed an empty list with the worst-served sample vector
-                new_c[j] = X[sim.max(axis=1).argmin()]
+                new_c[j] = X[next(worst)]
         if np.allclose(new_c, C, atol=1e-9):
             C = new_c
             break

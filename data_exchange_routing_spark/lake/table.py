@@ -2963,7 +2963,7 @@ class LakeTable:
             )
         return out
 
-    def metadata_df(self, kind: str = "files") -> DataFrame:
+    def metadata_df(self, kind: str = "files", version: int | None = None) -> DataFrame:
         """Queryable metadata tables (Iceberg ``table$files`` /
         ``$snapshots`` / ``$partitions`` / ``$delete_files`` analog): the
         ops surface for SQL-side audits — file-size skew, partition row
@@ -2971,7 +2971,10 @@ class LakeTable:
         driver-side from the already-loaded manifest (same O(metadata) cost
         as ``history()``); data files are never opened. The result is a
         POINT-IN-TIME materialization (LocalRelation): call again for the
-        state after later commits."""
+        state after later commits. ``version`` pins the view to a past
+        snapshot (time travel — ``snapshots`` is truncated to entries at or
+        before it), so tagged ``register_views(metadata=True)`` describes
+        the SAME consistent cut as the data views."""
         if kind == "files":
             rows = [
                 (
@@ -2989,7 +2992,7 @@ class LakeTable:
                     json.dumps(e["ts_stats"]) if e.get("ts_stats") else None,
                     json.dumps(e["col_stats"]) if e.get("col_stats") else None,
                 )
-                for e in self.snapshot().files
+                for e in self.snapshot(version).files
             ]
             return self.spark.createDataFrame(
                 rows,
@@ -3007,7 +3010,7 @@ class LakeTable:
                     int(d["seq"]) if d.get("seq") is not None else None,
                     list(d.get("cols") or []),
                 )
-                for d in (self.snapshot().delete_files or [])
+                for d in (self.snapshot(version).delete_files or [])
             ]
             return self.spark.createDataFrame(
                 rows,
@@ -3023,6 +3026,7 @@ class LakeTable:
                     int(h["n_files"]) if h.get("n_files") is not None else None,
                 )
                 for h in self.history()
+                if version is None or int(h["version"]) <= version
             ]
             return self.spark.createDataFrame(
                 rows,
@@ -3031,7 +3035,7 @@ class LakeTable:
             )
         if kind == "partitions":
             agg: dict[tuple, list] = {}
-            for e in self.snapshot().files:
+            for e in self.snapshot(version).files:
                 part = e.get("partition")
                 pk = (
                     tuple(sorted((k, "" if v is None else str(v)) for k, v in part.items()))

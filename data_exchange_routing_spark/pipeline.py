@@ -214,8 +214,12 @@ class Warehouse:
         ``read()`` the DataFrame API uses, so pushdown/pruning behavior is
         identical by construction."""
         out = []
+        pins: dict[str, int] = {}
         if tag is not None:
             dfs = self.read_consistent(tag)
+            path = os.path.join(self.root, "_snapshots", f"{tag}.json")
+            with open(path) as f:
+                pins = json.load(f)
         else:
             dfs = {name: self.table(name).read() for name in self.list_tables()}
         for name, df in sorted(dfs.items()):
@@ -229,14 +233,17 @@ class Warehouse:
             # POINT-IN-TIME: each view materializes the manifest AS OF this
             # call (a LocalRelation of driver-side rows); later commits are
             # not reflected until register_views runs again — re-register
-            # (or call metadata_df) for fresh state. That is the right
-            # default for audits: the four views of one registration
-            # describe ONE consistent metadata state.
-            for name in sorted(self.list_tables()):
+            # (or call metadata_df) for fresh state. With a ``tag`` the
+            # metadata views resolve against the SAME pinned versions as
+            # the data views (and tables outside the tag get no views at
+            # all), so the whole registration describes ONE consistent
+            # state — data and metadata alike.
+            for name in sorted(dfs):
                 t = self.table(name)
+                ver = pins.get(name) if tag is not None else None
                 for kind in ("files", "snapshots", "partitions", "delete_files"):
                     view = f"{prefix}{name}__{kind}"
-                    t.metadata_df(kind).createOrReplaceTempView(view)
+                    t.metadata_df(kind, version=ver).createOrReplaceTempView(view)
                     out.append(view)
         return out
 

@@ -1243,7 +1243,7 @@ def web_warc_roundtrip(spark, sf_dir):
            'https://example.org/doc/' || doc_id AS uri,
            CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
            md5(text) AS text_md5,
-           '<urn:md5:' || md5('https://example.org/doc/' || doc_id || chr(10) || text) || '>'
+           '<urn:md5:' || md5('https://example.org/doc/' || doc_id || chr(0) || text) || '>'
              AS refers_to
     FROM documents
     """,
@@ -1258,9 +1258,13 @@ def web_wet_roundtrip(spark, sf_dir):
         F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias("uri"),
         "text",
     ).withColumn(
-        # the id a response record for this page would carry (provenance link)
+        # the id a response record for this page would carry: the SAME
+        # '\x00'-separated md5 build_warc_record derives its
+        # WARC-Record-ID from (sources/warc.py), so this value genuinely
+        # joins against the record_id of a response record this library
+        # writes for (uri, text) — e.g. web_warc_roundtrip's output
         "refers_to",
-        F.concat(F.lit("<urn:md5:"), F.md5(F.concat("uri", F.lit("\n"), "text")), F.lit(">")),
+        F.concat(F.lit("<urn:md5:"), F.md5(F.concat("uri", F.lit("\x00"), "text")), F.lit(">")),
     )
     recs = parse_wet_records(
         encode_wet_files(d, refers_col="refers_to", compression="gzip")
@@ -3436,11 +3440,50 @@ def emb_kmeans_clusters(spark, sf_dir):
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
-@q("multimodal_features", None)
+@q(
+    "multimodal_features",
+    # Generic multimodal feature extraction, now EXACT-oracle-backed
+    # (round-3 punch list): a MIXED media table (real BMP images + real PCM
+    # WAVs + real animated GIFs, one of each per vec_id) goes through ONE
+    # extract_media_features call that dispatches BY PAYLOAD MAGIC to the
+    # in-repo codecs — no trusted kind column. The oracle restates each
+    # codec's closed-form structure; n_frames for audio is the sample-frame
+    # count (one sample across channels). Truly-unknown formats still hit
+    # the NotImplementedError fence (unit-tested).
+    """
+    SELECT CAST(vec_id AS BIGINT) AS asset_id, 'image' AS kind,
+           CAST(4 + vec_id % 32 AS INT) AS width,
+           CAST(4 + vec_id % 16 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(800 + vec_id % 1600 AS INT)
+    FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), 'video', CAST(4 + vec_id % 16 AS INT),
+           CAST(4 + vec_id % 8 AS INT), CAST(1 + vec_id % 8 AS INT)
+    FROM embeddings
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """Binary media columns -> typed features via mapInPandas (decode stubbed
-    deterministically for audio/video; Spark plumbing real)."""
-    return extract_media_features(generate_media(spark, 300))
+    """Mixed-modality features via ONE content-dispatched mapInPandas pass
+    (functions/multimodal.py sniff_decode_meta) over real codec bytes."""
+    from data_exchange_routing_spark.functions.multimodal import (
+        generate_bmp_media,
+        generate_gif_media,
+        generate_wav_media,
+    )
+
+    ids = ld(spark, sf_dir, "embeddings").select("vec_id")
+    media = (
+        generate_bmp_media(ids)
+        .unionByName(generate_wav_media(ids))
+        .unionByName(generate_gif_media(ids))
+    )
+    return extract_media_features(media, use_fake_decoder=False).select(
+        "asset_id", "kind", "width", "height", "n_frames"
+    )
 
 
 @q(
@@ -4555,9 +4598,13 @@ def events_weekly_retention(spark, sf_dir):
 
 @q(
     "events_rollup_view",
-    # incremental rollup view (hypertable continuous-aggregate analog): the
-    # events stream is folded day-by-day into per-epoch PARTIAL aggregates
-    # and the view's merge-on-read combine must equal the plain GROUP BY
+    # incremental rollup view (hypertable continuous-aggregate analog),
+    # driven the SCALE way (round-3 punch list): events land in an
+    # append-only lake table over a fixed number of micro-batch commits,
+    # and a durable ChangeFeedConsumer drains the table's change feed into
+    # the RollupView — one partial-aggregate epoch per commit, cursor
+    # advanced per batch, zero driver-side collect()s. The view's
+    # merge-on-read combine must equal the plain GROUP BY.
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -4570,21 +4617,34 @@ def events_weekly_retention(spark, sf_dir):
 def events_rollup_view(spark, sf_dir):
     import tempfile
 
+    from data_exchange_routing_spark.lake.changefeed import ChangeFeedConsumer
     from data_exchange_routing_spark.lake.rollup import RollupView
+    from data_exchange_routing_spark.lake.table import LakeTable
 
-    e = ld(spark, sf_dir, "events")
+    e = ld(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rollup_entry_")
+    src = LakeTable.create(spark, f"{root}/events", e.schema)  # append-only
+    # fixed micro-batch count regardless of data size — hash-split appends,
+    # each one commit on the feed (a stream would land the same way)
+    n_batches = 4
+    for b in range(n_batches):
+        src.append(e.filter(F.abs(F.xxhash64("event_id")) % n_batches == b))
     view = RollupView.create(
         spark,
-        tempfile.mkdtemp(prefix="rollup_entry_") + "/v",
+        f"{root}/view",
         ["event_type"],
         {"n": ("count", None), "total": ("sum", "value"), "vmin": ("min", "value"), "vmax": ("max", "value")},
-        e.select("event_type", "user_id", "value").schema,
+        e.schema,
     )
-    days = sorted(
-        r["d"] for r in e.select(F.dayofyear("ts").alias("d")).distinct().collect()
+    consumer = ChangeFeedConsumer(spark, src.path, consumer_id="rollup")
+    consumer.drain(
+        lambda changes, _from_v, to_v: view.apply_epoch(
+            changes.drop("_change_type"), epoch_id=to_v
+        ),
+        max_versions_per_batch=1,  # one rollup epoch per table commit
     )
-    for day in days:  # one micro-batch per day — the incremental fold
-        view.apply_epoch(e.filter(F.dayofyear("ts") == day), epoch_id=int(day))
+    if consumer.pending()[0] != src.current_version():
+        raise AssertionError("rollup consumer must end caught up")
     return view.read().select(
         "event_type",
         "n",

@@ -224,6 +224,43 @@ def test_ivf_on_testdata_balance_floor_and_nprobe_monotone(spark):
     assert hits[-1] >= 11, f"n_probe=4 recall floor: {hits[-1]}/20"
 
 
+def test_ivf_trainer_empty_cells_reseed_distinct(spark):
+    """Round-3 punch list: when several cells go empty in one Lloyd round,
+    each must re-seed with a DISTINCT worst-served vector (the PQ trainer's
+    fix, mirrored) — a shared re-seed leaves duplicate centroids wasting
+    list capacity. Init duplicates are forced by making the first vectors
+    in xxhash64 order identical, so all but one init cell is empty after
+    round 1."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_routing_spark.functions.similarity import ivf_train_centroids
+
+    n = 40
+    ids = list(range(n))
+    hash_order = [
+        r.i
+        for r in spark.createDataFrame([(i,) for i in ids], "i long")
+        .withColumn("h", F.xxhash64("i"))
+        .orderBy("h", "i")
+        .collect()
+    ]
+    # first 4 ids in hash order share ONE vector -> init = [A, A, A, A]
+    import numpy as np
+    rng = np.random.default_rng(3)
+    vecs = {}
+    a = rng.normal(size=8)
+    for pos, i in enumerate(hash_order):
+        vecs[i] = a if pos < 4 else rng.normal(size=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_train_centroids(df, n_centroids=4, sample_size=n, n_iter=1)
+    assert len(cents) == 4
+    uniq = {tuple(round(x, 12) for x in c) for c in cents}
+    assert len(uniq) == 4, f"duplicate centroids after empty-cell re-seed: {cents}"
+
+
 def test_lsh_ann_recall_on_testdata(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = brute_force_topk(df, query_ids=list(range(20)), k=1).collect()
@@ -416,6 +453,19 @@ def test_real_bmp_feature_and_resize_pipeline(spark):
     for i in range(40):
         assert (feats[i]["width"], feats[i]["height"]) == (4 + i % 32, 4 + i % 16)
         assert feats[i]["n_frames"] == 1
+
+    # content dispatch: a payload whose `kind` column LIES is still decoded
+    # correctly (sniff by magic bytes), and unknown magic hits the fence
+    from pyspark.sql import functions as SF
+
+    from data_exchange_routing_spark.functions.multimodal import sniff_decode_meta
+
+    lied = media.withColumn("kind", SF.lit("video"))
+    f2 = {r["asset_id"]: r for r in extract_media_features(lied, use_fake_decoder=False).collect()}
+    assert (f2[0]["width"], f2[0]["height"], f2[0]["n_frames"]) == (4, 4, 1)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="no codec"):
+        sniff_decode_meta(b"\x89PNG\r\n\x1a\n garbage")
 
     resized = {r["asset_id"]: r for r in resize_images(media, 8, 6, use_fake_decoder=False).collect()}
     for i in (0, 7, 33):

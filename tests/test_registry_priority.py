@@ -27,7 +27,6 @@ from data_exchange_routing_spark.plans.queries import (
 ROWS_ONLY_GATES = {
     "emb_ivf_ann": "tests/test_kmeans.py",          # recall>=0.9 gate + exhaustive EXACT twin query
     "emb_kmeans_clusters": "tests/test_kmeans.py",  # numpy-Lloyd exact twin
-    "multimodal_features": "tests/test_functions.py",  # stub demo; real codecs have EXACT oracles
     "cdc_replay_web_pages": "tests/test_replay_e2e.py",  # final-state table-diff gate
 }
 

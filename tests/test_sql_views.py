@@ -80,6 +80,44 @@ def test_metadata_views_files_snapshots_partitions(spark, tmpdir_path):
     assert parts.nf == len(snap.files) and parts.r == files.r
 
 
+def test_tagged_metadata_views_pin_to_the_same_cut(spark, tmpdir_path):
+    """Regression (round-3 ADVICE): register_views(tag=..., metadata=True)
+    must materialize the metadata views AS OF the tagged versions — one
+    registration, ONE consistent state for data AND metadata. Previously the
+    data views honored the tag while __files/__snapshots described the
+    later live state."""
+    events = f"{tmpdir_path}/events"
+    write_change_events(spark, events, 600, 60, n_epochs=3)
+    wh = Warehouse(spark, f"{tmpdir_path}/wh", n_buckets=4)
+    replay(wh, events, stop_after_epoch=0)
+    wh.publish_snapshot("cut0")
+    t = wh.table("web_pages")
+    pinned_version = t.snapshot().version
+    pinned_files = len(t.snapshot().files)
+    pinned_rows = sum(e.get("rows", 0) for e in t.snapshot().files)
+    replay(wh, events)  # two more epochs on top
+    assert t.snapshot().version > pinned_version
+
+    wh.register_views(tag="cut0", prefix="c0_", metadata=True)
+    # __snapshots truncates at the pinned version
+    v = spark.sql("SELECT max(version) AS v FROM c0_web_pages__snapshots").first().v
+    assert v == pinned_version
+    # __files describes the tagged manifest, not the live one
+    f = spark.sql(
+        "SELECT count(*) AS n, sum(rows) AS r FROM c0_web_pages__files"
+    ).first()
+    assert f.n == pinned_files and f.r == pinned_rows
+    live_files = len(t.snapshot().files)
+    assert (f.n, spark.sql("SELECT max(version) FROM c0_web_pages__snapshots").first()[0]) != (
+        live_files, t.snapshot().version
+    )
+    # __partitions reconciles with the tagged __files
+    p = spark.sql(
+        "SELECT sum(n_files) AS nf, sum(rows) AS r FROM c0_web_pages__partitions"
+    ).first()
+    assert p.nf == f.n and p.r == f.r
+
+
 def test_metadata_views_partitioned_table(spark, tmpdir_path):
     """On a hidden-partitioned table the partitions view carries the
     transform tuples with per-partition file/row counts."""

@@ -166,6 +166,31 @@ def test_wet_grammar_roundtrip_plain_and_gz(spark):
         assert (out["content_length"] == out["text"].map(lambda t: len(t.encode()))).all()
 
 
+def test_wet_refers_to_joins_against_written_response_records(spark):
+    """Regression (round-3 ADVICE): the registry's WET query derives
+    refers_to with the same '\\x00'-separated md5 build_warc_record uses
+    for WARC-Record-ID, so the provenance link actually joins against the
+    record_id of response records this library writes for (uri, text)."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_routing_spark.plans.queries import QUERIES
+    from data_exchange_routing_spark.sources.warc import (
+        encode_warc_files,
+        parse_warc_records,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    wet = QUERIES["web_wet_roundtrip"](spark, sf).select("uri", "refers_to")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias("uri"),
+        "text",
+    )
+    resp = parse_warc_records(encode_warc_files(docs)).select("uri", "record_id")
+    n_docs = docs.count()
+    joined = wet.join(resp, "uri").filter(F.col("refers_to") == F.col("record_id"))
+    assert joined.count() == n_docs == wet.count()
+
+
 def test_wet_warcinfo_leads_every_file(spark):
     """Each encoded WET file starts with exactly one warcinfo record (no
     Target-URI, warc-fields payload); a file NOT led by warcinfo is rejected
