@@ -7080,8 +7080,10 @@ def warc_pyds_scan(spark, sf_dir):
 @q(
     "events_debezium_roundtrip",
     # the oracle aggregates the SOURCE rows directly: the Spark path must
-    # recover them exactly through encode -> envelope JSON -> parse, with
-    # deletes read from `before` and updates from `after`
+    # recover them exactly through encode -> envelope JSON -> Kafka record
+    # shape -> parse, with deletes read from `before` and updates from
+    # `after`; offset_sum == lsn_sum proves the Kafka (partition, offset)
+    # provenance rode along the whole chain
     """
     SELECT CASE WHEN event_type = 'purchase' THEN 'D'
                 WHEN event_type = 'view' THEN 'U' ELSE 'I' END AS op,
@@ -7089,23 +7091,29 @@ def warc_pyds_scan(spark, sf_dir):
            CAST(sum(event_id) AS BIGINT) AS lsn_sum,
            round(sum(value), 2) AS total,
            CAST(sum(octet_length(encode(props))) AS BIGINT) AS props_bytes,
-           max(ts) AS max_ts
+           max(ts) AS max_ts,
+           CAST(sum(event_id) AS BIGINT) AS offset_sum,
+           CAST(count(DISTINCT event_id % 8) AS BIGINT) AS n_partitions
     FROM events GROUP BY 1
     """,
 )
 def events_debezium_roundtrip(spark, sf_dir):
-    """CDC wire-format interop gate: events -> Debezium envelope JSON ->
-    parse_debezium -> aggregate. Proves op mapping (c/u/d), before-image
-    selection for deletes, base64 binary and int64-micros timestamp wire
-    decoding — any of those wrong and the recovered aggregates diverge from
-    the oracle's direct scan. JVM-only expressions end to end (to_json /
-    from_json), no Python in the hot path."""
+    """CDC wire-format interop gate, end to end through the KAFKA record
+    shape (round-3 punch list): events -> Debezium envelope JSON -> binary
+    Kafka records (value, partition, offset) -> parse_kafka_debezium ->
+    aggregate. Proves op mapping (c/u/d), before-image selection for
+    deletes, base64 binary and int64-micros timestamp wire decoding, AND
+    that (_kafka_partition, _kafka_offset) provenance survives the chain —
+    any of those wrong and the recovered aggregates diverge from the
+    oracle's direct scan. JVM-only expressions end to end (to_json /
+    from_json / encode), no Python in the hot path. This is the exact
+    projection kafka_tail feeds from a live broker (streaming/kafka.py);
+    only the record TRANSPORT is synthesized here (no broker in the
+    sandbox — see tests/test_kafka_contract.py)."""
     from pyspark.sql import types as T
 
-    from data_exchange_routing_spark.operators.debezium import (
-        parse_debezium,
-        to_debezium_json,
-    )
+    from data_exchange_routing_spark.streaming.kafka import parse_kafka_debezium
+    from data_exchange_routing_spark.operators.debezium import to_debezium_json
 
     image = T.StructType(
         [
@@ -7126,15 +7134,25 @@ def events_debezium_roundtrip(spark, sf_dir):
         "ts",
         "value",
         F.encode(F.col("props"), "UTF-8").alias("props_bin"),
+        # Kafka transport coordinates (pass through to_debezium_json)
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("_kpart"),
+        F.col("event_id").alias("_koffset"),
     )
     wire = to_debezium_json(changes, image)
-    parsed = parse_debezium(wire, image)
+    kafka_records = wire.select(
+        F.encode(F.col("value"), "UTF-8").alias("value"),  # Kafka value is bytes
+        F.col("_kpart").alias("partition"),
+        F.col("_koffset").alias("offset"),
+    )
+    parsed = parse_kafka_debezium(kafka_records, image)
     return parsed.groupBy("op").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("lsn").alias("lsn_sum"),
         F.round(F.sum("value"), 2).alias("total"),
         F.sum(F.length("props_bin")).alias("props_bytes"),
         F.max("ts").alias("max_ts"),
+        F.sum("_kafka_offset").alias("offset_sum"),
+        F.countDistinct("_kafka_partition").alias("n_partitions"),
     )
 
 
