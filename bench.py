@@ -249,13 +249,15 @@ def main_default() -> None:
                 "cores": cores,
                 **_host_noise(_cpu0, _cpu_sample()),
                 "host_mem_gbps_start": _gbps0,
-                "host_mem_gbps_end": _page_touch_gbps(),
-                # explicit legibility flag: this record was taken inside a
-                # hypervisor degraded-paging window (healthy ~5 GB/s; such
-                # windows slow ALL memory-touching work 2-20x — see
-                # BENCH/BASELINE.md host-noise sections). Compare against
-                # same-flag records only.
-                "host_degraded": bool(_gbps0 < 0.5),
+                "host_mem_gbps_end": (_gbps1 := _page_touch_gbps()),
+                # explicit legibility flag: this record was taken inside (or
+                # STRADDLED INTO — either probe counts, r02's record ended
+                # degraded while flagged healthy) a hypervisor degraded-paging
+                # window (healthy ~5 GB/s; such windows slow ALL
+                # memory-touching work 2-20x — see BENCH/BASELINE.md
+                # host-noise sections). Compare against same-flag records
+                # only.
+                "host_degraded": bool(_gbps0 < 0.5 or _gbps1 < 0.5),
             }
         )
     )

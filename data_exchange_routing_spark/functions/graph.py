@@ -375,15 +375,28 @@ def k_core(
             converged = True
             break
         n_alive = n_new
-    sym.unpersist()
-    if not converged and alive.count() > 0:
-        # an empty survivor set IS the fixed point (nothing left to peel)
-        raise RuntimeError(
-            f"k_core did not reach the peel fixed point within max_rounds="
-            f"{max_rounds} ({n_alive} nodes still alive and shrinking); "
-            f"raise max_rounds — returning now would report a superset of "
-            f"the true {k}-core as in_core=true"
+    if not converged and n_alive > 0:
+        # the cap may have landed EXACTLY on the fixed point (last round
+        # shrank to the true core but the confirming round never ran) —
+        # one extra degree pass distinguishes that from a genuine
+        # non-convergence, keeping the docstring's "any round count >= the
+        # convergence depth" promise true at equality
+        deg = (
+            sym.join(alive.withColumnRenamed("x", "y"), "y")
+            .join(alive, "x")
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
         )
+        n_next = deg.filter(F.col("d") >= k).count()
+        if n_next != n_alive:
+            sym.unpersist()
+            raise RuntimeError(
+                f"k_core did not reach the peel fixed point within max_rounds="
+                f"{max_rounds} ({n_alive} nodes still alive and shrinking); "
+                f"raise max_rounds — returning now would report a superset of "
+                f"the true {k}-core as in_core=true"
+            )
+    sym.unpersist()
     return all_nodes.join(
         alive.withColumn("_in", F.lit(True)), "x", "left"
     ).select(

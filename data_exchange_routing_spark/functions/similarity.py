@@ -130,8 +130,24 @@ def ivf_train_centroids(
         new_c = np.empty_like(C)
         # hand empty cells DISTINCT worst-served vectors (ascending best-sim
         # order) — one shared re-seed would leave duplicate centroids wasting
-        # list capacity; mirrors the PQ trainer's fix (round-3 punch list)
+        # list capacity; mirrors the PQ trainer's fix (round-3 punch list).
+        # Distinct by VALUE, not just index: duplicate input vectors can
+        # occupy adjacent argsort slots, so value-equal candidates are
+        # skipped (falling back to index order only if all remaining
+        # candidates are duplicates).
         worst = iter(np.argsort(sim.max(axis=1)))
+        used_seeds: list = []
+
+        def _next_seed():
+            fallback = None
+            for idx in worst:
+                if fallback is None:
+                    fallback = idx
+                if not any(np.array_equal(X[idx], u) for u in used_seeds):
+                    used_seeds.append(X[idx])
+                    return X[idx]
+            return X[fallback if fallback is not None else 0]
+
         for j in range(n_centroids):
             members = X[assign == j]
             if len(members):
@@ -139,7 +155,7 @@ def ivf_train_centroids(
                 norm = np.linalg.norm(m)
                 new_c[j] = m / norm if norm > 1e-12 else C[j]
             else:
-                new_c[j] = X[next(worst)]
+                new_c[j] = _next_seed()
         if np.allclose(new_c, C, atol=1e-9):
             C = new_c
             break
@@ -494,15 +510,29 @@ def pq_train(
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             newC = C.copy()
-            # hand empty cells DISTINCT worst-quantized points (one shared
-            # re-seed would leave duplicate codewords wasting capacity)
+            # hand empty cells DISTINCT worst-quantized points — distinct by
+            # VALUE (duplicate sample rows can occupy adjacent argsort
+            # slots); one shared re-seed would leave duplicate codewords
+            # wasting capacity
             worst = iter(np.argsort(-d2.min(axis=1)))
+            used_seeds: list = []
+
+            def _next_seed():
+                fallback = None
+                for idx in worst:
+                    if fallback is None:
+                        fallback = idx
+                    if not any(np.array_equal(Xs[idx], u) for u in used_seeds):
+                        used_seeds.append(Xs[idx])
+                        return Xs[idx]
+                return Xs[fallback if fallback is not None else 0]
+
             for c in range(ncw):
                 members = Xs[assign == c]
                 if len(members):
                     newC[c] = members.mean(axis=0)
                 else:
-                    newC[c] = Xs[next(worst)]
+                    newC[c] = _next_seed()
             if np.allclose(newC, C, atol=1e-12):
                 C = newC
                 break

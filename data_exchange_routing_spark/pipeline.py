@@ -177,20 +177,23 @@ class Warehouse:
             raise ValueError(f"snapshot tag {tag!r} already exists") from None
         return pins
 
+    def _load_pins(self, tag: str) -> dict[str, int]:
+        """The single source of truth for resolving a published tag to its
+        pinned {table: version} map (read_consistent / register_views /
+        rollback_to all route here)."""
+        path = os.path.join(self.root, "_snapshots", f"{tag}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no snapshot tag {tag!r} in {self.root}")
+        with open(path) as f:
+            return json.load(f)
+
     def read_consistent(self, tag: str | None = None) -> dict[str, "DataFrame"]:
         """Time-travel reads of every table pinned to one consistent cut —
         either a published tag or a fresh cut. Joins across the returned
         DataFrames are snapshot-isolated: no later epoch leaks in. A tag
         whose pinned versions were expired (expire_snapshots) fails loudly
         on read. Tables created after the tag are absent from the dict."""
-        if tag is not None:
-            path = os.path.join(self.root, "_snapshots", f"{tag}.json")
-            if not os.path.exists(path):
-                raise FileNotFoundError(f"no snapshot tag {tag!r} in {self.root}")
-            with open(path) as f:
-                pins = json.load(f)
-        else:
-            pins = self.consistent_snapshot()
+        pins = self._load_pins(tag) if tag is not None else self.consistent_snapshot()
         return {
             name: self.table(name).read(version=v)
             for name, v in pins.items()
@@ -216,10 +219,12 @@ class Warehouse:
         out = []
         pins: dict[str, int] = {}
         if tag is not None:
-            dfs = self.read_consistent(tag)
-            path = os.path.join(self.root, "_snapshots", f"{tag}.json")
-            with open(path) as f:
-                pins = json.load(f)
+            pins = self._load_pins(tag)
+            dfs = {
+                name: self.table(name).read(version=v)
+                for name, v in pins.items()
+                if v > 0
+            }
         else:
             dfs = {name: self.table(name).read() for name in self.list_tables()}
         for name, df in sorted(dfs.items()):
@@ -255,11 +260,7 @@ class Warehouse:
         semantics — a new snapshot with the old content, guards rewound);
         a crash partway is healed by re-running this call, and readers in
         between see per-table states that are all AT OR BEFORE the cut."""
-        path = os.path.join(self.root, "_snapshots", f"{tag}.json")
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"no snapshot tag {tag!r} in {self.root}")
-        with open(path) as f:
-            pins = json.load(f)
+        pins = self._load_pins(tag)
         out = {}
         for name, v in sorted(pins.items()):
             if v > 0:

@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from data_exchange_routing_spark.functions import dedup_text as DT
 from data_exchange_routing_spark.functions import similarity as SIM
 from data_exchange_routing_spark.functions import textstats as TS
-from data_exchange_routing_spark.functions.multimodal import extract_media_features, generate_media
+from data_exchange_routing_spark.functions.multimodal import extract_media_features
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

@@ -287,7 +287,17 @@ class _WarcWriter(DataSourceWriter):
                         # (every real commit rewrites the manifest)
                         os.unlink(full)
                     else:
-                        os.replace(full, os.path.join(self.path, f".quarantine-{name}"))
+                        # collision-safe quarantine name: a crash-retry can
+                        # legitimately quarantine a SECOND part-00000 (its
+                        # own crashed rename) — os.replace onto the first
+                        # quarantined file would destroy the foreign bytes
+                        # this path exists to preserve
+                        q = os.path.join(self.path, f".quarantine-{name}")
+                        i = 1
+                        while os.path.exists(q):
+                            q = os.path.join(self.path, f".quarantine-{i}-{name}")
+                            i += 1
+                        os.replace(full, q)
         # append mode numbers new files after the published max part index so
         # a second write never clobbers a prior commit's files
         existing = [int(n[5:10]) for n in published if n[5:10].isdigit()]

@@ -266,6 +266,22 @@ def test_k_core_raises_on_exhausted_rounds_instead_of_superset(spark):
     assert not any(out.values())
 
 
+def test_k_core_cap_landing_exactly_on_fixed_point_does_not_raise(spark):
+    """Boundary: a triangle with a 3-node pendant path peels in exactly 3
+    rounds; max_rounds=3 reaches the true core on the last allowed round
+    without ever running the confirming round. The extra fixed-point check
+    must recognize convergence instead of raising on a correct result
+    (docstring promise: any round count >= the convergence depth works)."""
+    from data_exchange_routing_spark.functions.graph import k_core
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    pend = [("a", "p1"), ("p1", "p2"), ("p2", "p3")]
+    df = spark.createDataFrame(tri + pend, "src string, dst string")
+    out = {r.node: r.in_core for r in k_core(df, k=2, max_rounds=3).collect()}
+    assert out == {"a": True, "b": True, "c": True,
+                   "p1": False, "p2": False, "p3": False}
+
+
 def test_resolve_redirects_matches_python_walk_property(spark):
     """Property: on random functional graphs (with cycles, self-loops,
     NULL dsts, duplicate out-edges), the engine's pointer-doubled result

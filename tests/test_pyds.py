@@ -595,6 +595,26 @@ def test_warc_sink_append_missing_manifest_quarantines_not_deletes(spark, tmp_pa
     with open(qname, "rb") as f:
         assert f.read() == foreign
 
+    # crash-retry collision: lose the marker again (as a crash between
+    # rename and _SUCCESS would) and append once more — the SECOND
+    # quarantined part-00000 must get a fresh name, never os.replace onto
+    # the first (which would destroy the foreign bytes)
+    committed = os.path.join(out, "part-00000.warc")
+    with open(committed, "rb") as f:
+        committed_bytes = f.read()
+    os.unlink(os.path.join(out, "_SUCCESS"))
+    df2 = spark.createDataFrame(
+        [("u://retry", b"retry")], "uri string, payload binary"
+    ).coalesce(1)
+    df2.write.format("warc").mode("append").save(out)
+    with open(qname, "rb") as f:
+        assert f.read() == foreign  # first quarantine untouched
+    q2 = os.path.join(out, ".quarantine-1-part-00000.warc")
+    assert os.path.exists(q2)
+    with open(q2, "rb") as f:
+        assert f.read() == committed_bytes
+    assert [r.uri for r in spark.read.format("warc").load(out).collect()] == ["u://retry"]
+
 
 def test_warc_sink_empty_dataframe_fresh_path(spark, tmp_path):
     """Zero write tasks: commit still produces the dir + marker instead of
