@@ -6490,6 +6490,101 @@ def lake_string_range_scan(spark, sf_dir):
 
 
 @q(
+    "lake_zorder_pruned_scan",
+    # Z-ORDER clustering (Delta OPTIMIZE ZORDER analog, lake/table.py
+    # compact(cluster_by=...)): rows are rewritten in Morton-interleaved
+    # (user_id, value) order so parquet row-group min/max stats prune a
+    # range predicate on EITHER dimension. The query body hard-asserts from
+    # the REAL parquet footers that the 2-D band overlaps strictly fewer
+    # row groups after z-ordering than under the key-clustered baseline —
+    # then returns the band aggregate, whose oracle is the plain relational
+    # answer (clustering has zero semantic surface).
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 70 AND value BETWEEN 100 AND 200
+    GROUP BY event_type
+    """,
+)
+def lake_zorder_pruned_scan(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    e = ld(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="zorder_") + "/t",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        key="event_id",
+        n_buckets=2,
+    )
+    t.merge_cdc(
+        e.withColumn("_lsn", F.lit(1)).withColumn("_deleted", F.lit(False)),
+        epoch_id=0,
+    )
+
+    def band_overlap() -> tuple[int, int]:
+        """(row groups the 2-D band cannot skip, total row groups) from the
+        actual parquet footer stats — a driver-side metadata walk, O(files),
+        no data bytes read."""
+        hit = total = 0
+        for f in t.snapshot().files:
+            md = _pq.ParquetFile(_os.path.join(t.path, f["path"])).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                su = md.row_group(rg).column(cols["user_id"]).statistics
+                sv = md.row_group(rg).column(cols["value"]).statistics
+                total += 1
+                if su.min <= 70 and su.max >= 40 and sv.min <= 200.0 and sv.max >= 100.0:
+                    hit += 1
+        return hit, total
+
+    small_rg = {"parquet.block.size": str(16 * 1024)}
+    t.compact(write_options=small_rg)  # key-clustered baseline layout
+    hit_base, total_base = band_overlap()
+    t.compact(cluster_by=["user_id", "value"], write_options=small_rg)
+    hit_z, total_z = band_overlap()
+    if total_base >= 8:  # enough row groups for skipping to be measurable
+        if not (hit_z / total_z < hit_base / total_base):
+            raise AssertionError(
+                f"z-order did not improve 2-D skipping: {hit_z}/{total_z} "
+                f"vs baseline {hit_base}/{total_base}"
+            )
+    return (
+        t.read()
+        .filter(F.col("user_id").between(40, 70) & F.col("value").between(100.0, 200.0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@q(
     "events_range_scan",
     # Manifest numeric-stats file pruning (lake/table.py col_stats +
     # read(range_filter=)): events ingested in value-banded epochs, then a
