@@ -184,7 +184,7 @@ def main_default() -> None:
     # proceeds and the record carries host_degraded=true + the gbps probes,
     # so a slow-window record exists rather than no record at all
     _gbps0 = _wait_healthy_host(
-        timeout_s=float(os.environ.get("BENCH_HEALTHY_TIMEOUT_SEC", "600"))
+        timeout_s=float(os.environ.get("BENCH_HEALTHY_TIMEOUT_SEC", "900"))
     )
     _use_tmpfs_scratch()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7709,7 +7709,7 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_bootstrap_switchover",
     "lake_delete_eq_pruned",
     "events_debezium_roundtrip",
-    "lake_table_diff",
+    "lake_zorder_pruned_scan",
     # web / WARC (Common-Crawl payload surface)
     "warc_cdx_ranged_scan",
     "web_warc_roundtrip",
