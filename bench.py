@@ -48,6 +48,9 @@ HEADLINE = [
     # round-2 session-7 additions
     "web_blocklist_filter",
     "emb_pq_adc_topk",
+    # round-3 additions: lake-layer visibility (merge + clustered rewrite)
+    "lake_merge_into",
+    "lake_zorder_pruned_scan",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "400000"))
