@@ -104,17 +104,59 @@ class Warehouse:
     def checkpoint_path(self, epoch_id: int) -> str:
         return os.path.join(self.root, "_checkpoints", f"epoch-{epoch_id:08d}.json")
 
+    def _checkpoint_watermark_path(self) -> str:
+        return os.path.join(self.root, "_checkpoints", "watermark.json")
+
+    def checkpoint_watermark(self) -> int:
+        """Compacted low watermark: every epoch below it is durably done
+        (represented by ONE file instead of one mark per epoch)."""
+        try:
+            with open(self._checkpoint_watermark_path()) as f:
+                return int(json.load(f)["watermark"])
+        except FileNotFoundError:
+            return 0
+
     def mark_epoch_done(self, epoch_id: int, stats: dict) -> None:
         with open(self.checkpoint_path(epoch_id), "w") as f:
             json.dump({"epoch_id": epoch_id, **stats}, f)
 
     def completed_epochs(self) -> set[int]:
         d = os.path.join(self.root, "_checkpoints")
-        return {
+        marks = {
             int(f[len("epoch-") : -len(".json")])
             for f in os.listdir(d)
             if f.startswith("epoch-") and f.endswith(".json")
         }
+        return set(range(self.checkpoint_watermark())) | marks
+
+    def compact_checkpoints(self) -> dict:
+        """Fold the contiguous prefix of per-epoch mark files into the
+        single watermark file. At 10^10-event scale the replay accrues one
+        tiny mark per epoch (10^4-10^5 files) and every replay start pays
+        an O(marks) directory listing; after compaction the checkpoint
+        state is one watermark file plus only the out-of-order tail.
+        Crash-safe: the watermark is advanced (atomic replace, monotone)
+        BEFORE marks are unlinked, and ``completed_epochs`` is the union of
+        both representations — a crash between the two steps only leaves
+        redundant marks, never forgets an epoch."""
+        done = self.completed_epochs()
+        old = self.checkpoint_watermark()
+        w = old
+        while w in done:
+            w += 1
+        if w <= old:
+            return {"watermark": old, "marks_removed": 0}
+        tmp = self._checkpoint_watermark_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": w}, f)
+        os.replace(tmp, self._checkpoint_watermark_path())
+        removed = 0
+        for e in range(old, w):
+            p = self.checkpoint_path(e)
+            if os.path.exists(p):
+                os.unlink(p)
+                removed += 1
+        return {"watermark": w, "marks_removed": removed}
 
     # ---- cross-table snapshot isolation (warehouse-level consistent cuts) --
     # Each table commits atomically on its own, but an epoch touches SEVERAL
@@ -269,9 +311,25 @@ class Warehouse:
         dest = next(n for n in sorted(pins) if n in set(DESTINATION_TABLES))
         snap = self.table(dest).snapshot(pins[dest])
         kept = snap.epochs("cdc")
+        # epochs being undone may live BELOW the compacted checkpoint
+        # watermark (no mark file to unlink). Lower the watermark to the
+        # first undone epoch, re-materializing marks for the still-done
+        # epochs above it FIRST so a crash between the two steps only
+        # leaves redundant state (completed_epochs is the union).
+        wm = self.checkpoint_watermark()
+        undone_below = sorted(e for e in range(wm) if e not in kept)
+        if undone_below:
+            new_wm = undone_below[0]
+            for e in range(new_wm, wm):
+                if e in kept and not os.path.exists(self.checkpoint_path(e)):
+                    self.mark_epoch_done(e, {"rematerialized_by": "rollback"})
+            tmp = self._checkpoint_watermark_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"watermark": new_wm}, f)
+            os.replace(tmp, self._checkpoint_watermark_path())
         removed = []
         for e in sorted(self.completed_epochs()):
-            if e not in kept:
+            if e not in kept and os.path.exists(self.checkpoint_path(e)):
                 os.unlink(self.checkpoint_path(e))
                 removed.append(e)
         return {"tables": out, "checkpoints_removed": removed}
@@ -661,6 +719,9 @@ def replay(
     """
     spark = wh.spark
     wh.init_tables()
+    # fold the contiguous done-prefix into the single watermark file so the
+    # checkpoint dir stays O(out-of-order tail), not O(total epochs)
+    wh.compact_checkpoints()
     done = wh.completed_epochs()
     from data_exchange_routing_spark.sources.pyds import truncated_before
 

@@ -126,3 +126,43 @@ def test_cached_result_hits_until_input_commits(spark, tmp_path):
     assert wh.vacuum_cache()["removed"] == 1
     _, info4 = wh.cached_result("lang_counts", q, tables=["web_pages"])
     assert info4["hit"] is True and calls["n"] == 2
+
+
+def test_checkpoint_compaction_watermark_and_rollback_below_it(spark, tmp_path):
+    """compact_checkpoints folds the contiguous done-prefix of per-epoch
+    mark files into ONE watermark file (at 10^5 epochs the checkpoint dir
+    otherwise costs an O(marks) listing per replay start); resume-skip,
+    rollback and reconvergence all keep working THROUGH the compacted
+    representation — including rollback to a cut BELOW the watermark."""
+    import os
+
+    wh, events = _mk_wh(spark, tmp_path, n_epochs=3)
+    replay(wh, events, stop_after_epoch=0, max_concurrent_epochs=1)
+    wh.publish_snapshot("good")
+    want_cut = _norm(wh.table("web_pages").read())
+
+    # compacting mid-stream: epoch 0 folds into the watermark, and the
+    # resumed replay must still skip it (no redelivery)
+    res0 = wh.compact_checkpoints()
+    assert res0["watermark"] == 1 and res0["marks_removed"] == 1
+    out = replay(wh, events, max_concurrent_epochs=1)
+    assert out["applied_epochs"] == [1, 2] and out["skipped_epochs"] == [0]
+    want_full = _norm(wh.table("web_pages").read())
+    assert want_full != want_cut
+
+    res1 = wh.compact_checkpoints()
+    assert res1["watermark"] == 3 and res1["marks_removed"] == 2
+    assert wh.completed_epochs() == {0, 1, 2}
+    d = os.path.join(wh.root, "_checkpoints")
+    assert not [f for f in os.listdir(d) if f.startswith("epoch-")]
+    assert wh.compact_checkpoints() == {"watermark": 3, "marks_removed": 0}
+
+    # rollback to a cut entirely below the watermark: the watermark lowers
+    # to the first undone epoch and the undone epochs redeliver exactly
+    wh.rollback_to("good")
+    assert wh.checkpoint_watermark() == 1
+    assert wh.completed_epochs() == {0}
+    assert _norm(wh.table("web_pages").read()) == want_cut
+    replay(wh, events, max_concurrent_epochs=1)
+    assert _norm(wh.table("web_pages").read()) == want_full
+    assert wh.completed_epochs() == {0, 1, 2}
