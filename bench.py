@@ -105,6 +105,10 @@ def _use_tmpfs_scratch() -> None:
 def _spark(cores: int):
     from data_exchange_routing_spark.session import get_spark
 
+    # pre-fault the whole heap at JVM start: if the bench must run inside a
+    # degraded-paging window (healthy wait timed out), the page-fault tax
+    # lands once before timing instead of inside every timed run
+    os.environ.setdefault("SPARK_GRAFT_JAVA_OPTS", "-XX:+AlwaysPreTouch")
     extra = {}
     # shuffle/scratch on tmpfs when available: the single-host stand-in for
     # executor-local NVMe (without this, 32 concurrent spillers serialize on
