@@ -107,8 +107,14 @@ def _spark(cores: int):
 
     # pre-fault the whole heap at JVM start: if the bench must run inside a
     # degraded-paging window (healthy wait timed out), the page-fault tax
-    # lands once before timing instead of inside every timed run
+    # lands once before timing instead of inside every timed run.
+    # AlwaysPreTouch only touches the INITIAL (-Xms) heap, so Xms is pinned
+    # to Xmx here — otherwise G1 expansion beyond Xms would still fault
+    # inside timed runs
     os.environ.setdefault("SPARK_GRAFT_JAVA_OPTS", "-XX:+AlwaysPreTouch")
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_XMS", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    )
     extra = {}
     # shuffle/scratch on tmpfs when available: the single-host stand-in for
     # executor-local NVMe (without this, 32 concurrent spillers serialize on

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,54 +111,96 @@ class Warehouse:
 
     def checkpoint_watermark(self) -> int:
         """Compacted low watermark: every epoch below it is durably done
-        (represented by ONE file instead of one mark per epoch)."""
+        (represented by ONE file instead of one mark per epoch). A torn or
+        corrupt watermark file degrades to 0 with a loud warning instead of
+        crashing every replay: re-deriving done-ness is SAFE (per-table
+        epoch guards make redelivered epochs no-ops), just slower."""
         try:
             with open(self._checkpoint_watermark_path()) as f:
                 return int(json.load(f)["watermark"])
         except FileNotFoundError:
             return 0
+        except (ValueError, KeyError, TypeError) as exc:
+            print(
+                f"# WARNING: corrupt checkpoint watermark ({exc}); treating "
+                "as 0 — epoch guards keep redelivery idempotent",
+                file=sys.stderr,
+            )
+            return 0
+
+    def _write_watermark(self, version: int) -> None:
+        """Durable watermark publish: fsync'd tmp + atomic replace + dir
+        fsync, so the unlink of the marks it supersedes never races a
+        not-yet-persisted rename (the two-representation crash-safety
+        argument needs the watermark ON DISK before marks disappear)."""
+        path = self._checkpoint_watermark_path()
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"watermark": version}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except Exception:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     def mark_epoch_done(self, epoch_id: int, stats: dict) -> None:
         with open(self.checkpoint_path(epoch_id), "w") as f:
             json.dump({"epoch_id": epoch_id, **stats}, f)
 
-    def completed_epochs(self) -> set[int]:
+    def _checkpoint_marks(self) -> set[int]:
         d = os.path.join(self.root, "_checkpoints")
-        marks = {
+        return {
             int(f[len("epoch-") : -len(".json")])
             for f in os.listdir(d)
             if f.startswith("epoch-") and f.endswith(".json")
         }
-        return set(range(self.checkpoint_watermark())) | marks
 
-    def compact_checkpoints(self) -> dict:
+    def completed_epochs(self) -> set[int]:
+        return set(range(self.checkpoint_watermark())) | self._checkpoint_marks()
+
+    def compact_checkpoints(self, floor: int | None = None) -> dict:
         """Fold the contiguous prefix of per-epoch mark files into the
         single watermark file. At 10^10-event scale the replay accrues one
         tiny mark per epoch (10^4-10^5 files) and every replay start pays
         an O(marks) directory listing; after compaction the checkpoint
         state is one watermark file plus only the out-of-order tail.
-        Crash-safe: the watermark is advanced (atomic replace, monotone)
-        BEFORE marks are unlinked, and ``completed_epochs`` is the union of
-        both representations — a crash between the two steps only leaves
-        redundant marks, never forgets an epoch."""
-        done = self.completed_epochs()
+        Crash-safe: the watermark is advanced (fsync'd atomic replace,
+        monotone) BEFORE marks are unlinked, and ``completed_epochs`` is
+        the union of both representations — a crash between the two steps
+        only leaves redundant marks, never forgets an epoch.
+
+        ``floor`` vouches that epochs below it are not this consumer's
+        responsibility (the bootstrap-switchover ``from_epoch``): the fold
+        may then start there, so a consumer bootstrapped at epoch 10^5
+        still compacts instead of waiting forever for epoch 0. The
+        returned ``done`` set is the post-compaction completed-epoch set —
+        callers that just listed the directory (replay) reuse it instead
+        of paying a second O(marks) listing."""
+        marks = self._checkpoint_marks()
         old = self.checkpoint_watermark()
-        w = old
-        while w in done:
+        w = max(old, floor or 0)
+        while w in marks:
             w += 1
+        done = set(range(max(w, old))) | marks
         if w <= old:
-            return {"watermark": old, "marks_removed": 0}
-        tmp = self._checkpoint_watermark_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"watermark": w}, f)
-        os.replace(tmp, self._checkpoint_watermark_path())
+            return {"watermark": old, "marks_removed": 0, "done": done}
+        self._write_watermark(w)
         removed = 0
-        for e in range(old, w):
-            p = self.checkpoint_path(e)
-            if os.path.exists(p):
-                os.unlink(p)
-                removed += 1
-        return {"watermark": w, "marks_removed": removed}
+        for e in sorted(marks):
+            if e < w:
+                p = self.checkpoint_path(e)
+                if os.path.exists(p):
+                    os.unlink(p)
+                    removed += 1
+        return {"watermark": w, "marks_removed": removed, "done": done}
 
     # ---- cross-table snapshot isolation (warehouse-level consistent cuts) --
     # Each table commits atomically on its own, but an epoch touches SEVERAL
@@ -323,16 +367,13 @@ class Warehouse:
             for e in range(new_wm, wm):
                 if e in kept and not os.path.exists(self.checkpoint_path(e)):
                     self.mark_epoch_done(e, {"rematerialized_by": "rollback"})
-            tmp = self._checkpoint_watermark_path() + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"watermark": new_wm}, f)
-            os.replace(tmp, self._checkpoint_watermark_path())
-        removed = []
+            self._write_watermark(new_wm)
+        removed = list(undone_below)  # undone via the watermark lowering
         for e in sorted(self.completed_epochs()):
             if e not in kept and os.path.exists(self.checkpoint_path(e)):
                 os.unlink(self.checkpoint_path(e))
                 removed.append(e)
-        return {"tables": out, "checkpoints_removed": removed}
+        return {"tables": out, "checkpoints_removed": sorted(set(removed))}
 
     # ---------------------------------------------- snapshot-keyed results
     def cached_result(
@@ -719,14 +760,16 @@ def replay(
     """
     spark = wh.spark
     wh.init_tables()
+    start = from_epoch if from_epoch is not None else 0
     # fold the contiguous done-prefix into the single watermark file so the
-    # checkpoint dir stays O(out-of-order tail), not O(total epochs)
-    wh.compact_checkpoints()
-    done = wh.completed_epochs()
+    # checkpoint dir stays O(out-of-order tail), not O(total epochs).
+    # ``floor=start`` lets a bootstrapped consumer (from_epoch > 0) compact
+    # too — epochs below its switchover are the bootstrap's responsibility,
+    # not this replay's; the returned done set is reused (one listing).
+    done = wh.compact_checkpoints(floor=start)["done"]
     from data_exchange_routing_spark.sources.pyds import truncated_before
 
     floor = truncated_before(events_dir)
-    start = from_epoch if from_epoch is not None else 0
     missing = [e for e in range(start, floor) if e not in done]
     if missing:
         raise ValueError(

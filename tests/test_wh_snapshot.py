@@ -155,7 +155,9 @@ def test_checkpoint_compaction_watermark_and_rollback_below_it(spark, tmp_path):
     assert wh.completed_epochs() == {0, 1, 2}
     d = os.path.join(wh.root, "_checkpoints")
     assert not [f for f in os.listdir(d) if f.startswith("epoch-")]
-    assert wh.compact_checkpoints() == {"watermark": 3, "marks_removed": 0}
+    res2 = wh.compact_checkpoints()
+    assert (res2["watermark"], res2["marks_removed"]) == (3, 0)
+    assert res2["done"] == {0, 1, 2}  # reusable done set (one listing)
 
     # rollback to a cut entirely below the watermark: the watermark lowers
     # to the first undone epoch and the undone epochs redeliver exactly
@@ -166,3 +168,39 @@ def test_checkpoint_compaction_watermark_and_rollback_below_it(spark, tmp_path):
     replay(wh, events, max_concurrent_epochs=1)
     assert _norm(wh.table("web_pages").read()) == want_full
     assert wh.completed_epochs() == {0, 1, 2}
+
+
+def test_checkpoint_compaction_floor_for_bootstrapped_consumers(spark, tmp_path):
+    """Round-3 review: a consumer bootstrapped at from_epoch=K never applies
+    epoch 0, so an unfloored fold would no-op forever and the checkpoint dir
+    would regrow unbounded. With floor=K the fold starts at the switchover:
+    marks at/above K compact, the watermark vouches for the bootstrapped-over
+    prefix, and a later plain replay() still skips everything."""
+    wh, events = _mk_wh(spark, tmp_path, n_epochs=3)
+    # simulate a bootstrapped consumer: epochs 1,2 applied, epoch 0 never
+    replay(wh, events, from_epoch=1, max_concurrent_epochs=1)
+    assert wh.checkpoint_watermark() >= 1  # floor=from_epoch vouched it
+    # unfloored compaction folds the marks above the floor too
+    res = wh.compact_checkpoints()
+    assert res["watermark"] == 3 and res["done"] == {0, 1, 2}
+    import os
+    d = os.path.join(wh.root, "_checkpoints")
+    assert not [f for f in os.listdir(d) if f.startswith("epoch-")]
+    # plain replay (no from_epoch): bootstrapped-over epoch 0 stays skipped
+    out = replay(wh, events, max_concurrent_epochs=1)
+    assert out["applied_epochs"] == [] and out["skipped_epochs"] == [0, 1, 2]
+
+
+def test_corrupt_watermark_degrades_to_zero_not_crash(spark, tmp_path):
+    """A torn/empty watermark.json must not brick the warehouse: the reader
+    warns and returns 0, and redelivery is safe (per-table epoch guards)."""
+    wh, events = _mk_wh(spark, tmp_path, n_epochs=2)
+    replay(wh, events, max_concurrent_epochs=1)
+    want = _norm(wh.table("web_pages").read())
+    wh.compact_checkpoints()
+    with open(wh._checkpoint_watermark_path(), "w") as f:
+        f.write("")  # torn write
+    assert wh.checkpoint_watermark() == 0
+    out = replay(wh, events, max_concurrent_epochs=1)  # redelivers, guarded
+    assert _norm(wh.table("web_pages").read()) == want
+    assert set(out["applied_epochs"]) == {0, 1}  # re-applied as no-ops
