@@ -1809,6 +1809,40 @@ def emb_cosine_top5(spark, sf_dir):
     return SIM.brute_force_topk(ld(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
 
 
+@q("emb_ivf_index_search", _knn_sql(5, 10))
+def emb_ivf_index_search(spark, sf_dir):
+    """Persisted IVF index lifecycle, EXACT-oracle-backed: build on 2/3 of
+    the corpus (centroids JSON + parquet inverted lists partitioned by
+    centroid_id), grow the remaining 1/3 via incremental assign-and-append
+    (no retrain, no list rewrite), then search. The query body hard-asserts
+    from the physical plan that a narrow probe is a PARTITION-PRUNED scan
+    (PartitionFilters carries centroid_id — only the probed list dirs are
+    read); the RETURNED result probes every list, which is exact
+    brute-force cosine and therefore shares emb_cosine_top5's oracle."""
+    import os
+    import tempfile
+
+    emb = ld(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivfidx_") + "/idx"
+    SIM.ivf_index_build(emb.filter(F.col("vec_id") % 3 != 0), root, n_centroids=8)
+    SIM.ivf_index_add(spark, root, emb.filter(F.col("vec_id") % 3 == 0))
+    lists = [
+        d for d in os.listdir(os.path.join(root, "corpus")) if d.startswith("centroid_id=")
+    ]
+    if len(lists) < 2:
+        raise AssertionError(f"index should hold multiple inverted lists: {lists}")
+    queries = emb.filter(F.col("vec_id") < 10)
+    narrow = SIM.ivf_index_search(spark, root, queries, k=5, n_probe=2)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")
+    if len(pf) < 2 or "centroid_id" not in pf[1][:300]:
+        raise AssertionError(
+            "narrow probe must partition-prune on centroid_id; plan scan was:\n"
+            + plan[:2000]
+        )
+    return SIM.ivf_index_search(spark, root, queries, k=5, n_probe=8)
+
+
 @q("emb_lsh_ann", None)  # SQL twin built below — the LSH path is fully
 # deterministic (md5-derived hyperplanes), so "approximate" still has an
 # exact cross-engine oracle: same buckets, same in-bucket cosine top-k

@@ -261,6 +261,51 @@ def test_ivf_trainer_empty_cells_reseed_distinct(spark):
     assert len(uniq) == 4, f"duplicate centroids after empty-cell re-seed: {cents}"
 
 
+def test_ivf_persisted_index_lifecycle(spark, tmpdir_path):
+    """build -> persist -> incremental add -> search: the exhaustive probe
+    equals brute force EXACTLY regardless of how the corpus was split
+    between build and add; a narrow probe keeps the recall gate; reopening
+    the index path needs no retraining (centroids come from the JSON)."""
+    from data_exchange_routing_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_index_add,
+        ivf_index_build,
+        ivf_index_centroids,
+        ivf_index_search,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = f"{tmpdir_path}/idx"
+    cents = ivf_index_build(emb.filter(F.col("vec_id") % 3 != 0), idx, n_centroids=8)
+    assert len(cents) == 8
+    ivf_index_add(spark, idx, emb.filter(F.col("vec_id") % 3 == 0))
+    assert ivf_index_centroids(idx) == cents  # persisted, not retrained
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.rk): r.nn_id for r in brute_force_topk(emb, list(range(20)), k=3).collect()}
+    got = {
+        (r.query_id, r.rk): r.nn_id
+        for r in ivf_index_search(spark, idx, queries, k=3, n_probe=8).collect()
+    }
+    assert got == exact  # exhaustive probe == brute force, bit-for-bit ranks
+
+    narrow = {
+        r.query_id: r.nn_id
+        for r in ivf_index_search(spark, idx, queries, k=1, n_probe=4).collect()
+    }
+    top1 = {r.query_id: r.nn_id for r in brute_force_topk(emb, list(range(20)), k=1).collect()}
+    recall = sum(1 for q in top1 if narrow.get(q) == top1[q]) / len(top1)
+    assert recall >= 0.7, f"narrow-probe recall {recall}"
+
+    # incremental adds land in the existing partition dirs (no rewrite)
+    import os
+    lists = [d for d in os.listdir(f"{idx}/corpus") if d.startswith("centroid_id=")]
+    assert len(lists) >= 2
+    n_total = spark.read.parquet(f"{idx}/corpus").count()
+    assert n_total == emb.count()
+
+
 def test_lsh_ann_recall_on_testdata(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = brute_force_topk(df, query_ids=list(range(20)), k=1).collect()
