@@ -863,3 +863,179 @@ def ivf_index_search(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------- IVF-PQ index
+# The billion-scale composition (FAISS IVFPQ / Jégou et al. 2011): a coarse
+# quantizer splits the corpus into partition-pruned inverted lists AND each
+# vector is PQ-coded, so a probe reads only n_probe lists' worth of m-byte
+# codes (the 32x memory cut), scores candidates by LUT lookups (ADC), and
+# exact-reranks only the short list. Exhaustive probe + full rerank is exact
+# brute force — the EXACT-oracle path; production recall tunes via
+# (n_probe, rerank) against the gates in tests.
+
+
+def ivfpq_index_build(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    encode_method: str = "auto",
+) -> dict:
+    """Train coarse centroids + PQ codebooks (both deterministic, driver-
+    resident, control-plane tiny), assign + encode every vector, persist
+    parquet inverted lists partitioned by centroid_id carrying (vid, vec,
+    vnorm, code). The full vector rides along for exact rerank — at 10^9
+    scale you would externalize it and rerank via a point-lookup join; the
+    codes alone are the scan payload either way."""
+    import json as _json
+    import os
+    import tempfile as _tempfile
+
+    coarse = ivf_train_centroids(
+        df, n_centroids, id_col, vec_col, sample_size=sample_size, n_iter=n_iter
+    )
+    books = pq_train(
+        df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
+        sample_size=sample_size, n_iter=n_iter,
+    )
+    meta = {"centroids": coarse, "codebooks": books, "encode_method": encode_method}
+    assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=coarse, n_probe=1)
+    codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col, method=encode_method)
+    joined = assigned.select("vid", "vec", "vnorm", "centroid_id").join(
+        codes.select("vid", "code"), "vid"
+    )
+    joined.write.partitionBy("centroid_id").mode("errorifexists").parquet(
+        os.path.join(path, "corpus")
+    )
+    fd, tmp = _tempfile.mkstemp(dir=path, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    return meta
+
+
+def ivfpq_index_add(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental grow: assign + encode against the PERSISTED models and
+    append to the partition dirs — no retrain, no list rewrite."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    assigned = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, centroids=meta["centroids"], n_probe=1
+    )
+    codes = pq_encode(
+        df, meta["codebooks"], id_col=id_col, vec_col=vec_col,
+        method=meta.get("encode_method", "auto"),
+    )
+    assigned.select("vid", "vec", "vnorm", "centroid_id").join(
+        codes.select("vid", "code"), "vid"
+    ).write.partitionBy("centroid_id").mode("append").parquet(
+        os.path.join(path, "corpus")
+    )
+
+
+def ivfpq_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, nn_id, sim, rk): probe the n_probe nearest lists
+    (partition-pruned scan), score candidates by m ADC lookups against the
+    broadcast per-query LUTs, exact-cosine rerank the top-``rerank`` ADC
+    shortlist, return top-k. ``n_probe >= n_centroids`` AND
+    ``rerank >= corpus size`` degenerate to exact brute force (oracle
+    path). LUTs use the same left-assoc IEEE accumulation as the encoder."""
+    import json as _json
+    import numpy as np
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    books = meta["codebooks"]
+    dsub = len(books[0][0])
+    qassign = ivf_assign(
+        queries, id_col=id_col, vec_col=vec_col, centroids=meta["centroids"],
+        n_probe=n_probe,
+    )
+    qrows = qassign.select("vid", "vec", "vnorm", "centroid_id").collect()
+    probe_ids = sorted({r["centroid_id"] for r in qrows})
+
+    def _lassoc(a: "np.ndarray", cw: list[float]) -> float:
+        d0 = a[0] - cw[0]
+        acc = d0 * d0
+        for j in range(1, len(cw)):
+            dj = a[j] - cw[j]
+            acc = acc + dj * dj
+        return float(acc)
+
+    seen: dict = {}
+    q_data = []
+    for r in qrows:
+        vid = int(r["vid"])
+        if vid not in seen:
+            qv = np.array(r["vec"], dtype=np.float64)
+            seen[vid] = [
+                [_lassoc(qv[s * dsub : (s + 1) * dsub], cw) for cw in book]
+                for s, book in enumerate(books)
+            ]
+        q_data.append(
+            (vid, [float(x) for x in r["vec"]], float(r["vnorm"]),
+             int(r["centroid_id"]), seen[vid])
+        )
+    qdf = spark.createDataFrame(
+        q_data,
+        "query_id long, q_vec array<double>, q_norm double, centroid_id int, "
+        "lut array<array<double>>",
+    )
+    corpus = spark.read.parquet(os.path.join(path, "corpus")).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("code"), F.col("lut"), lambda c, l: F.element_at(l, c.cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = corpus.join(
+        F.broadcast(qdf),
+        (corpus["centroid_id"] == qdf["centroid_id"]) & (F.col("vid") != F.col("query_id")),
+    ).withColumn("adc", F.round(adc, 6))
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
+    short = cand.withColumn("srk", F.row_number().over(w_adc)).filter(
+        F.col("srk") <= rerank
+    )
+    short = short.withColumn(
+        "sim",
+        F.round(cosine_prenorm(F.col("q_vec"), F.col("vec"), F.col("q_norm"), F.col("vnorm")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        short.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vid").alias("nn_id"),
+            "sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

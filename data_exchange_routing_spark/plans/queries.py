@@ -1843,6 +1843,29 @@ def emb_ivf_index_search(spark, sf_dir):
     return SIM.ivf_index_search(spark, root, queries, k=5, n_probe=8)
 
 
+@q("emb_ivfpq_index_search", _knn_sql(5, 10))
+def emb_ivfpq_index_search(spark, sf_dir):
+    """Persisted IVF-PQ (FAISS IVFPQ shape): coarse lists partition-prune
+    the scan AND the candidates are PQ codes scored by broadcast per-query
+    ADC LUTs, with exact rerank on the shortlist. Built on 2/3 of the
+    corpus, grown 1/3 incrementally against the persisted models. The
+    RETURNED search probes every list with rerank >= corpus, which is
+    exact brute force — emb_cosine_top5's oracle; the production-shaped
+    narrow probe is recall-gated in tests."""
+    import tempfile
+
+    emb = ld(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivfpq_") + "/idx"
+    SIM.ivfpq_index_build(
+        emb.filter(F.col("vec_id") % 3 != 0), root, n_centroids=8, m=8, nbits=4
+    )
+    SIM.ivfpq_index_add(spark, root, emb.filter(F.col("vec_id") % 3 == 0))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivfpq_index_search(
+        spark, root, queries, k=5, n_probe=8, rerank=10_000_000
+    )
+
+
 @q("emb_lsh_ann", None)  # SQL twin built below — the LSH path is fully
 # deterministic (md5-derived hyperplanes), so "approximate" still has an
 # exact cross-engine oracle: same buckets, same in-bucket cosine top-k

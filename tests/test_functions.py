@@ -306,6 +306,41 @@ def test_ivf_persisted_index_lifecycle(spark, tmpdir_path):
     assert n_total == emb.count()
 
 
+def test_ivfpq_persisted_index_narrow_probe_recall(spark, tmpdir_path):
+    """Production-shaped IVF-PQ search (narrow probe + bounded rerank)
+    keeps recall against brute force; incremental adds join the right
+    lists; exhaustive settings recover brute force exactly."""
+    from data_exchange_routing_spark.functions.similarity import (
+        brute_force_topk,
+        ivfpq_index_add,
+        ivfpq_index_build,
+        ivfpq_index_search,
+        l2_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    emb = l2_normalize(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    idx = f"{tmpdir_path}/ivfpq"
+    ivfpq_index_build(emb.filter(F.col("vec_id") % 4 != 0), idx, n_centroids=8, m=8, nbits=4)
+    ivfpq_index_add(spark, idx, emb.filter(F.col("vec_id") % 4 == 0))
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.rk): r.nn_id for r in brute_force_topk(emb, list(range(20)), k=3).collect()}
+    full = {
+        (r.query_id, r.rk): r.nn_id
+        for r in ivfpq_index_search(spark, idx, queries, k=3, n_probe=8, rerank=10**7).collect()
+    }
+    assert full == exact  # exhaustive == brute force, bit-for-bit ranks
+
+    top1 = {r.query_id: r.nn_id for r in brute_force_topk(emb, list(range(20)), k=1).collect()}
+    narrow = {
+        r.query_id: r.nn_id
+        for r in ivfpq_index_search(spark, idx, queries, k=1, n_probe=4, rerank=50).collect()
+    }
+    recall = sum(1 for q in top1 if narrow.get(q) == top1[q]) / len(top1)
+    assert recall >= 0.7, f"IVF-PQ narrow recall {recall}"
+
+
 def test_lsh_ann_recall_on_testdata(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = brute_force_topk(df, query_ids=list(range(20)), k=1).collect()
