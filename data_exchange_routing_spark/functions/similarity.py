@@ -578,26 +578,34 @@ def pq_encode(
       bit-for-bit at ANY dsub.
 
     ``auto`` picks expr for m * 2^nbits <= 256, numpy beyond."""
+    v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+    v = v.withColumn("vnorm", vec_norm(F.col("vec")))
+    return v.withColumn("code", pq_code_column(codebooks, F.col("vec"), method))
+
+
+def pq_code_column(codebooks: list[list[list[float]]], vec, method: str = "auto"):
+    """The PQ code as a pure COLUMN function of a (double-array) vector
+    column — a map-side projection usable anywhere (pq_encode, the IVF-PQ
+    index build/add) with zero joins and zero shuffles. Both methods share
+    the left-assoc IEEE accumulation contract (see pq_encode docstring)."""
     total = sum(len(b) for b in codebooks)
     if method == "auto":
         method = "expr" if total <= 256 else "numpy"
     dsub = len(codebooks[0][0])
-    v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
-    v = v.withColumn("vnorm", vec_norm(F.col("vec")))
     if method == "expr":
         code_cols = []
         for s, book in enumerate(codebooks):
             cands = F.array(
                 *[
                     F.struct(
-                        _pq_sub_dist(F.col("vec"), s * dsub, cw).alias("d"),
+                        _pq_sub_dist(vec, s * dsub, cw).alias("d"),
                         F.lit(c).alias("c"),
                     )
                     for c, cw in enumerate(book)
                 ]
             )
             code_cols.append(F.element_at(F.array_sort(cands), 1)["c"])
-        return v.withColumn("code", F.array(*code_cols))
+        return F.array(*code_cols)
     if method != "numpy":
         raise ValueError(f"unknown pq_encode method {method!r}")
     books = [[list(map(float, cw)) for cw in b] for b in codebooks]
@@ -627,10 +635,44 @@ def pq_encode(
             out[:, s] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    return v.withColumn("code", _enc(F.col("vec")))
+    return _enc(vec)
+
+
+def _lassoc_sq_sum(a, cw) -> float:
+    """Explicit left-assoc scalar accumulation of (a_j - cw_j)^2 — the same
+    IEEE order as the oracle's unrolled SQL chain (np .sum() switches to an
+    8-accumulator pairwise combine at n >= 8, which breaks the bit-identity
+    the exact oracle gates rely on). Shared by every LUT builder."""
+    d0 = a[0] - cw[0]
+    acc = d0 * d0
+    for j in range(1, len(cw)):
+        dj = a[j] - cw[j]
+        acc = acc + dj * dj
+    return float(acc)
+
+
+def pq_query_luts(qv, codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-subspace ADC lookup tables for one query vector (numpy array)."""
+    dsub = len(codebooks[0][0])
+    return [
+        [_lassoc_sq_sum(qv[s * dsub : (s + 1) * dsub], cw) for cw in book]
+        for s, book in enumerate(codebooks)
+    ]
+
+
+def pq_adc_column(code_col, lut_col):
+    """ADC distance as a column: m LUT lookups summed left-assoc — shared
+    by pq_adc_topk and the persisted IVF-PQ search so the accumulation
+    order can never diverge between them."""
+    return F.aggregate(
+        F.zip_with(code_col, lut_col, lambda c, l: F.element_at(l, c.cast("int") + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def pq_adc_topk(
+
     df: DataFrame,
     query_ids: list[int],
     codebooks: list[list[list[float]]],
@@ -656,41 +698,17 @@ def pq_adc_topk(
         .select(F.col(id_col).alias("i"), _dvec(F.col(vec_col)).alias("v"))
         .collect()
     )
-    dsub = len(codebooks[0][0])
     q_data = []
     for r in qrows:
         qv = np.array(r["v"], dtype=np.float64)
-        # explicit left-assoc scalar accumulation — the same IEEE order as
-        # the oracle's unrolled SQL chain (np .sum() switches to an
-        # 8-accumulator pairwise combine at n >= 8, which breaks the
-        # bit-identity the exact oracle gate relies on)
-        def _lassoc(a: "np.ndarray", cw: list[float]) -> float:
-            d0 = a[0] - cw[0]
-            acc = d0 * d0
-            for j in range(1, len(cw)):
-                dj = a[j] - cw[j]
-                acc = acc + dj * dj
-            return float(acc)
-
-        lut = [
-            [_lassoc(qv[s * dsub : (s + 1) * dsub], cw) for cw in book]
-            for s, book in enumerate(codebooks)
-        ]
-        q_data.append((int(r["i"]), [float(x) for x in qv], lut))
+        q_data.append((int(r["i"]), [float(x) for x in qv], pq_query_luts(qv, codebooks)))
     spark = df.sparkSession
     qdf = spark.createDataFrame(
         q_data, "query_id long, q_vec array<double>, lut array<array<double>>"
     ).withColumn("q_norm", vec_norm(F.col("q_vec")))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("code"), F.col("lut"), lambda c, l: F.element_at(l, c.cast("int") + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     cand = (
         codes.join(F.broadcast(qdf), F.col("vid") != F.col("query_id"))
-        .withColumn("adc", F.round(adc, 6))
+        .withColumn("adc", F.round(pq_adc_column(F.col("code"), F.col("lut")), 6))
     )
     if rerank <= 0:
         w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
@@ -752,6 +770,32 @@ def _ivf_index_meta_path(path: str) -> str:
     return os.path.join(path, "centroids.json")
 
 
+def _ivfpq_index_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "meta.json")
+
+
+def _atomic_json_dump(path: str, payload: dict) -> None:
+    """fsync'd tmp + atomic replace — one persist ritual for every index
+    metadata file (a future durability/schema change lands in ONE place)."""
+    import json as _json
+    import os
+    import tempfile as _tempfile
+
+    fd, tmp = _tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            _json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except Exception:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def ivf_index_build(
     df: DataFrame,
     path: str,
@@ -765,9 +809,7 @@ def ivf_index_build(
     to its single nearest list, and persist: corpus parquet partitioned by
     centroid_id (vec + prenormed vnorm stored, so search never recomputes),
     centroids to an atomically-replaced JSON. Returns the centroids."""
-    import json as _json
     import os
-    import tempfile as _tempfile
 
     centroids = ivf_train_centroids(
         df, n_centroids, id_col, vec_col, sample_size=sample_size, n_iter=n_iter
@@ -776,10 +818,10 @@ def ivf_index_build(
     assigned.select("vid", "vec", "vnorm", "centroid_id").write.partitionBy(
         "centroid_id"
     ).mode("errorifexists").parquet(os.path.join(path, "corpus"))
-    fd, tmp = _tempfile.mkstemp(dir=path, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        _json.dump({"n_centroids": len(centroids), "centroids": centroids}, f)
-    os.replace(tmp, _ivf_index_meta_path(path))
+    _atomic_json_dump(
+        _ivf_index_meta_path(path),
+        {"n_centroids": len(centroids), "centroids": centroids},
+    )
     return centroids
 
 
@@ -829,19 +871,23 @@ def ivf_index_search(
     import os
 
     centroids = ivf_index_centroids(path)
-    qassign = ivf_assign(
+    # collect the (small) query assignment ONCE: the probe-id set and the
+    # broadcast join side must come from the SAME evaluation — two
+    # executions of a nondeterministic query source could otherwise assign
+    # a query to a list the pruning already dropped (silent candidate loss)
+    qrows = ivf_assign(
         queries, id_col=id_col, vec_col=vec_col, centroids=centroids, n_probe=n_probe
-    )
-    probe_ids = sorted(
-        r["centroid_id"] for r in qassign.select("centroid_id").distinct().collect()
-    )
+    ).select("vid", "vec", "vnorm", "centroid_id").collect()
+    probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
     corpus = spark.read.parquet(os.path.join(path, "corpus"))
     pruned = corpus.filter(F.col("centroid_id").isin(probe_ids))
-    q = qassign.select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("vnorm").alias("q_norm"),
-        "centroid_id",
+    q = spark.createDataFrame(
+        [
+            (int(r["vid"]), [float(x) for x in r["vec"]], float(r["vnorm"]),
+             int(r["centroid_id"]))
+            for r in qrows
+        ],
+        "query_id long, q_vec array<double>, q_norm double, centroid_id int",
     )
     cand = pruned.join(
         F.broadcast(q),
@@ -893,9 +939,7 @@ def ivfpq_index_build(
     vnorm, code). The full vector rides along for exact rerank — at 10^9
     scale you would externalize it and rerank via a point-lookup join; the
     codes alone are the scan payload either way."""
-    import json as _json
     import os
-    import tempfile as _tempfile
 
     coarse = ivf_train_centroids(
         df, n_centroids, id_col, vec_col, sample_size=sample_size, n_iter=n_iter
@@ -905,18 +949,16 @@ def ivfpq_index_build(
         sample_size=sample_size, n_iter=n_iter,
     )
     meta = {"centroids": coarse, "codebooks": books, "encode_method": encode_method}
+    # ONE map-side projection: the code is a pure function of vec
+    # (pq_code_column), so it rides the assignment — no second corpus scan,
+    # no vid shuffle-join
     assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=coarse, n_probe=1)
-    codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col, method=encode_method)
-    joined = assigned.select("vid", "vec", "vnorm", "centroid_id").join(
-        codes.select("vid", "code"), "vid"
-    )
-    joined.write.partitionBy("centroid_id").mode("errorifexists").parquet(
+    assigned.select("vid", "vec", "vnorm", "centroid_id").withColumn(
+        "code", pq_code_column(books, F.col("vec"), encode_method)
+    ).write.partitionBy("centroid_id").mode("errorifexists").parquet(
         os.path.join(path, "corpus")
     )
-    fd, tmp = _tempfile.mkstemp(dir=path, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        _json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    _atomic_json_dump(_ivfpq_index_meta_path(path), meta)
     return meta
 
 
@@ -932,17 +974,14 @@ def ivfpq_index_add(
     import json as _json
     import os
 
-    with open(os.path.join(path, "meta.json")) as f:
+    with open(_ivfpq_index_meta_path(path)) as f:
         meta = _json.load(f)
     assigned = ivf_assign(
         df, id_col=id_col, vec_col=vec_col, centroids=meta["centroids"], n_probe=1
     )
-    codes = pq_encode(
-        df, meta["codebooks"], id_col=id_col, vec_col=vec_col,
-        method=meta.get("encode_method", "auto"),
-    )
-    assigned.select("vid", "vec", "vnorm", "centroid_id").join(
-        codes.select("vid", "code"), "vid"
+    assigned.select("vid", "vec", "vnorm", "centroid_id").withColumn(
+        "code",
+        pq_code_column(meta["codebooks"], F.col("vec"), meta.get("encode_method", "auto")),
     ).write.partitionBy("centroid_id").mode("append").parquet(
         os.path.join(path, "corpus")
     )
@@ -968,35 +1007,22 @@ def ivfpq_index_search(
     import numpy as np
     import os
 
-    with open(os.path.join(path, "meta.json")) as f:
+    with open(_ivfpq_index_meta_path(path)) as f:
         meta = _json.load(f)
     books = meta["codebooks"]
-    dsub = len(books[0][0])
     qassign = ivf_assign(
         queries, id_col=id_col, vec_col=vec_col, centroids=meta["centroids"],
         n_probe=n_probe,
     )
     qrows = qassign.select("vid", "vec", "vnorm", "centroid_id").collect()
-    probe_ids = sorted({r["centroid_id"] for r in qrows})
-
-    def _lassoc(a: "np.ndarray", cw: list[float]) -> float:
-        d0 = a[0] - cw[0]
-        acc = d0 * d0
-        for j in range(1, len(cw)):
-            dj = a[j] - cw[j]
-            acc = acc + dj * dj
-        return float(acc)
+    probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
 
     seen: dict = {}
     q_data = []
     for r in qrows:
         vid = int(r["vid"])
         if vid not in seen:
-            qv = np.array(r["vec"], dtype=np.float64)
-            seen[vid] = [
-                [_lassoc(qv[s * dsub : (s + 1) * dsub], cw) for cw in book]
-                for s, book in enumerate(books)
-            ]
+            seen[vid] = pq_query_luts(np.array(r["vec"], dtype=np.float64), books)
         q_data.append(
             (vid, [float(x) for x in r["vec"]], float(r["vnorm"]),
              int(r["centroid_id"]), seen[vid])
@@ -1009,17 +1035,10 @@ def ivfpq_index_search(
     corpus = spark.read.parquet(os.path.join(path, "corpus")).filter(
         F.col("centroid_id").isin(probe_ids)
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("code"), F.col("lut"), lambda c, l: F.element_at(l, c.cast("int") + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     cand = corpus.join(
         F.broadcast(qdf),
         (corpus["centroid_id"] == qdf["centroid_id"]) & (F.col("vid") != F.col("query_id")),
-    ).withColumn("adc", F.round(adc, 6))
+    ).withColumn("adc", F.round(pq_adc_column(F.col("code"), F.col("lut")), 6))
     w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
     short = cand.withColumn("srk", F.row_number().over(w_adc)).filter(
         F.col("srk") <= rerank

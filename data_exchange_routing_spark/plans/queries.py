@@ -1834,10 +1834,13 @@ def emb_ivf_index_search(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     narrow = SIM.ivf_index_search(spark, root, queries, k=5, n_probe=2)
     plan = narrow._jdf.queryExecution().executedPlan().toString()
-    pf = plan.split("PartitionFilters:")
-    if len(pf) < 2 or "centroid_id" not in pf[1][:300]:
+    # the plan holds several FileScans (corpus + the query source); assert
+    # that ANY PartitionFilters block prunes on centroid_id rather than
+    # keying off whichever scan happens to print first
+    segments = plan.split("PartitionFilters:")[1:]
+    if not any("centroid_id" in seg[:300] for seg in segments):
         raise AssertionError(
-            "narrow probe must partition-prune on centroid_id; plan scan was:\n"
+            "narrow probe must partition-prune on centroid_id; plan was:\n"
             + plan[:2000]
         )
     return SIM.ivf_index_search(spark, root, queries, k=5, n_probe=8)
