@@ -204,3 +204,49 @@ def test_corrupt_watermark_degrades_to_zero_not_crash(spark, tmp_path):
     out = replay(wh, events, max_concurrent_epochs=1)  # redelivers, guarded
     assert _norm(wh.table("web_pages").read()) == want
     assert set(out["applied_epochs"]) == {0, 1}  # re-applied as no-ops
+
+
+def test_checkpoint_watermark_algebra_random_interleavings(tmp_path):
+    """Property: under ANY interleaving of out-of-order epoch marks and
+    (floored) compactions, completed_epochs() equals the reference set of
+    every epoch ever marked (plus floor-vouched prefixes), and compaction
+    never changes it. Pure checkpoint-log algebra — no Spark session."""
+    import random
+
+    from data_exchange_routing_spark.pipeline import Warehouse
+
+    rng = random.Random(17)
+    for trial in range(20):
+        root = str(tmp_path / f"walg{trial}")
+        wh = Warehouse.__new__(Warehouse)  # skip spark-needing __init__ work
+        wh.spark = None
+        wh.root = root
+        wh.n_buckets = 1
+        import os
+        os.makedirs(os.path.join(root, "_checkpoints"), exist_ok=True)
+        reference: set[int] = set()
+        vouched = 0
+        for _ in range(30):
+            op = rng.random()
+            if op < 0.65:
+                e = rng.randrange(0, 40)
+                wh.mark_epoch_done(e, {"t": trial})
+                reference.add(e)
+            elif op < 0.85:
+                wh.compact_checkpoints()
+            else:
+                floor = rng.randrange(0, 20)
+                wh.compact_checkpoints(floor=floor)
+                vouched = max(vouched, floor)
+            expect = reference | set(range(vouched))
+            # the watermark can only cover marked-or-vouched prefixes
+            got = wh.completed_epochs()
+            assert got == expect, (
+                f"trial {trial}: {sorted(got)} != {sorted(expect)}"
+            )
+        # steady state: contiguous prefix is one file, tail stays as marks
+        wh.compact_checkpoints()
+        w = wh.checkpoint_watermark()
+        expect = reference | set(range(vouched))
+        assert set(range(w)) <= expect
+        assert w not in expect  # watermark stops exactly at the first gap
