@@ -319,7 +319,9 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
     for _p in range(pairs):
         for cores in (n_lo, n_hi):
             # don't start a timed child inside a degraded-paging window
-            _wait_healthy_host()
+            _wait_healthy_host(
+                timeout_s=float(os.environ.get("BENCH_SCALING_WAIT_SEC", "1800"))
+            )
             out = tempfile.mktemp(suffix=".json")
             env = dict(
                 os.environ,
@@ -412,7 +414,9 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
     all_runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for _p in range(pairs):
         for n_exec in (n_lo, n_hi):
-            _wait_healthy_host()
+            _wait_healthy_host(
+                timeout_s=float(os.environ.get("BENCH_SCALING_WAIT_SEC", "1800"))
+            )
             out = tempfile.mktemp(suffix=".json")
             total_cores = n_exec * exec_cores
             env = dict(
