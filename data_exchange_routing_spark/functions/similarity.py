@@ -777,23 +777,12 @@ def _ivfpq_index_meta_path(path: str) -> str:
 
 
 def _atomic_json_dump(path: str, payload: dict) -> None:
-    """fsync'd tmp + atomic replace — one persist ritual for every index
-    metadata file (a future durability/schema change lands in ONE place)."""
-    import json as _json
-    import os
-    import tempfile as _tempfile
+    """Index-metadata persist — delegates to the repo's ONE durable
+    overwrite ritual (lake.table._atomic_replace_json: fsync'd tmp +
+    atomic replace + dir fsync), same as the checkpoint watermark."""
+    from data_exchange_routing_spark.lake.table import _atomic_replace_json
 
-    fd, tmp = _tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            _json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-    except Exception:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    _atomic_replace_json(path, payload)
 
 
 def ivf_index_build(

@@ -246,6 +246,31 @@ def _bounded_str_range(lo: str, hi: str, limit: int = _STR_STATS_MAX) -> list[st
     return [lo, hi]
 
 
+def _atomic_replace_json(path: str, payload: dict) -> None:
+    """Durable OVERWRITE publish (contrast _atomic_write_json's exclusive
+    create): fsync'd tmp + atomic replace + parent-dir fsync. The ONE
+    persist ritual for every overwritable metadata file (checkpoint
+    watermark, ANN index metadata) — a durability/schema change lands
+    here once."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except Exception:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     """Exclusive-create commit: succeeds for exactly one writer per version."""
     d = os.path.dirname(path)

@@ -109,47 +109,46 @@ class Warehouse:
     def _checkpoint_watermark_path(self) -> str:
         return os.path.join(self.root, "_checkpoints", "watermark.json")
 
-    def checkpoint_watermark(self) -> int:
-        """Compacted low watermark: every epoch below it is durably done
-        (represented by ONE file instead of one mark per epoch). A torn or
-        corrupt watermark file degrades to 0 with a loud warning instead of
+    def _watermark_state(self) -> tuple[int, int]:
+        """(watermark, vouched_floor). Watermark: every epoch below it is
+        durably done-or-vouched (ONE file instead of one mark per epoch).
+        Vouched floor: the highest WAL-truncation point a bootstrap ever
+        vouched past — epochs below it were NEVER applied here (a snapshot
+        import covers them), so rollback must not "un-do" them. A torn or
+        corrupt file degrades to (0, 0) with a loud warning instead of
         crashing every replay: re-deriving done-ness is SAFE (per-table
         epoch guards make redelivered epochs no-ops), just slower."""
         try:
             with open(self._checkpoint_watermark_path()) as f:
-                return int(json.load(f)["watermark"])
+                d = json.load(f)
+            return int(d["watermark"]), int(d.get("vouched_floor", 0))
         except FileNotFoundError:
-            return 0
+            return 0, 0
         except (ValueError, KeyError, TypeError) as exc:
             print(
                 f"# WARNING: corrupt checkpoint watermark ({exc}); treating "
                 "as 0 — epoch guards keep redelivery idempotent",
                 file=sys.stderr,
             )
-            return 0
+            return 0, 0
 
-    def _write_watermark(self, version: int) -> None:
-        """Durable watermark publish: fsync'd tmp + atomic replace + dir
-        fsync, so the unlink of the marks it supersedes never races a
-        not-yet-persisted rename (the two-representation crash-safety
+    def checkpoint_watermark(self) -> int:
+        return self._watermark_state()[0]
+
+    def checkpoint_vouched_floor(self) -> int:
+        return self._watermark_state()[1]
+
+    def _write_watermark(self, version: int, vouched_floor: int) -> None:
+        """Durable watermark publish (fsync'd atomic replace via the shared
+        lake helper), so the unlink of the marks it supersedes never races
+        a not-yet-persisted rename (the two-representation crash-safety
         argument needs the watermark ON DISK before marks disappear)."""
-        path = self._checkpoint_watermark_path()
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump({"watermark": version}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, path)
-            dfd = os.open(os.path.dirname(path), os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
-        except Exception:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        from data_exchange_routing_spark.lake.table import _atomic_replace_json
+
+        _atomic_replace_json(
+            self._checkpoint_watermark_path(),
+            {"watermark": version, "vouched_floor": vouched_floor},
+        )
 
     def mark_epoch_done(self, epoch_id: int, stats: dict) -> None:
         with open(self.checkpoint_path(epoch_id), "w") as f:
@@ -178,21 +177,25 @@ class Warehouse:
         only leaves redundant marks, never forgets an epoch.
 
         ``floor`` vouches that epochs below it are not this consumer's
-        responsibility (the bootstrap-switchover ``from_epoch``): the fold
-        may then start there, so a consumer bootstrapped at epoch 10^5
-        still compacts instead of waiting forever for epoch 0. The
-        returned ``done`` set is the post-compaction completed-epoch set —
-        callers that just listed the directory (replay) reuse it instead
-        of paying a second O(marks) listing."""
+        responsibility — pass it ONLY for WAL positions that genuinely
+        cannot need applying here (replay derives it as
+        min(from_epoch, truncated_before(events_dir)), so a typo'd
+        from_epoch over a non-truncated log vouches nothing and stays
+        recoverable by a plain re-run). The vouched floor persists in the
+        watermark file so rollback never "un-does" bootstrapped-over
+        epochs. The returned ``done`` set is the post-compaction
+        completed-epoch set — callers that just listed the directory
+        (replay) reuse it instead of paying a second O(marks) listing."""
         marks = self._checkpoint_marks()
-        old = self.checkpoint_watermark()
-        w = max(old, floor or 0)
+        old, old_vouch = self._watermark_state()
+        vouch = max(old_vouch, floor or 0)
+        w = max(old, vouch)
         while w in marks:
             w += 1
         done = set(range(max(w, old))) | marks
-        if w <= old:
+        if w <= old and vouch <= old_vouch:
             return {"watermark": old, "marks_removed": 0, "done": done}
-        self._write_watermark(w)
+        self._write_watermark(max(w, old), vouch)
         removed = 0
         for e in sorted(marks):
             if e < w:
@@ -200,7 +203,7 @@ class Warehouse:
                 if os.path.exists(p):
                     os.unlink(p)
                     removed += 1
-        return {"watermark": w, "marks_removed": removed, "done": done}
+        return {"watermark": max(w, old), "marks_removed": removed, "done": done}
 
     # ---- cross-table snapshot isolation (warehouse-level consistent cuts) --
     # Each table commits atomically on its own, but an epoch touches SEVERAL
@@ -306,11 +309,7 @@ class Warehouse:
         pins: dict[str, int] = {}
         if tag is not None:
             pins = self._load_pins(tag)
-            dfs = {
-                name: self.table(name).read(version=v)
-                for name, v in pins.items()
-                if v > 0
-            }
+            dfs = self.read_consistent(tag)
         else:
             dfs = {name: self.table(name).read() for name in self.list_tables()}
         for name, df in sorted(dfs.items()):
@@ -360,14 +359,18 @@ class Warehouse:
         # first undone epoch, re-materializing marks for the still-done
         # epochs above it FIRST so a crash between the two steps only
         # leaves redundant state (completed_epochs is the union).
-        wm = self.checkpoint_watermark()
-        undone_below = sorted(e for e in range(wm) if e not in kept)
+        wm, vouch = self._watermark_state()
+        # epochs below the vouched floor were NEVER applied here (a
+        # bootstrap snapshot covers them) — they are not "undone" by a
+        # rollback and the vouching must survive it, or the next plain
+        # replay would demand a truncated WAL's missing epochs
+        undone_below = sorted(e for e in range(vouch, wm) if e not in kept)
         if undone_below:
             new_wm = undone_below[0]
             for e in range(new_wm, wm):
                 if e in kept and not os.path.exists(self.checkpoint_path(e)):
                     self.mark_epoch_done(e, {"rematerialized_by": "rollback"})
-            self._write_watermark(new_wm)
+            self._write_watermark(new_wm, vouch)
         removed = list(undone_below)  # undone via the watermark lowering
         for e in sorted(self.completed_epochs()):
             if e not in kept and os.path.exists(self.checkpoint_path(e)):
@@ -761,15 +764,18 @@ def replay(
     spark = wh.spark
     wh.init_tables()
     start = from_epoch if from_epoch is not None else 0
-    # fold the contiguous done-prefix into the single watermark file so the
-    # checkpoint dir stays O(out-of-order tail), not O(total epochs).
-    # ``floor=start`` lets a bootstrapped consumer (from_epoch > 0) compact
-    # too — epochs below its switchover are the bootstrap's responsibility,
-    # not this replay's; the returned done set is reused (one listing).
-    done = wh.compact_checkpoints(floor=start)["done"]
     from data_exchange_routing_spark.sources.pyds import truncated_before
 
     floor = truncated_before(events_dir)
+    # fold the contiguous done-prefix into the single watermark file so the
+    # checkpoint dir stays O(out-of-order tail), not O(total epochs). The
+    # vouch floor is min(from_epoch, WAL truncation point): a bootstrapped
+    # consumer (from_epoch at a truncated position) compacts past epochs
+    # the snapshot import covers, while a typo'd from_epoch over a
+    # NON-truncated log vouches nothing — epochs below it stay un-done and
+    # a plain re-run heals them. The returned done set is reused (one
+    # listing).
+    done = wh.compact_checkpoints(floor=min(start, floor))["done"]
     missing = [e for e in range(start, floor) if e not in done]
     if missing:
         raise ValueError(

@@ -171,24 +171,46 @@ def test_checkpoint_compaction_watermark_and_rollback_below_it(spark, tmp_path):
 
 
 def test_checkpoint_compaction_floor_for_bootstrapped_consumers(spark, tmp_path):
-    """Round-3 review: a consumer bootstrapped at from_epoch=K never applies
-    epoch 0, so an unfloored fold would no-op forever and the checkpoint dir
-    would regrow unbounded. With floor=K the fold starts at the switchover:
-    marks at/above K compact, the watermark vouches for the bootstrapped-over
-    prefix, and a later plain replay() still skips everything."""
-    wh, events = _mk_wh(spark, tmp_path, n_epochs=3)
-    # simulate a bootstrapped consumer: epochs 1,2 applied, epoch 0 never
+    """Round-3 review: a consumer bootstrapped past a TRUNCATED WAL prefix
+    never applies epoch 0, so an unvouched fold would no-op forever and the
+    checkpoint dir would regrow unbounded. The vouch floor is
+    min(from_epoch, truncation point): over a truncated log the fold starts
+    at the switchover and the vouching survives rollback; over a
+    NON-truncated log a typo'd from_epoch vouches NOTHING and a plain
+    re-run heals the skipped epochs."""
+    import os
+
+    from data_exchange_routing_spark.sources.pyds import truncate_binlog
+
+    # --- typo'd from_epoch over a non-truncated log: recoverable ---------
+    wh0, events0 = _mk_wh(spark, tmp_path / "typo", n_epochs=3)
+    replay(wh0, events0, from_epoch=1, max_concurrent_epochs=1)
+    assert wh0.checkpoint_vouched_floor() == 0  # nothing vouched
+    healed = replay(wh0, events0, max_concurrent_epochs=1)
+    assert healed["applied_epochs"] == [0]  # plain re-run applies epoch 0
+
+    # --- genuine bootstrap: WAL truncated below the switchover -----------
+    wh, events = _mk_wh(spark, tmp_path / "boot", n_epochs=3)
+    truncate_binlog(events, 1)  # epoch 0 segment GC'd
     replay(wh, events, from_epoch=1, max_concurrent_epochs=1)
-    assert wh.checkpoint_watermark() >= 1  # floor=from_epoch vouched it
-    # unfloored compaction folds the marks above the floor too
+    assert wh.checkpoint_vouched_floor() == 1
+    assert wh.checkpoint_watermark() >= 1
     res = wh.compact_checkpoints()
     assert res["watermark"] == 3 and res["done"] == {0, 1, 2}
-    import os
     d = os.path.join(wh.root, "_checkpoints")
     assert not [f for f in os.listdir(d) if f.startswith("epoch-")]
-    # plain replay (no from_epoch): bootstrapped-over epoch 0 stays skipped
+    # plain replay (no from_epoch): bootstrapped-over epoch 0 stays vouched
     out = replay(wh, events, max_concurrent_epochs=1)
     assert out["applied_epochs"] == [] and out["skipped_epochs"] == [0, 1, 2]
+
+    # --- rollback after bootstrap keeps the vouching ----------------------
+    wh.publish_snapshot("cut12")
+    # (no later epochs to undo — the point is the vouch floor survives and
+    # plain replay keeps working instead of demanding truncated epochs)
+    wh.rollback_to("cut12")
+    assert wh.checkpoint_vouched_floor() == 1
+    out2 = replay(wh, events, max_concurrent_epochs=1)
+    assert out2["applied_epochs"] == []
 
 
 def test_corrupt_watermark_degrades_to_zero_not_crash(spark, tmp_path):
