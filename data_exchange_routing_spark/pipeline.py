@@ -116,8 +116,12 @@ class Warehouse:
         vouched past — epochs below it were NEVER applied here (a snapshot
         import covers them), so rollback must not "un-do" them. A torn or
         corrupt file degrades to (0, 0) with a loud warning instead of
-        crashing every replay: re-deriving done-ness is SAFE (per-table
-        epoch guards make redelivered epochs no-ops), just slower."""
+        crashing every replay. For the DONE half that is safe-just-slower
+        (per-table epoch guards make redelivered epochs no-ops); the VOUCH
+        half cannot be re-derived — a bootstrapped consumer over a
+        truncated WAL will hit the missing-epoch guard until it re-vouches
+        by re-running replay with from_epoch at the truncation point (the
+        warning says exactly that)."""
         try:
             with open(self._checkpoint_watermark_path()) as f:
                 d = json.load(f)
@@ -127,7 +131,10 @@ class Warehouse:
         except (ValueError, KeyError, TypeError) as exc:
             print(
                 f"# WARNING: corrupt checkpoint watermark ({exc}); treating "
-                "as 0 — epoch guards keep redelivery idempotent",
+                "as (0, 0). Done-ness re-derives safely (epoch guards make "
+                "redelivery a no-op); a BOOTSTRAPPED consumer over a "
+                "truncated WAL must re-vouch by re-running replay with "
+                "from_epoch at the truncation point",
                 file=sys.stderr,
             )
             return 0, 0
@@ -195,7 +202,7 @@ class Warehouse:
         done = set(range(max(w, old))) | marks
         if w <= old and vouch <= old_vouch:
             return {"watermark": old, "marks_removed": 0, "done": done}
-        self._write_watermark(max(w, old), vouch)
+        self._write_watermark(w, vouch)  # w >= old by construction
         removed = 0
         for e in sorted(marks):
             if e < w:
@@ -203,7 +210,7 @@ class Warehouse:
                 if os.path.exists(p):
                     os.unlink(p)
                     removed += 1
-        return {"watermark": max(w, old), "marks_removed": removed, "done": done}
+        return {"watermark": w, "marks_removed": removed, "done": done}
 
     # ---- cross-table snapshot isolation (warehouse-level consistent cuts) --
     # Each table commits atomically on its own, but an epoch touches SEVERAL
@@ -283,6 +290,9 @@ class Warehouse:
         whose pinned versions were expired (expire_snapshots) fails loudly
         on read. Tables created after the tag are absent from the dict."""
         pins = self._load_pins(tag) if tag is not None else self.consistent_snapshot()
+        return self._pinned_reads(pins)
+
+    def _pinned_reads(self, pins: dict[str, int]) -> dict[str, "DataFrame"]:
         return {
             name: self.table(name).read(version=v)
             for name, v in pins.items()
@@ -308,8 +318,8 @@ class Warehouse:
         out = []
         pins: dict[str, int] = {}
         if tag is not None:
-            pins = self._load_pins(tag)
-            dfs = self.read_consistent(tag)
+            pins = self._load_pins(tag)  # ONE read; data + metadata share it
+            dfs = self._pinned_reads(pins)
         else:
             dfs = {name: self.table(name).read() for name in self.list_tables()}
         for name, df in sorted(dfs.items()):
