@@ -427,6 +427,68 @@ class Warehouse:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
         return self.spark.read.parquet(dest), {"hit": False, "fingerprint": fp}
 
+    def vacuum_staging(self, min_age_s: float = 3600.0) -> dict:
+        """GC the warehouse staging area. Committed epochs' staged files
+        are referenced IN PLACE by table manifests (zero-copy commit), but
+        two paths orphan whole staging dirs of real parquet: a crashed
+        epoch attempt, and — the common one under at-least-once delivery —
+        a REDELIVERED epoch, which stages its full batch before every
+        per-table commit is guard-skipped. Nothing ever referenced those
+        files, so each redelivery would otherwise leak an epoch of bytes
+        forever.
+
+        A staged file is removed iff NO retained snapshot or branch of ANY
+        warehouse table references it (the same retained-metadata walk as
+        ``LakeTable.vacuum_orphans``, so time travel and WAP branches stay
+        intact), AND its staging dir is older than ``min_age_s`` — the age
+        gate keeps a concurrently in-flight epoch's not-yet-committed
+        files safe (maintenance runs alongside epochs; default 1 h far
+        exceeds any epoch's stage-to-commit latency). Empty dirs drop."""
+        import shutil
+
+        from data_exchange_routing_spark.lake.table import _resolve_segments
+
+        staging_root = os.path.join(self.root, "_staging")
+        if not os.path.isdir(staging_root):
+            return {"files_removed": 0, "dirs_removed": 0}
+        referenced: set[str] = set()
+        for name in self.list_tables():
+            t = self.table(name)
+            for f in os.listdir(t.meta_dir):
+                if not f.endswith(".json"):
+                    continue
+                if not (f.startswith("snapshot-") or f.startswith("branch-")):
+                    continue
+                with open(os.path.join(t.meta_dir, f)) as fh:
+                    d = json.load(fh)
+                entries = list(d.get("tail", d.get("files", [])))
+                entries.extend(d.get("delete_files", []))
+                for seg in d.get("segments", []):
+                    entries.extend(_resolve_segments(t.meta_dir, [seg]))
+                for e in entries:
+                    referenced.add(os.path.abspath(os.path.join(t.path, e["path"])))
+        now = time.time()
+        files_removed = dirs_removed = 0
+        for d in sorted(os.listdir(staging_root)):
+            full_dir = os.path.join(staging_root, d)
+            if not os.path.isdir(full_dir):
+                continue
+            if now - os.path.getmtime(full_dir) < min_age_s:
+                continue
+            kept_any = False
+            for root, _dirs, names in os.walk(full_dir):
+                for nm in names:
+                    fp = os.path.abspath(os.path.join(root, nm))
+                    if fp in referenced:
+                        kept_any = True
+                    elif nm.endswith(".parquet"):
+                        os.unlink(fp)
+                        files_removed += 1
+            if not kept_any:
+                shutil.rmtree(full_dir, ignore_errors=True)
+                dirs_removed += 1
+        return {"files_removed": files_removed, "dirs_removed": dirs_removed}
+
     def vacuum_cache(self, name: str | None = None) -> dict:
         """Drop every cached fingerprint that no longer matches its query's
         current input versions is unknowable per-entry (inputs aren't stored
@@ -978,6 +1040,7 @@ def maintain(
     retention: dict | None = None,
     wal_events_dir: str | None = None,
     wal_extra_consumer_positions: tuple = (),
+    staging_min_age_s: float | None = 3600.0,
 ) -> dict:
     """One incremental maintenance cycle — the ops loop a 100 TB deployment
     runs between (or concurrently with) epochs. Per destination table: rank
@@ -1065,4 +1128,9 @@ def maintain(
         report["wal"] = truncate_wal(
             wh, wal_events_dir, wal_extra_consumer_positions
         )
+    if staging_min_age_s is not None:
+        # orphaned staging dirs (crashed attempts + at-least-once epoch
+        # REDELIVERIES, which stage a full batch every guard-skipped commit)
+        # otherwise accumulate forever; age gate protects in-flight epochs
+        report["staging_vacuum"] = wh.vacuum_staging(min_age_s=staging_min_age_s)
     return report

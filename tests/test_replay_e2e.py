@@ -256,3 +256,42 @@ def test_maintenance_minor_fold_keeps_state(spark, events_dir, events_pdf, tmpdi
             per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
     assert all(v == 1 for v in per_bucket.values())
     _assert_state_equal(spark, wh, events_pdf)
+
+
+def test_staging_vacuum_reclaims_redelivery_leak(spark, events_dir, tmpdir_path):
+    """Round-3 gap: a REDELIVERED epoch (at-least-once) stages its full
+    batch before every per-table commit is guard-skipped — nothing ever
+    references that staging dir, so each redelivery leaked an epoch of
+    parquet forever. vacuum_staging removes exactly the unreferenced dirs
+    (age-gated for in-flight safety) and committed epochs' zero-copy
+    staged files survive with reads intact."""
+    import os
+
+    from data_exchange_routing_spark.pipeline import Warehouse, maintain, replay
+
+    wh = Warehouse(spark, f"{tmpdir_path}/wh", n_buckets=4)
+    replay(wh, events_dir, max_concurrent_epochs=1)
+    staging = os.path.join(wh.root, "_staging")
+    committed_dirs = set(os.listdir(staging))
+    want = sorted(tuple(r) for r in wh.table("web_pages").read().collect())
+
+    # redeliver every epoch: guards skip all commits, staging dirs leak
+    for p in os.listdir(os.path.join(wh.root, "_checkpoints")):
+        os.unlink(os.path.join(wh.root, "_checkpoints", p))
+    out = replay(wh, events_dir, max_concurrent_epochs=1)
+    assert out["applied_epochs"]  # re-marked (commits were no-ops)
+    leaked = set(os.listdir(staging)) - committed_dirs
+    assert leaked, "redelivery should have staged fresh dirs"
+
+    res = wh.vacuum_staging(min_age_s=0)
+    assert res["dirs_removed"] == len(leaked)
+    assert set(os.listdir(staging)) == committed_dirs  # zero-copy data kept
+    assert sorted(tuple(r) for r in wh.table("web_pages").read().collect()) == want
+
+    # idempotent + rides the maintenance cycle
+    assert wh.vacuum_staging(min_age_s=0)["dirs_removed"] == 0
+    rep = maintain(wh, staging_min_age_s=0)
+    assert rep["staging_vacuum"]["dirs_removed"] == 0
+    # age gate: a fresh (in-flight-looking) dir is never touched
+    os.makedirs(os.path.join(staging, "epoch-99999999-inflight"))
+    assert wh.vacuum_staging()["dirs_removed"] == 0
