@@ -4120,15 +4120,13 @@ class LakeTable:
             "removed_segments": removed_segments,
         }
 
-    def vacuum_orphans(self) -> dict:
-        """Delete data files under this table's own data/ dir that no retained
-        snapshot references (crashed commits, compacted-away deltas). Staged
-        files shared via a warehouse staging area are the warehouse's to
-        vacuum, not the table's."""
-        if self._snap_prefix != "snapshot-":
-            raise ValueError("vacuum_orphans runs on main, not a branch view")
+    def referenced_data_paths(self) -> set[str]:
+        """Absolute paths of every data file ANY retained snapshot or live
+        branch head (WAP) references — the single source of truth for both
+        vacuums (this table's ``vacuum_orphans`` and the warehouse's
+        ``vacuum_staging``); a manifest-format addition that carries live
+        references lands here ONCE or both would silently delete data."""
         referenced: set[str] = set()
-        # live branch heads (WAP) reference data files too — never their orphans
         for f in os.listdir(self.meta_dir):
             if not f.endswith(".json"):
                 continue
@@ -4138,10 +4136,22 @@ class LakeTable:
                 d = json.load(fh)
             entries = list(d.get("tail", d.get("files", [])))
             entries.extend(d.get("delete_files", []))  # MoR delete files are live data
-            for seg in d.get("segments", []):
-                entries.extend(_resolve_segments(self.meta_dir, [seg]))
+            segs = d.get("segments", [])
+            if segs:
+                # one whole-list call — shares the read path's cache key
+                entries.extend(_resolve_segments(self.meta_dir, list(segs)))
             for e in entries:
                 referenced.add(os.path.abspath(os.path.join(self.path, e["path"])))
+        return referenced
+
+    def vacuum_orphans(self) -> dict:
+        """Delete data files under this table's own data/ dir that no retained
+        snapshot references (crashed commits, compacted-away deltas). Staged
+        files shared via a warehouse staging area are the warehouse's to
+        vacuum, not the table's."""
+        if self._snap_prefix != "snapshot-":
+            raise ValueError("vacuum_orphans runs on main, not a branch view")
+        referenced = self.referenced_data_paths()
         removed = 0
         data_dir = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_dir):

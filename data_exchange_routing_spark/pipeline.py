@@ -438,55 +438,58 @@ class Warehouse:
         forever.
 
         A staged file is removed iff NO retained snapshot or branch of ANY
-        warehouse table references it (the same retained-metadata walk as
-        ``LakeTable.vacuum_orphans``, so time travel and WAP branches stay
-        intact), AND its staging dir is older than ``min_age_s`` — the age
-        gate keeps a concurrently in-flight epoch's not-yet-committed
-        files safe (maintenance runs alongside epochs; default 1 h far
-        exceeds any epoch's stage-to-commit latency). Empty dirs drop."""
+        warehouse table references it (``LakeTable.referenced_data_paths``
+        — the same walk ``vacuum_orphans`` uses, so time travel and WAP
+        branches stay intact). In-flight safety is EXACT, not a clock
+        heuristic: ``apply_epoch`` drops a ``<dir>.inflight`` sibling
+        marker before staging and removes it after its commits land, and
+        marked dirs are skipped regardless of references; ``min_age_s``
+        applies ONLY to marked dirs (reclaiming crashed attempts whose
+        marker never cleared — 1 h far exceeds any stage-to-commit
+        latency). Unmarked unreferenced dirs reclaim immediately. All
+        filesystem races with concurrent epochs/maintainers are tolerated
+        (missing paths are someone else's progress, never an error)."""
         import shutil
-
-        from data_exchange_routing_spark.lake.table import _resolve_segments
 
         staging_root = os.path.join(self.root, "_staging")
         if not os.path.isdir(staging_root):
             return {"files_removed": 0, "dirs_removed": 0}
         referenced: set[str] = set()
         for name in self.list_tables():
-            t = self.table(name)
-            for f in os.listdir(t.meta_dir):
-                if not f.endswith(".json"):
-                    continue
-                if not (f.startswith("snapshot-") or f.startswith("branch-")):
-                    continue
-                with open(os.path.join(t.meta_dir, f)) as fh:
-                    d = json.load(fh)
-                entries = list(d.get("tail", d.get("files", [])))
-                entries.extend(d.get("delete_files", []))
-                for seg in d.get("segments", []):
-                    entries.extend(_resolve_segments(t.meta_dir, [seg]))
-                for e in entries:
-                    referenced.add(os.path.abspath(os.path.join(t.path, e["path"])))
+            referenced |= self.table(name).referenced_data_paths()
         now = time.time()
         files_removed = dirs_removed = 0
         for d in sorted(os.listdir(staging_root)):
             full_dir = os.path.join(staging_root, d)
-            if not os.path.isdir(full_dir):
+            if d.endswith(".inflight") or not os.path.isdir(full_dir):
                 continue
-            if now - os.path.getmtime(full_dir) < min_age_s:
-                continue
-            kept_any = False
-            for root, _dirs, names in os.walk(full_dir):
-                for nm in names:
-                    fp = os.path.abspath(os.path.join(root, nm))
-                    if fp in referenced:
-                        kept_any = True
-                    elif nm.endswith(".parquet"):
-                        os.unlink(fp)
-                        files_removed += 1
-            if not kept_any:
-                shutil.rmtree(full_dir, ignore_errors=True)
-                dirs_removed += 1
+            marker = full_dir + ".inflight"
+            try:
+                if os.path.exists(marker):
+                    # in-flight (or crashed-in-flight): only the age gate
+                    # may reclaim; a live epoch refreshes nothing, but its
+                    # stage-to-commit latency is bounded far below 1 h
+                    if now - os.path.getmtime(marker) < min_age_s:
+                        continue
+                kept_any = False
+                for root, _dirs, names in os.walk(full_dir):
+                    for nm in names:
+                        fp = os.path.abspath(os.path.join(root, nm))
+                        if fp in referenced:
+                            kept_any = True
+                        elif nm.endswith(".parquet"):
+                            try:
+                                os.unlink(fp)
+                                files_removed += 1
+                            except OSError:
+                                pass  # concurrent cleanup won the race
+                if not kept_any:
+                    shutil.rmtree(full_dir, ignore_errors=True)
+                    if os.path.exists(marker):
+                        os.unlink(marker)
+                    dirs_removed += 1
+            except OSError:
+                continue  # dir/marker vanished mid-walk: progress elsewhere
         return {"files_removed": files_removed, "dirs_removed": dirs_removed}
 
     def vacuum_cache(self, name: str | None = None) -> dict:
@@ -552,6 +555,24 @@ def detect_promotable_meta_keys(df: DataFrame) -> list[str]:
         for r in df.select(F.explode(F.map_keys(F.col("meta"))).alias("k")).distinct().collect()
     ]
     return sorted(k for k in keys if k not in STANDARD_META_KEYS)
+
+
+def _mark_staging_inflight(staging: str) -> None:
+    """Exact in-flight signal for ``Warehouse.vacuum_staging``: a sibling
+    ``<dir>.inflight`` marker dropped BEFORE any staged byte exists and
+    cleared only after the epoch's commits (and lineage) land — a crash in
+    between leaves the marker, which the vacuum honors until its crash
+    age-out."""
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    with open(staging + ".inflight", "w") as f:
+        f.write("")
+
+
+def _clear_staging_inflight(staging: str) -> None:
+    try:
+        os.unlink(staging + ".inflight")
+    except OSError:
+        pass
 
 
 def apply_epoch(
@@ -641,6 +662,7 @@ def apply_epoch(
             staging = os.path.join(
                 wh.root, "_staging", f"epoch-{epoch_id:08d}-{_uuid.uuid4().hex[:8]}"
             )
+            _mark_staging_inflight(staging)
             entries = stage_multicast_delta(staged_all, staging, wh.n_buckets)
             try:
                 raw = obs.get["keys"] or []
@@ -706,6 +728,7 @@ def apply_epoch(
             staging = os.path.join(
                 wh.root, "_staging", f"epoch-{epoch_id:08d}-{_uuid.uuid4().hex[:8]}"
             )
+            _mark_staging_inflight(staging)
             entries = stage_multicast_delta(
                 fused, staging, wh.n_buckets, pre_partitioned=True
             )
@@ -727,6 +750,7 @@ def apply_epoch(
             # and re-stage once so their values land as top-level columns
             promote = wh.register_promote_keys(observed)
             shutil.rmtree(staging, ignore_errors=True)
+            _clear_staging_inflight(staging)
             delta_schema, entries_by_dest, _, staging = build_and_stage(promote, 1)
 
         stats: dict = {
@@ -805,6 +829,7 @@ def apply_epoch(
         wh.table("lineage_metrics").append_rows(
             lineage_rows, LINEAGE_METRICS, epoch_id=epoch_id, source="lineage"
         )
+        _clear_staging_inflight(staging)
         return stats
     finally:
         pass
@@ -1066,6 +1091,13 @@ def maintain(
     below every consumer's position are garbage-collected (see
     ``truncate_wal``; pass streaming cursors via
     ``wal_extra_consumer_positions``).
+
+    ``staging_min_age_s`` (default 1 h; ``None`` opts out) runs the
+    warehouse staging GC each cycle: unreferenced UNMARKED staging dirs
+    (completed redeliveries, abandoned re-stages) reclaim immediately;
+    dirs whose ``.inflight`` marker survives (a crashed epoch attempt)
+    reclaim only once older than this age — a live epoch's marker clears
+    at commit, so the knob only paces crash cleanup.
 
     ``retention`` = {table_name: (ts_col, cutoff_datetime)} applies
     metadata-only data expiry (``LakeTable.expire_data``) to the named

@@ -292,6 +292,14 @@ def test_staging_vacuum_reclaims_redelivery_leak(spark, events_dir, tmpdir_path)
     assert wh.vacuum_staging(min_age_s=0)["dirs_removed"] == 0
     rep = maintain(wh, staging_min_age_s=0)
     assert rep["staging_vacuum"]["dirs_removed"] == 0
-    # age gate: a fresh (in-flight-looking) dir is never touched
-    os.makedirs(os.path.join(staging, "epoch-99999999-inflight"))
+    # exact in-flight protection: a dir whose .inflight marker is live is
+    # never touched (regardless of references) until the crash age-out
+    inflight = os.path.join(staging, "epoch-99999999-aaaaaaaa")
+    os.makedirs(inflight)
+    with open(inflight + ".inflight", "w") as f:
+        f.write("")
     assert wh.vacuum_staging()["dirs_removed"] == 0
+    assert os.path.isdir(inflight)
+    # crash age-out: marker older than min_age_s -> reclaimed, marker too
+    assert wh.vacuum_staging(min_age_s=0)["dirs_removed"] == 1
+    assert not os.path.exists(inflight) and not os.path.exists(inflight + ".inflight")
