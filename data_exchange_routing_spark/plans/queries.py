@@ -5949,8 +5949,10 @@ _BLOCKLIST_VALUES = ", ".join(f"('{c}', '{d}', '{p}')" for c, d, p in _BLOCKLIST
                   THEN r.b_cat END AS hit
       FROM suf s LEFT JOIN rules r ON s.suffix = r.b_dom)
     SELECT doc_id, host, path,
-           coalesce(list(DISTINCT hit ORDER BY hit) FILTER (hit IS NOT NULL),
-                    CAST([] AS VARCHAR[])) AS categories,
+           coalesce(
+             array_to_string(
+               list(DISTINCT hit ORDER BY hit) FILTER (hit IS NOT NULL), ','),
+             '') AS categories,
            count(hit) > 0 AS blocked
     FROM m GROUP BY 1, 2, 3
     """,
@@ -5970,8 +5972,15 @@ def web_blocklist_filter(spark, sf_dir):
     rules = canon.sparkSession.createDataFrame(
         _BLOCKLIST_RULES, "category string, domain string, path_prefix string"
     )
+    # categories is array<string> in the engine API; the driver's pandas
+    # canonicalizer can't sort/hash list cells, so the registry projection
+    # flattens it to a sorted comma-joined scalar (VERDICT r03 item 1)
     return blocklist_filter(canon, rules).select(
-        "doc_id", "host", "path", "categories", "blocked"
+        "doc_id",
+        "host",
+        "path",
+        F.concat_ws(",", F.array_sort("categories")).alias("categories"),
+        "blocked",
     )
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import importlib.util
 import os
 
+import pytest
+
 from data_exchange_routing_spark.plans.queries import (
     DRIVER_PRIORITY,
     ORACLE,
@@ -85,3 +87,21 @@ def test_driver_ordered_preserves_everything():
     out = driver_ordered(d)
     assert set(out) == set(d)
     assert list(out)[:50] == [n for n in DRIVER_PRIORITY if n in d]
+
+
+@pytest.mark.smoke
+def test_all_driver_priority_outputs_are_scalar_typed(spark):
+    """The driver's pandas canonicalizer (sort_values -> Categorical) dies on
+    unhashable cells, so every DRIVER_PRIORITY query must project a purely
+    scalar schema — no array/map/struct columns (VERDICT r03 item 1: the
+    round-3 red row was exactly an array<string> column crashing the harness,
+    not the engine). Schema-only: builds each plan, executes nothing."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name in DRIVER_PRIORITY:
+        schema = QUERIES[name](spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"driver-priority outputs with non-scalar columns: {bad}"
