@@ -46,6 +46,17 @@ _SCHEMA = T.StructType(
     ]
 )
 
+# CDC tombstones (VERDICT r03 item 4): (doc_id, upto) kills every band row
+# of that doc with epoch <= upto — the same MoR/LWW shape the lake tables
+# and the ANN indexes use. Stored as a second epoch-guarded lake table, so
+# both writes of one maintenance epoch are independently idempotent.
+_TOMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("upto", T.LongType(), False),
+    ]
+)
+
 
 class NearDupIndex:
     """LSH band index persisted as an (unkeyed, epoch-guarded) lake table."""
@@ -56,6 +67,10 @@ class NearDupIndex:
         self.k = k
         self.bands = bands
         self.table = LakeTable.load(spark, path)
+        tomb_path = os.path.join(path, "_tombstones")
+        if not os.path.isdir(tomb_path):  # pre-CDC index layouts upgrade lazily
+            LakeTable.create(spark, tomb_path, _TOMB_SCHEMA)
+        self.tombstones = LakeTable.load(spark, tomb_path)
 
     @classmethod
     def create(
@@ -102,7 +117,7 @@ class NearDupIndex:
         )
         self.table.append(rows, epoch_id=epoch_id, source="lsh-index")
 
-        all_rows = self.table.read()
+        all_rows = self._live_rows()
         new = all_rows.filter(F.col("epoch") == epoch_id)
         a, n = all_rows.alias("a"), new.alias("n")
         # older epochs pair with every colliding new doc; within the epoch the
@@ -123,3 +138,61 @@ class NearDupIndex:
             )
             .distinct()
         )
+
+    # ------------------------------------------------- CDC maintenance
+    def _live_rows(self) -> DataFrame:
+        """Band rows surviving the tombstones: epoch > max(upto) per doc.
+        The aggregated tombstone relation is O(deleted/updated docs) and
+        broadcast, so the corpus-sized band table still never shuffles.
+        When no tombstone was ever written (version 1 = the create
+        snapshot) the read is returned unchanged — the pre-CDC plan."""
+        all_rows = self.table.read()
+        if self.tombstones.current_version() <= 1:
+            return all_rows
+        tomb = (
+            self.tombstones.read()
+            .groupBy("doc_id")
+            .agg(F.max("upto").alias("_upto"))
+        )
+        return (
+            all_rows.join(F.broadcast(tomb), "doc_id", "left")
+            .filter(F.col("_upto").isNull() | (F.col("epoch") > F.col("_upto")))
+            .drop("_upto")
+        )
+
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        epoch_id: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        op_col: str = "op",
+    ) -> DataFrame:
+        """CDC-consistent maintenance (one deduplicated batch: one row per
+        doc, op in I/U/D; text required for I/U) and the near-dup candidate
+        pairs the batch's live upserts form against the LIVE corpus.
+
+        Upserts tombstone every prior band row of the doc (upto =
+        epoch_id - 1: a re-crawled page's old shingles must stop matching)
+        and append fresh band rows under this epoch; deletes tombstone
+        through epoch_id. Both writes are epoch-guarded lake commits, so a
+        crashed/redelivered epoch converges — the same two-layer
+        idempotency as every other sink (reference semantics:
+        RouteIngestedFile.kt:543-545's dedup guard under replay)."""
+        ch = changes.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(op_col).alias("_op"),
+            F.col(text_col).alias("_text"),
+        )
+        tomb = ch.select(
+            "doc_id",
+            F.when(F.col("_op") == "D", F.lit(epoch_id))
+            .otherwise(F.lit(epoch_id - 1))
+            .cast("long")
+            .alias("upto"),
+        )
+        self.tombstones.append(tomb, epoch_id=epoch_id, source="lsh-tombstone")
+        ups = ch.filter(F.col("_op") != "D").select(
+            F.col("doc_id").alias(id_col), F.col("_text").alias(text_col)
+        )
+        return self.check_and_add(ups, epoch_id, id_col=id_col, text_col=text_col)

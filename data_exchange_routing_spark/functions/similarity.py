@@ -789,6 +789,65 @@ def _atomic_json_dump(path: str, payload: dict) -> None:
     _atomic_replace_json(path, payload)
 
 
+def _index_meta(path: str, kind: str) -> dict:
+    import json as _json
+
+    p = _ivf_index_meta_path(path) if kind == "ivf" else _ivfpq_index_meta_path(path)
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _index_meta_write(path: str, kind: str, meta: dict) -> None:
+    p = _ivf_index_meta_path(path) if kind == "ivf" else _ivfpq_index_meta_path(path)
+    _atomic_json_dump(p, meta)
+
+
+def _tombstone_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "tombstones")
+
+
+def _live_filter(spark, pruned: DataFrame, path: str, meta: dict) -> DataFrame:
+    """Restrict a (pruned) corpus scan to LIVE rows under the index's CDC
+    maintenance state (MoR-style, mirroring lake_mor_delete_scan's LWW
+    semantics for tables):
+
+    - a tombstone (vid, upto) kills every corpus row of that vid with
+      ``iseq <= upto`` — REGARDLESS of which inverted list the row sits in,
+      which is the property that makes updates safe: a changed vector can
+      move to a different centroid list, so the stale row must die without
+      the probe ever seeing the new one. Tombstones are aggregated to one
+      (vid, max upto) row and broadcast (the relation is O(deleted/updated
+      vids since last compaction), orders of magnitude below the corpus; a
+      deployment whose delete set outgrows broadcast runs index_compact,
+      which folds tombstones away).
+    - exact duplicate (vid, iseq) rows — possible only in the crash window
+      between a maintenance epoch's corpus append and its meta commit, when
+      the epoch is redelivered — collapse to one. The dedup (a shuffle of
+      only the probed lists) is applied only when maintenance epochs exist;
+      a pure build+bulk-add index keeps today's shuffle-free probe plan.
+
+    Indexes never touched by apply_changes return the scan unchanged."""
+    import os
+
+    if meta.get("applied_epochs"):
+        pruned = pruned.dropDuplicates(["vid", "iseq"])
+    tdir = _tombstone_dir(path)
+    if os.path.isdir(tdir) and any(
+        n.endswith(".parquet") for n in os.listdir(tdir)
+    ):
+        tomb = (
+            spark.read.parquet(tdir).groupBy("vid").agg(F.max("upto").alias("_upto"))
+        )
+        pruned = (
+            pruned.join(F.broadcast(tomb), "vid", "left")
+            .filter(F.col("_upto").isNull() | (F.col("iseq") > F.col("_upto")))
+            .drop("_upto")
+        )
+    return pruned
+
+
 def ivf_index_build(
     df: DataFrame,
     path: str,
@@ -808,12 +867,19 @@ def ivf_index_build(
         df, n_centroids, id_col, vec_col, sample_size=sample_size, n_iter=n_iter
     )
     assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=centroids, n_probe=1)
-    assigned.select("vid", "vec", "vnorm", "centroid_id").write.partitionBy(
-        "centroid_id"
-    ).mode("errorifexists").parquet(os.path.join(path, "corpus"))
+    assigned.select("vid", "vec", "vnorm", "centroid_id").withColumn(
+        "iseq", F.lit(0).cast("long")
+    ).write.partitionBy("centroid_id").mode("errorifexists").parquet(
+        os.path.join(path, "corpus")
+    )
     _atomic_json_dump(
         _ivf_index_meta_path(path),
-        {"n_centroids": len(centroids), "centroids": centroids},
+        {
+            "n_centroids": len(centroids),
+            "centroids": centroids,
+            "corpus_rel": "corpus",
+            "applied_epochs": [],
+        },
     )
     return centroids
 
@@ -831,18 +897,25 @@ def ivf_index_add(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iseq: int = 0,
 ) -> None:
     """Incremental add: assign new vectors to the EXISTING centroids (no
     retrain — the standard IVF grow path) and append to their partition
     directories. A map-side projection + append write; never reads or
-    rewrites the existing lists."""
+    rewrites the existing lists. ``iseq`` stamps the rows' index sequence
+    (bulk grow = 0; CDC maintenance passes its epoch id — see
+    ivf_index_apply_changes for the idempotent epoch-guarded path)."""
     import os
 
-    centroids = ivf_index_centroids(path)
-    assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=centroids, n_probe=1)
-    assigned.select("vid", "vec", "vnorm", "centroid_id").write.partitionBy(
-        "centroid_id"
-    ).mode("append").parquet(os.path.join(path, "corpus"))
+    meta = _index_meta(path, "ivf")
+    assigned = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, centroids=meta["centroids"], n_probe=1
+    )
+    assigned.select("vid", "vec", "vnorm", "centroid_id").withColumn(
+        "iseq", F.lit(iseq).cast("long")
+    ).write.partitionBy("centroid_id").mode("append").parquet(
+        os.path.join(path, meta.get("corpus_rel", "corpus"))
+    )
 
 
 def ivf_index_search(
@@ -863,7 +936,8 @@ def ivf_index_search(
     therefore EXACT brute-force search (the oracle gate's path)."""
     import os
 
-    centroids = ivf_index_centroids(path)
+    meta = _index_meta(path, "ivf")
+    centroids = meta["centroids"]
     # collect the (small) query assignment ONCE: the probe-id set and the
     # broadcast join side must come from the SAME evaluation — two
     # executions of a nondeterministic query source could otherwise assign
@@ -872,8 +946,10 @@ def ivf_index_search(
         queries, id_col=id_col, vec_col=vec_col, centroids=centroids, n_probe=n_probe
     ).select("vid", "vec", "vnorm", "centroid_id").collect()
     probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
-    pruned = corpus.filter(F.col("centroid_id").isin(probe_ids))
+    corpus = spark.read.parquet(os.path.join(path, meta.get("corpus_rel", "corpus")))
+    pruned = _live_filter(
+        spark, corpus.filter(F.col("centroid_id").isin(probe_ids)), path, meta
+    )
     q = spark.createDataFrame(
         [
             (int(r["vid"]), [float(x) for x in r["vec"]], float(r["vnorm"]),
@@ -941,16 +1017,22 @@ def ivfpq_index_build(
         df, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
         sample_size=sample_size, n_iter=n_iter,
     )
-    meta = {"centroids": coarse, "codebooks": books, "encode_method": encode_method}
+    meta = {
+        "centroids": coarse,
+        "codebooks": books,
+        "encode_method": encode_method,
+        "corpus_rel": "corpus",
+        "applied_epochs": [],
+    }
     # ONE map-side projection: the code is a pure function of vec
     # (pq_code_column), so it rides the assignment — no second corpus scan,
     # no vid shuffle-join
     assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=coarse, n_probe=1)
     assigned.select("vid", "vec", "vnorm", "centroid_id").withColumn(
         "code", pq_code_column(books, F.col("vec"), encode_method)
-    ).write.partitionBy("centroid_id").mode("errorifexists").parquet(
-        os.path.join(path, "corpus")
-    )
+    ).withColumn("iseq", F.lit(0).cast("long")).write.partitionBy(
+        "centroid_id"
+    ).mode("errorifexists").parquet(os.path.join(path, "corpus"))
     _atomic_json_dump(_ivfpq_index_meta_path(path), meta)
     return meta
 
@@ -961,23 +1043,22 @@ def ivfpq_index_add(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iseq: int = 0,
 ) -> None:
     """Incremental grow: assign + encode against the PERSISTED models and
     append to the partition dirs — no retrain, no list rewrite."""
-    import json as _json
     import os
 
-    with open(_ivfpq_index_meta_path(path)) as f:
-        meta = _json.load(f)
+    meta = _index_meta(path, "ivfpq")
     assigned = ivf_assign(
         df, id_col=id_col, vec_col=vec_col, centroids=meta["centroids"], n_probe=1
     )
     assigned.select("vid", "vec", "vnorm", "centroid_id").withColumn(
         "code",
         pq_code_column(meta["codebooks"], F.col("vec"), meta.get("encode_method", "auto")),
-    ).write.partitionBy("centroid_id").mode("append").parquet(
-        os.path.join(path, "corpus")
-    )
+    ).withColumn("iseq", F.lit(iseq).cast("long")).write.partitionBy(
+        "centroid_id"
+    ).mode("append").parquet(os.path.join(path, meta.get("corpus_rel", "corpus")))
 
 
 def ivfpq_index_search(
@@ -996,12 +1077,10 @@ def ivfpq_index_search(
     shortlist, return top-k. ``n_probe >= n_centroids`` AND
     ``rerank >= corpus size`` degenerate to exact brute force (oracle
     path). LUTs use the same left-assoc IEEE accumulation as the encoder."""
-    import json as _json
     import numpy as np
     import os
 
-    with open(_ivfpq_index_meta_path(path)) as f:
-        meta = _json.load(f)
+    meta = _index_meta(path, "ivfpq")
     books = meta["codebooks"]
     qassign = ivf_assign(
         queries, id_col=id_col, vec_col=vec_col, centroids=meta["centroids"],
@@ -1025,8 +1104,13 @@ def ivfpq_index_search(
         "query_id long, q_vec array<double>, q_norm double, centroid_id int, "
         "lut array<array<double>>",
     )
-    corpus = spark.read.parquet(os.path.join(path, "corpus")).filter(
-        F.col("centroid_id").isin(probe_ids)
+    corpus = _live_filter(
+        spark,
+        spark.read.parquet(os.path.join(path, meta.get("corpus_rel", "corpus"))).filter(
+            F.col("centroid_id").isin(probe_ids)
+        ),
+        path,
+        meta,
     )
     cand = corpus.join(
         F.broadcast(qdf),
@@ -1051,3 +1135,178 @@ def ivfpq_index_search(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ------------------------------------------------ CDC-consistent maintenance
+# The persisted IVF / IVF-PQ indexes above support build + incremental ADD;
+# this block closes the delete/update gap (VERDICT r03 item 4): a CDC delete
+# or url re-crawl must not leave stale vectors that searches still return.
+# Mechanics mirror the lake tables' LWW/tombstone semantics
+# (lake_mor_delete_scan): corpus rows carry an index-sequence (iseq), a
+# maintenance epoch appends (vid, upto) tombstone sidecars plus newly
+# assigned+encoded rows, searches filter live = iseq > max(upto) per vid
+# (see _live_filter), and index_compact folds tombstones away by rewriting
+# only live rows. Epochs are idempotent via the applied_epochs list in the
+# index meta (atomic JSON replace; single concurrent maintainer per index —
+# the same contract the lake's maintain() documents).
+
+
+def _index_apply_changes(
+    spark,
+    path: str,
+    kind: str,
+    changes: DataFrame,
+    epoch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+) -> dict:
+    """Apply ONE deduplicated CDC batch (one row per id: op in I/U/D; vec
+    required for I/U) to a persisted index under an idempotent epoch guard.
+
+    Order of writes is load-bearing for crash safety:
+      1. tombstones (every changed vid: upserts kill iseq <= epoch-1,
+         deletes kill iseq <= epoch) — a crash after this step over-kills
+         nothing (the upsert's new row, written with iseq = epoch, survives
+         its own tombstone);
+      2. corpus rows for the upserts (iseq = epoch) — a crash between 2 and
+         3 leaves duplicates that redelivery re-appends; _live_filter
+         collapses exact (vid, iseq) duplicates;
+      3. the meta applied-epochs commit (atomic replace) — after this,
+         redelivery is a no-op.
+    Epochs must be applied in increasing order (the change-feed cursor
+    guarantees it; sync_index_from_changefeed drives this)."""
+    import os
+
+    meta = _index_meta(path, kind)
+    if epoch_id in set(meta.get("applied_epochs", [])):
+        return {"skipped": True, "epoch_id": epoch_id}
+    ch = changes.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(op_col).alias("_op"),
+        F.col(vec_col).alias("_vec"),
+    )
+    tomb = ch.select(
+        "vid",
+        F.when(F.col("_op") == "D", F.lit(epoch_id))
+        .otherwise(F.lit(epoch_id - 1))
+        .cast("long")
+        .alias("upto"),
+        F.lit(epoch_id).cast("long").alias("epoch"),
+    )
+    tomb.write.mode("append").parquet(_tombstone_dir(path))
+    ups = ch.filter(F.col("_op") != "D").select(
+        F.col("vid").alias(id_col), F.col("_vec").alias(vec_col)
+    )
+    if kind == "ivf":
+        ivf_index_add(spark, path, ups, id_col=id_col, vec_col=vec_col, iseq=epoch_id)
+    else:
+        ivfpq_index_add(spark, path, ups, id_col=id_col, vec_col=vec_col, iseq=epoch_id)
+    meta = _index_meta(path, kind)  # re-read: adds never mutate meta, but
+    # a concurrent compact may have advanced corpus_rel; the epoch list is
+    # the only key this writer owns
+    meta["applied_epochs"] = sorted(set(meta.get("applied_epochs", [])) | {epoch_id})
+    _index_meta_write(path, kind, meta)
+    return {"skipped": False, "epoch_id": epoch_id}
+
+
+def ivf_index_apply_changes(
+    spark, path: str, changes: DataFrame, epoch_id: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", op_col: str = "op",
+) -> dict:
+    return _index_apply_changes(
+        spark, path, "ivf", changes, epoch_id, id_col, vec_col, op_col
+    )
+
+
+def ivfpq_index_apply_changes(
+    spark, path: str, changes: DataFrame, epoch_id: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", op_col: str = "op",
+) -> dict:
+    return _index_apply_changes(
+        spark, path, "ivfpq", changes, epoch_id, id_col, vec_col, op_col
+    )
+
+
+def index_compact(spark, path: str, kind: str = "ivf") -> dict:
+    """Fold tombstones away: rewrite ONLY live rows (iseq preserved) into a
+    fresh generation directory, atomically flip the meta's corpus_rel, then
+    drop the old corpus and the tombstone sidecars. Tombstone application is
+    idempotent against an iseq-preserving rewrite (a row that survived
+    compaction has iseq > every upto that targeted its vid), so a crash
+    between the flip and the cleanup changes nothing for readers. Run on the
+    same cadence as the lake's maintain() cycle once the broadcast tombstone
+    relation grows past ~10 MB."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    meta = _index_meta(path, kind)
+    old_rel = meta.get("corpus_rel", "corpus")
+    old_dir = os.path.join(path, old_rel)
+    new_rel = f"corpus-{_uuid.uuid4().hex[:8]}"
+    live = _live_filter(spark, spark.read.parquet(old_dir), path, meta)
+    live.write.partitionBy("centroid_id").mode("errorifexists").parquet(
+        os.path.join(path, new_rel)
+    )
+    meta = _index_meta(path, kind)
+    meta["corpus_rel"] = new_rel
+    _index_meta_write(path, kind, meta)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
+    return {"corpus_rel": new_rel, "dropped": old_rel}
+
+
+def sync_index_from_changefeed(
+    consumer,
+    path: str,
+    kind: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Drive index maintenance from a lake table's change feed — the CDC
+    story end-to-end: web-page/embedding replay lands in a keyed lake table
+    (exactly-once), and this consumer tails its change feed into the ANN
+    index, so searches converge to the table's final state after any replay,
+    including deletes and updates.
+
+    ``consumer`` is a ChangeFeedConsumer created ``with_internal=True`` on
+    the keyed source table (the feed must carry _lsn so multi-version ranges
+    resolve last-writer-wins per key before hitting the index). Epoch id =
+    the range's to_version; redelivery of a crashed range hits the index's
+    applied-epochs guard — the same two-layer idempotency argument as
+    mirror_into_table."""
+    from pyspark.sql import Window as _W
+
+    def fn(changes: DataFrame, _from_v: int, to_v: int) -> None:
+        if "_lsn" not in changes.columns:
+            raise ValueError(
+                "sync_index_from_changefeed needs the internal CDC columns; "
+                "create the ChangeFeedConsumer with with_internal=True "
+                "(without _lsn a range spanning several versions of one key "
+                "would apply stale revisions)"
+            )
+        # resolve last-writer per key with the SOURCE TABLE's ordering —
+        # (warc_ts, lsn) when the table carries the event-time column,
+        # falling back to lsn alone — so the index converges to exactly
+        # the state merge_cdc resolved
+        order = [F.desc("_lsn")]
+        if "warc_ts" in changes.columns:
+            order.insert(0, F.desc_nulls_last("warc_ts"))
+        w = _W.partitionBy(id_col).orderBy(*order)
+        last = (
+            changes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+            )
+        )
+        _index_apply_changes(
+            consumer.spark, path, kind, last, epoch_id=to_v,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return consumer.drain(fn)

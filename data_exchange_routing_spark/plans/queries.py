@@ -1869,6 +1869,91 @@ def emb_ivfpq_index_search(spark, sf_dir):
     )
 
 
+@q(
+    "emb_ivf_cdc_search",
+    # Brute-force cosine top-5 over the FINAL state after a CDC history:
+    # build on vec_id%3!=0, insert %3==0, update %5==0 (negated vectors —
+    # exact in IEEE, so dot products stay bit-identical), delete %7==0.
+    """
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    fin AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 = 0 THEN list_transform(emb, x -> -x)
+                  ELSE emb END AS emb
+      FROM v0 WHERE vec_id % 7 <> 0
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM fin a JOIN fin b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, nn_id, sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, nn_id) AS INTEGER) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def emb_ivf_cdc_search(spark, sf_dir):
+    """CDC-consistent persisted-index maintenance (VERDICT r03 item 4),
+    EXACT-oracle-backed: the IVF index is built on 2/3 of the corpus, then
+    three maintenance epochs replay a CDC history against it — inserts
+    (the remaining 1/3), updates (every %5 vector re-crawled with a negated
+    embedding — the stale row may sit in a DIFFERENT inverted list, which is
+    exactly what the tombstones must handle), deletes (every %7 vector).
+    The exhaustive-probe search then matches brute force over the FINAL
+    state: deleted vectors never surface, updated vectors surface only in
+    their new form. Inline teeth: a redelivered epoch must report
+    skipped=True (idempotent maintenance), and the narrow probe must still
+    partition-prune on centroid_id after maintenance (MoR filtering happens
+    AFTER the pruned scan, never widens it)."""
+    import tempfile
+
+    emb = ld(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivfcdc_") + "/idx"
+    SIM.ivf_index_build(emb.filter(F.col("vec_id") % 3 != 0), root, n_centroids=8)
+
+    ins = emb.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding", F.lit("I").alias("op")
+    )
+    SIM.ivf_index_apply_changes(spark, root, ins, epoch_id=1)
+    upd = emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: -x.cast("double")).alias("embedding"),
+        F.lit("U").alias("op"),
+    )
+    SIM.ivf_index_apply_changes(spark, root, upd, epoch_id=2)
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id", "embedding", F.lit("D").alias("op")
+    )
+    SIM.ivf_index_apply_changes(spark, root, dels, epoch_id=3)
+
+    res = SIM.ivf_index_apply_changes(spark, root, upd, epoch_id=2)
+    if res.get("skipped") is not True:
+        raise AssertionError(f"redelivered epoch must be a no-op: {res}")
+
+    queries = emb.filter((F.col("vec_id") < 10) & (F.col("vec_id") % 7 != 0)).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform(F.col("embedding"), lambda x: -x.cast("double")),
+        )
+        .otherwise(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+        .alias("embedding"),
+    )
+    narrow = SIM.ivf_index_search(spark, root, queries, k=5, n_probe=2)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    segments = plan.split("PartitionFilters:")[1:]
+    if not any("centroid_id" in seg[:300] for seg in segments):
+        raise AssertionError(
+            "maintained index's narrow probe must still partition-prune on "
+            "centroid_id; plan was:\n" + plan[:2000]
+        )
+    return SIM.ivf_index_search(spark, root, queries, k=5, n_probe=8)
+
+
 @q("emb_lsh_ann", None)  # SQL twin built below — the LSH path is fully
 # deterministic (md5-derived hyperplanes), so "approximate" still has an
 # exact cross-engine oracle: same buckets, same in-bucket cosine top-k
@@ -7788,7 +7873,7 @@ DRIVER_PRIORITY: list[str] = [
     "web_crawl_frontier",
     # embeddings / ANN
     "emb_pq_adc_topk",
-    "emb_lsh_ann",
+    "emb_ivf_cdc_search",  # r04: CDC-consistent index maintenance (tombstones)
     "emb_ivf_ann_exhaustive",
     "emb_cosine_top5",
     "emb_semantic_dedup",

@@ -1,0 +1,268 @@
+"""CDC-consistent ANN/LSH index maintenance (VERDICT r03 item 4).
+
+The persisted IVF / IVF-PQ indexes and the NearDupIndex support incremental
+ADD; these gates prove the delete/update path: after a replay containing
+deletes and updates, searching the index matches brute force over the FINAL
+state, redelivered epochs are no-ops, crash-window duplicate appends
+collapse, and compaction folds tombstones away without changing results.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_exchange_routing_spark.functions import similarity as SIM
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    # deterministic, well-spread directions
+    return [float(((i * 31 + j * 17) % 13) - 6) / 6.0 + 0.01 * j for j in range(dim)]
+
+
+def _emb_df(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+def _apply_standard_epochs(spark, root, kind):
+    """build on ids 0..19; epoch 1 inserts 20..29; epoch 2 updates ids%5==0
+    (negated vectors); epoch 3 deletes ids%7==0. Returns the FINAL state df."""
+    build = _emb_df(spark, range(20))
+    if kind == "ivf":
+        SIM.ivf_index_build(build, root, n_centroids=4)
+        apply = SIM.ivf_index_apply_changes
+    else:
+        SIM.ivfpq_index_build(build, root, n_centroids=4, m=4, nbits=4)
+        apply = SIM.ivfpq_index_apply_changes
+
+    ins = _emb_df(spark, range(20, 30)).withColumn("op", F.lit("I"))
+    apply(spark, root, ins, epoch_id=1)
+
+    upd = _emb_df(spark, [i for i in range(30) if i % 5 == 0]).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.lit("U").alias("op"),
+    )
+    apply(spark, root, upd, epoch_id=2)
+
+    dels = spark.createDataFrame(
+        [(i, None, "D") for i in range(30) if i % 7 == 0],
+        "vec_id long, embedding array<double>, op string",
+    )
+    apply(spark, root, dels, epoch_id=3)
+
+    final = spark.createDataFrame(
+        [
+            (i, [-x for x in _vec(i)] if i % 5 == 0 else _vec(i))
+            for i in range(30)
+            if i % 7 != 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    return final
+
+
+def _exhaustive(spark, root, kind, queries, k=3):
+    if kind == "ivf":
+        return SIM.ivf_index_search(spark, root, queries, k=k, n_probe=64)
+    return SIM.ivfpq_index_search(
+        spark, root, queries, k=k, n_probe=64, rerank=10_000_000
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("kind", ["ivf", "ivfpq"])
+def test_apply_changes_matches_brute_force_over_final_state(spark, kind):
+    root = tempfile.mkdtemp(prefix=f"idxm_{kind}_") + "/idx"
+    final = _apply_standard_epochs(spark, root, kind)
+    qids = [r["vec_id"] for r in final.filter("vec_id < 6").collect()]
+    queries = final.filter(F.col("vec_id").isin(qids))
+    got = _exhaustive(spark, root, kind, queries, k=3)
+    want = SIM.brute_force_topk(final, query_ids=qids, k=3)
+    assert _rows(got) == _rows(want)
+    # deleted / stale ids never surface
+    nn = {r["nn_id"] for r in got.collect()}
+    assert all(i % 7 != 0 for i in nn)
+
+
+@pytest.mark.parametrize("kind", ["ivf", "ivfpq"])
+def test_redelivered_epoch_is_a_noop(spark, kind):
+    root = tempfile.mkdtemp(prefix=f"idxr_{kind}_") + "/idx"
+    final = _apply_standard_epochs(spark, root, kind)
+    queries = final.filter("vec_id < 6")
+    before = _rows(_exhaustive(spark, root, kind, queries))
+    # redeliver epoch 2 (the updates) — meta guard must skip it entirely
+    upd = _emb_df(spark, [i for i in range(30) if i % 5 == 0]).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.lit("U").alias("op"),
+    )
+    apply = SIM.ivf_index_apply_changes if kind == "ivf" else SIM.ivfpq_index_apply_changes
+    res = apply(spark, root, upd, epoch_id=2)
+    assert res["skipped"] is True
+    assert _rows(_exhaustive(spark, root, kind, queries)) == before
+
+
+def test_crash_window_duplicate_rows_collapse(spark):
+    """A crash between the corpus append and the meta commit redelivers the
+    epoch and re-appends identical (vid, iseq) rows; _live_filter dedups."""
+    root = tempfile.mkdtemp(prefix="idxdup_") + "/idx"
+    final = _apply_standard_epochs(spark, root, "ivf")
+    queries = final.filter("vec_id < 6")
+    before = _rows(SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64))
+    # simulate the crash: epoch 2's upsert rows land twice in the corpus
+    upd = _emb_df(spark, [i for i in range(30) if i % 5 == 0]).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    SIM.ivf_index_add(spark, root, upd, iseq=2)
+    got = SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64)
+    assert _rows(got) == before
+    nn_rows = got.collect()
+    assert len({(r["query_id"], r["nn_id"]) for r in nn_rows}) == len(nn_rows)
+
+
+@pytest.mark.parametrize("kind", ["ivf", "ivfpq"])
+def test_compact_preserves_results_and_drops_tombstones(spark, kind):
+    root = tempfile.mkdtemp(prefix=f"idxc_{kind}_") + "/idx"
+    final = _apply_standard_epochs(spark, root, kind)
+    queries = final.filter("vec_id < 6")
+    before = _rows(_exhaustive(spark, root, kind, queries))
+    res = SIM.index_compact(spark, root, kind=kind)
+    assert not os.path.isdir(os.path.join(root, res["dropped"]))
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    assert _rows(_exhaustive(spark, root, kind, queries)) == before
+    # post-compact maintenance still works on the new generation
+    apply = SIM.ivf_index_apply_changes if kind == "ivf" else SIM.ivfpq_index_apply_changes
+    dels = spark.createDataFrame(
+        [(1, None, "D")], "vec_id long, embedding array<double>, op string"
+    )
+    apply(spark, root, dels, epoch_id=4)
+    after = _exhaustive(spark, root, kind, queries)
+    assert 1 not in {r["nn_id"] for r in after.collect()}
+
+
+def test_sync_from_changefeed_converges_to_table_state(spark, tmpdir_path):
+    """End-to-end CDC story: a keyed lake table takes merge_cdc epochs with
+    inserts/updates/deletes; the change-feed consumer tails it into the IVF
+    index; exhaustive search == brute force over the table's final state."""
+    from data_exchange_routing_spark.lake.changefeed import ChangeFeedConsumer
+    from data_exchange_routing_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    tpath = os.path.join(tmpdir_path, "emb_table")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    table = LakeTable.create(spark, tpath, schema, key="vec_id", n_buckets=4)
+
+    def batch(rows_, lsn0, deleted=False):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (i, t0 + timedelta(seconds=lsn0 + j), v, lsn0 + j, deleted)
+                for j, (i, v) in enumerate(rows_)
+            ],
+            "vec_id long, warc_ts timestamp, embedding array<double>, "
+            "_lsn long, _deleted boolean",
+        )
+
+    table.merge_cdc(batch([(i, _vec(i)) for i in range(20)], 0), epoch_id=0, source="t")
+
+    root = os.path.join(tmpdir_path, "idx")
+    SIM.ivf_index_build(table.read(), root, n_centroids=4)
+    consumer = ChangeFeedConsumer(spark, tpath, "ann-index", with_internal=True)
+    consumer.seek(table.current_version())  # index already holds the build
+
+    # epoch: updates + inserts; then an epoch of deletes
+    table.merge_cdc(
+        batch([(i, [-x for x in _vec(i)]) for i in range(0, 30, 5)], 100),
+        epoch_id=1,
+        source="t",
+    )
+    table.merge_cdc(
+        batch([(i, None) for i in range(0, 30, 7)], 200, deleted=True),
+        epoch_id=2,
+        source="t",
+    )
+    res = SIM.sync_index_from_changefeed(consumer, root, kind="ivf")
+    assert res["processed_versions"] > 0
+
+    final = table.read().select("vec_id", "embedding")
+    qids = [r["vec_id"] for r in final.filter("vec_id < 6").collect()]
+    got = SIM.ivf_index_search(
+        spark, root, final.filter(F.col("vec_id").isin(qids)), k=3, n_probe=64
+    )
+    want = SIM.brute_force_topk(final, query_ids=qids, k=3)
+    assert _rows(got) == _rows(want)
+    # redeliver the whole feed range: cursor-reset replay must be a no-op
+    consumer.seek(1)
+    consumer.seek(table.current_version() - 2)
+    SIM.sync_index_from_changefeed(consumer, root, kind="ivf")
+    got2 = SIM.ivf_index_search(
+        spark, root, final.filter(F.col("vec_id").isin(qids)), k=3, n_probe=64
+    )
+    assert _rows(got2) == _rows(want)
+
+
+def test_neardup_index_apply_changes(spark):
+    """Near-dup LSH index under CDC: an updated page's OLD shingles stop
+    matching, a deleted page stops pairing, redelivery is a no-op."""
+    from data_exchange_routing_spark.functions.dedup_index import NearDupIndex
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    other = "completely different text about spark partitions and shuffle planning"
+
+    root = tempfile.mkdtemp(prefix="ndidx_") + "/idx"
+    idx = NearDupIndex.create(spark, root, k=32, bands=8)
+    docs0 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    pairs0 = idx.check_and_add(docs0, epoch_id=0)
+    assert pairs0.count() == 0
+
+    # doc 3 duplicates doc 1 -> pair (1,3)
+    ins = spark.createDataFrame(
+        [(3, base + " extra", "I")], "doc_id long, text string, op string"
+    )
+    assert _rows(idx.apply_changes(ins, epoch_id=1)) == [(1, 3)]
+
+    # doc 1 is re-crawled with unrelated text: its old shingles must not
+    # match doc 4 (a copy of the OLD doc 1); doc 4 still pairs with doc 3
+    upd = spark.createDataFrame(
+        [(1, other + " revised", "U")], "doc_id long, text string, op string"
+    )
+    idx.apply_changes(upd, epoch_id=2)
+    ins4 = spark.createDataFrame(
+        [(4, base, "I")], "doc_id long, text string, op string"
+    )
+    pairs = _rows(idx.apply_changes(ins4, epoch_id=3))
+    assert (3, 4) in pairs and all(1 not in p for p in pairs)
+
+    # delete doc 3: a new copy (doc 5) pairs only with the live doc 4
+    d3 = spark.createDataFrame(
+        [(3, None, "D")], "doc_id long, text string, op string"
+    )
+    idx.apply_changes(d3, epoch_id=4)
+    ins5 = spark.createDataFrame(
+        [(5, base + " more", "I")], "doc_id long, text string, op string"
+    )
+    pairs5 = _rows(idx.apply_changes(ins5, epoch_id=5))
+    assert (4, 5) in pairs5 and all(3 not in p for p in pairs5)
+
+    # redelivered epoch: identical pairs, no state change
+    again = _rows(idx.apply_changes(ins5, epoch_id=5))
+    assert again == pairs5
