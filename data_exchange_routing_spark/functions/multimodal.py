@@ -130,6 +130,7 @@ def sniff_decode_meta(payload: bytes) -> tuple[int | None, int | None, int | Non
     the generic path no longer needs a trusted ``kind`` column):
 
     - ``BM``            -> 24-bit BMP: (width, height, 1)
+    - ``\\x89PNG``       -> 8-bit RGB/RGBA PNG: (width, height, 1)
     - ``RIFF..WAVE``    -> 16-bit PCM WAV: (None, None, n sample frames —
       "frame" in the audio sense: one sample across channels)
     - ``GIF87a/GIF89a`` -> animated GIF: (width, height, n frames)
@@ -140,6 +141,9 @@ def sniff_decode_meta(payload: bytes) -> tuple[int | None, int | None, int | Non
     b = bytes(payload)
     if b[:2] == b"BM":
         w, h, _px = decode_bmp(b)
+        return (w, h, 1)
+    if b[:8] == _PNG_SIG:
+        w, h, _px, _ch = decode_png(b)
         return (w, h, 1)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         _rate, ch, pcm = decode_wav(b)
@@ -727,3 +731,225 @@ def gif_frame_stats(frames_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return frames_df.mapInPandas(op, GIF_FRAME_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------- PNG codec
+# Real, dependency-free codec for the one compressed still-image format the
+# stdlib can fully express: PNG is DEFLATE-based (zlib) + per-scanline
+# byte filters (spec: RFC 2083). Supports 8-bit truecolor (RGB, color type
+# 2) and truecolor+alpha (RGBA, type 6), non-interlaced, all five scanline
+# filters, multi-IDAT streams, CRC-validated chunks. The encoder can write
+# MIXED per-row filters (row % 5) at zlib level 0 (stored blocks), which
+# makes the file size closed-form for the SQL oracle while forcing the
+# decoder to exercise every unfilter type on real bytes.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels, filter_mode: str = "mixed", level: int = 0) -> bytes:
+    """numpy uint8 (H, W, 3|4) -> PNG bytes. ``filter_mode``: "none" writes
+    filter 0 everywhere; "mixed" writes filter ``y % 5`` so a decode gate
+    proves all five unfilters. ``level=0`` (stored DEFLATE) keeps the byte
+    size closed-form: 68 + H*(1 + bpp*W) for payloads under one block."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError(f"PNG encoder supports RGB/RGBA, got {ch} channels")
+    color_type = 2 if ch == 3 else 6
+    bpp = ch
+    raw = bytearray()
+    prev = bytes(bpp * w)
+    for y in range(h):
+        row = px[y].tobytes()
+        ft = 0 if filter_mode == "none" else y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(len(row))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(row))
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """PNG bytes -> (width, height, numpy uint8 (H, W, C), channels).
+    Full chunk walk with CRC validation, multi-IDAT concatenation, zlib
+    inflate, and all five scanline unfilters. Raises ValueError on
+    non-PNG bytes, CRC mismatch, or unsupported variants (bit depth != 8,
+    palette/gray color types, interlacing)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, "
+            f"interlace={interlace}); this decoder covers 8-bit RGB/RGBA"
+        )
+    bpp = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + bpp * w
+    if len(raw) != stride * h:
+        raise ValueError(f"PNG data length {len(raw)} != expected {stride * h}")
+    out = np.zeros((h, bpp * w), dtype=np.uint8)
+    prev = bytes(bpp * w)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = bytearray(raw[y * stride + 1 : (y + 1) * stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, len(line)):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(line)):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = bytes(line)
+    return w, h, out.reshape(h, w, bpp).copy(), bpp
+
+
+def generate_png_media(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """REAL PNG payloads: dims w = 4 + id % 32, h = 4 + id % 16, pixel
+    (y, x, c) = (7x + 13y + id + 85c) % 256, mixed per-row filters, stored
+    DEFLATE — every byte of the file and every decoded pixel is pure
+    arithmetic, so the encode -> decode gate has an exact SQL oracle:
+    n_bytes = 68 + h*(1 + 3*w), px_sum = SUM over the closed-form pixels."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict = {"asset_id": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w, h = 4 + i % 32, 4 + i % 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [(7 * xx + 13 * yy + i + 85 * c) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows["asset_id"].append(i)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_png(px))
+                rows["meta"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, MEDIA_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "asset_id long, n_bytes long, width int, height int, channels int, px_sum long"
+)
+
+
+def extract_png_features(df: DataFrame) -> DataFrame:
+    """mapInPandas decode of real PNG bytes: dims from IHDR, px_sum from the
+    UNFILTERED pixel data — a wrong Sub/Up/Average/Paeth implementation
+    cannot pass, because the generator writes filter y % 5."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {
+                "asset_id": [], "n_bytes": [], "width": [], "height": [],
+                "channels": [], "px_sum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, px, ch = decode_png(b)
+                out["asset_id"].append(int(aid))
+                out["n_bytes"].append(len(b))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(int(px.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, PNG_FEATURE_SCHEMA)

@@ -3719,6 +3719,49 @@ def multimodal_gif_frames(spark, sf_dir):
     return gif_frame_stats(sample_gif_frames(media, every_nth=2))
 
 
+@q(
+    "multimodal_png_features",
+    # REAL compressed-image path with an exact closed-form oracle: payloads
+    # are genuine PNGs (zlib DEFLATE + per-scanline filters, pure-stdlib
+    # codec — functions/multimodal.py). The generator writes MIXED filters
+    # (row y uses filter y % 5) at stored-DEFLATE level 0, so (a) the byte
+    # size is closed-form (68 + h*(1 + 3*w)) and (b) px_sum can only match
+    # if all five unfilters (None/Sub/Up/Average/Paeth) reconstruct the
+    # exact pixel bytes: pixel(y, x, c) = (7x + 13y + id + 85c) % 256.
+    """
+    WITH dims AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(4 + vec_id % 32 AS INT) AS w,
+             CAST(4 + vec_id % 16 AS INT) AS h
+      FROM embeddings
+    ),
+    px AS (
+      SELECT d.vec_id, d.w, d.h,
+             SUM((7 * t2.x + 13 * t1.y + d.vec_id + 85 * t3.c) % 256) AS s
+      FROM dims d,
+           UNNEST(range(0, CAST(d.h AS BIGINT))) AS t1(y),
+           UNNEST(range(0, CAST(d.w AS BIGINT))) AS t2(x),
+           UNNEST(range(0, 3)) AS t3(c)
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_id AS asset_id,
+           CAST(68 + h * (1 + 3 * w) AS BIGINT) AS n_bytes,
+           w AS width, h AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(s AS BIGINT) AS px_sum
+    FROM px
+    """,
+)
+def multimodal_png_features(spark, sf_dir):
+    from data_exchange_routing_spark.functions.multimodal import (
+        extract_png_features,
+        generate_png_media,
+    )
+
+    media = generate_png_media(ld(spark, sf_dir, "embeddings").select("vec_id"))
+    return extract_png_features(media)
+
+
 # =====================================================================
 # 5. Relational breadth: subqueries, cube/grouping sets, set ops,
 #    analytic windows, as-of + range joins (beyond-reference per brief)
