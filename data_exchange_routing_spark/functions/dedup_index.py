@@ -68,9 +68,13 @@ class NearDupIndex:
         self.bands = bands
         self.table = LakeTable.load(spark, path)
         tomb_path = os.path.join(path, "_tombstones")
-        if not os.path.isdir(tomb_path):  # pre-CDC index layouts upgrade lazily
+        try:  # pre-CDC index layouts upgrade lazily; load-first (not an
+            # isdir probe) so a crash mid-create leaves a retryable state
+            # instead of a directory that shadows every later create
+            self.tombstones = LakeTable.load(spark, tomb_path)
+        except FileNotFoundError:
             LakeTable.create(spark, tomb_path, _TOMB_SCHEMA)
-        self.tombstones = LakeTable.load(spark, tomb_path)
+            self.tombstones = LakeTable.load(spark, tomb_path)
 
     @classmethod
     def create(
@@ -147,15 +151,21 @@ class NearDupIndex:
         When no tombstone was ever written (version 1 = the create
         snapshot) the read is returned unchanged — the pre-CDC plan."""
         all_rows = self.table.read()
-        if self.tombstones.current_version() <= 1:
+        snap = self.tombstones.snapshot()
+        if snap.version <= 1:
             return all_rows
         tomb = (
             self.tombstones.read()
             .groupBy("doc_id")
             .agg(F.max("upto").alias("_upto"))
         )
+        # manifest-only row total decides the join strategy: broadcast while
+        # the delete/update set is small, shuffle join once it isn't (and a
+        # deployment there should compact the sidecar away)
+        if sum(e.get("rows", 0) for e in snap.files) < 2_000_000:
+            tomb = F.broadcast(tomb)
         return (
-            all_rows.join(F.broadcast(tomb), "doc_id", "left")
+            all_rows.join(tomb, "doc_id", "left")
             .filter(F.col("_upto").isNull() | (F.col("epoch") > F.col("_upto")))
             .drop("_upto")
         )
@@ -184,7 +194,10 @@ class NearDupIndex:
             F.col(op_col).alias("_op"),
             F.col(text_col).alias("_text"),
         )
-        tomb = ch.select(
+        # only ops that can shadow existing band rows tombstone (updates
+        # kill <= epoch-1, deletes <= epoch); declared INSERTS write none,
+        # so an insert-heavy crawl feed never grows the sidecar O(corpus)
+        tomb = ch.filter(F.col("_op") != "I").select(
             "doc_id",
             F.when(F.col("_op") == "D", F.lit(epoch_id))
             .otherwise(F.lit(epoch_id - 1))

@@ -844,6 +844,10 @@ def decode_png(payload: bytes):
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
+        if pos + 12 + length > len(b):
+            raise ValueError(
+                f"truncated PNG: chunk at {pos} declares {length} bytes past EOF"
+            )
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + length)

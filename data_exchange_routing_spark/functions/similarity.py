@@ -831,17 +831,42 @@ def _live_filter(spark, pruned: DataFrame, path: str, meta: dict) -> DataFrame:
     Indexes never touched by apply_changes return the scan unchanged."""
     import os
 
-    if meta.get("applied_epochs"):
+    # legacy corpora (persisted before the maintenance feature) lack iseq;
+    # their rows are all pre-maintenance, i.e. sequence 0. Handles both a
+    # wholly-old corpus (column absent) and a mixed one (nulls after adds).
+    if "iseq" not in pruned.columns:
+        pruned = pruned.withColumn("iseq", F.lit(0).cast("long"))
+    else:
+        pruned = pruned.withColumn("iseq", F.coalesce(F.col("iseq"), F.lit(0)))
+    # crash-window duplicate collapse is gated on ON-DISK evidence that a
+    # maintenance epoch ever started — applied_epochs alone misses the
+    # double-crash case (corpus appended twice, meta never committed), so
+    # the per-epoch inflight markers (written before the corpus append,
+    # removed after the meta commit) count too
+    maintained = bool(meta.get("applied_epochs")) or any(
+        n.startswith("inflight-epoch-") for n in os.listdir(path)
+    )
+    if maintained:
         pruned = pruned.dropDuplicates(["vid", "iseq"])
     tdir = _tombstone_dir(path)
     if os.path.isdir(tdir) and any(
         n.endswith(".parquet") for n in os.listdir(tdir)
     ):
+        # broadcast only while the sidecar is broadcast-sized; a deployment
+        # whose delete/update set outgrows it falls back to a shuffled join
+        # (and should run index_compact, which folds tombstones away)
+        tomb_bytes = sum(
+            os.path.getsize(os.path.join(tdir, n))
+            for n in os.listdir(tdir)
+            if n.endswith(".parquet")
+        )
         tomb = (
             spark.read.parquet(tdir).groupBy("vid").agg(F.max("upto").alias("_upto"))
         )
+        if tomb_bytes < 64 << 20:
+            tomb = F.broadcast(tomb)
         pruned = (
-            pruned.join(F.broadcast(tomb), "vid", "left")
+            pruned.join(tomb, "vid", "left")
             .filter(F.col("_upto").isNull() | (F.col("iseq") > F.col("_upto")))
             .drop("_upto")
         )
@@ -1178,15 +1203,27 @@ def _index_apply_changes(
     guarantees it; sync_index_from_changefeed drives this)."""
     import os
 
+    import os
+
     meta = _index_meta(path, kind)
     if epoch_id in set(meta.get("applied_epochs", [])):
         return {"skipped": True, "epoch_id": epoch_id}
+    # per-epoch inflight marker: lets _live_filter detect the double-crash
+    # window (corpus appended, meta never committed) even when
+    # applied_epochs is still empty
+    inflight = os.path.join(path, f"inflight-epoch-{epoch_id}")
+    with open(inflight, "w") as f:
+        f.write("")
     ch = changes.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(op_col).alias("_op"),
         F.col(vec_col).alias("_vec"),
     )
-    tomb = ch.select(
+    # tombstones only for ops that can shadow an existing row: updates kill
+    # iseq <= epoch-1, deletes kill <= epoch. Declared INSERTS write none —
+    # an insert-heavy feed must not grow the sidecar O(corpus) (callers that
+    # cannot distinguish I from U pass "U"; correct either way, just larger)
+    tomb = ch.filter(F.col("_op") != "I").select(
         "vid",
         F.when(F.col("_op") == "D", F.lit(epoch_id))
         .otherwise(F.lit(epoch_id - 1))
@@ -1202,11 +1239,19 @@ def _index_apply_changes(
         ivf_index_add(spark, path, ups, id_col=id_col, vec_col=vec_col, iseq=epoch_id)
     else:
         ivfpq_index_add(spark, path, ups, id_col=id_col, vec_col=vec_col, iseq=epoch_id)
-    meta = _index_meta(path, kind)  # re-read: adds never mutate meta, but
-    # a concurrent compact may have advanced corpus_rel; the epoch list is
-    # the only key this writer owns
+    # NOTE: maintenance writers are SERIALIZED by contract — apply_changes
+    # and index_compact must never run concurrently on one index (a compact
+    # scanning between this epoch's append and its meta commit would rewrite
+    # the corpus without these rows and then drop them with the old
+    # generation). Same single-maintainer rule the lake's maintain() cycle
+    # documents for rewrite operations.
+    meta = _index_meta(path, kind)
     meta["applied_epochs"] = sorted(set(meta.get("applied_epochs", [])) | {epoch_id})
     _index_meta_write(path, kind, meta)
+    try:
+        os.unlink(inflight)
+    except OSError:
+        pass
     return {"skipped": False, "epoch_id": epoch_id}
 
 
@@ -1236,7 +1281,9 @@ def index_compact(spark, path: str, kind: str = "ivf") -> dict:
     compaction has iseq > every upto that targeted its vid), so a crash
     between the flip and the cleanup changes nothing for readers. Run on the
     same cadence as the lake's maintain() cycle once the broadcast tombstone
-    relation grows past ~10 MB."""
+    relation grows past ~10 MB. MUST NOT run concurrently with
+    apply_changes (single-maintainer contract — see _index_apply_changes);
+    concurrent SEARCHES are fine up to the old generation's removal."""
     import os
     import shutil
     import uuid as _uuid
@@ -1254,6 +1301,19 @@ def index_compact(spark, path: str, kind: str = "ivf") -> dict:
     _index_meta_write(path, kind, meta)
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
+    # stale inflight markers of COMMITTED epochs (crash after meta commit,
+    # before marker unlink) are folded away with the duplicates they guarded;
+    # markers of genuinely uncommitted epochs stay (their duplicates, if
+    # any, were collapsed by the live rewrite, but redelivery will append
+    # again and must stay guarded)
+    applied = set(meta.get("applied_epochs", []))
+    for n in os.listdir(path):
+        if n.startswith("inflight-epoch-"):
+            try:
+                if int(n.rsplit("-", 1)[1]) in applied:
+                    os.unlink(os.path.join(path, n))
+            except (ValueError, OSError):
+                pass
     return {"corpus_rel": new_rel, "dropped": old_rel}
 
 

@@ -494,7 +494,11 @@ class Warehouse:
                     try:
                         newest = max(newest, os.path.getmtime(marker))
                     except OSError:
-                        pass
+                        # marker vanished since the snapshot: the epoch
+                        # committed and cleared it DURING our reference walk,
+                        # so its manifests may post-date `referenced`. Skip —
+                        # the next cycle sees a consistent unmarked state.
+                        continue
                     for root, _dirs, names in os.walk(full_dir):
                         for nm in names:
                             try:

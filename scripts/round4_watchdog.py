@@ -89,8 +89,12 @@ def bench_beat_r01(repo: str) -> bool:
 def main() -> None:
     max_attempts = 12
     if "--max-attempts" in sys.argv:
-        max_attempts = int(sys.argv[sys.argv.index("--max-attempts") + 1])
+        idx = sys.argv.index("--max-attempts") + 1
+        if idx >= len(sys.argv):
+            raise SystemExit("--max-attempts needs a value")
+        max_attempts = int(sys.argv[idx])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     for attempt in range(max_attempts):
         need_scaling = not scaling_passed(repo)
         need_bench = not bench_beat_r01(repo)

@@ -1397,6 +1397,10 @@ def test_png_codec_roundtrip_and_real_decode():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF not a png")
+    # truncation is a ValueError too (quarantine path), never struct.error
+    whole = encode_png(rgb)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(whole[:40])
     # unsupported channel count at encode time
     with pytest.raises(ValueError, match="RGB/RGBA"):
         encode_png(np.zeros((4, 4, 2), dtype=np.uint8))
