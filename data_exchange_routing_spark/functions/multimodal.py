@@ -869,7 +869,12 @@ def decode_png(payload: bytes):
             f"interlace={interlace}); this decoder covers 8-bit RGB/RGBA"
         )
     bpp = 3 if color_type == 2 else 4
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("truncated PNG: no IDAT data before EOF")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from None
     stride = 1 + bpp * w
     if len(raw) != stride * h:
         raise ValueError(f"PNG data length {len(raw)} != expected {stride * h}")
