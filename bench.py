@@ -465,9 +465,14 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
             )
             out = tempfile.mktemp(suffix=".json")
             total_cores = n_exec * exec_cores
+            # per-executor memory is FIXED across levels (a real cluster's
+            # aggregate memory scales with executor count — exactly the
+            # north rule's setup); larger inputs need more via env
+            exec_mb = int(os.environ.get("BENCH_EXEC_MEM_MB", "6144"))
+            xms_g = max(1, exec_mb // 1024 - 1)
             env = dict(
                 os.environ,
-                SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},{exec_cores},6144]",
+                SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},{exec_cores},{exec_mb}]",
                 SPARK_GRAFT_CPUS=str(total_cores),
                 SPARK_GRAFT_DRIVER_MEM="8g",
                 SPARK_GRAFT_DRIVER_XMS="8g",
@@ -476,13 +481,13 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
             subprocess.run(
                 [
                     spark_submit,
-                    "--master", f"local-cluster[{n_exec},{exec_cores},6144]",
+                    "--master", f"local-cluster[{n_exec},{exec_cores},{exec_mb}]",
                     "--py-files", zip_path,
                     "--driver-memory", "8g",
-                    "--conf", "spark.executor.memory=6g",
+                    "--conf", f"spark.executor.memory={exec_mb}m",
                     # executor JVMs pre-touch their full heap at launch so
                     # the degraded-paging tax lands outside timed runs
-                    "--conf", "spark.executor.extraJavaOptions=-Xms5g -XX:+AlwaysPreTouch",
+                    "--conf", f"spark.executor.extraJavaOptions=-Xms{xms_g}g -XX:+AlwaysPreTouch",
                     __file__,
                     "--cdc-only", "--cores", str(total_cores),
                     "--events-dir", events_dir, "--json-out", out,

@@ -115,6 +115,7 @@ def main() -> None:
                 BENCH_CDC_EVENTS=SCALING_EVENTS,
                 BENCH_REPEATS="2",
                 BENCH_EXEC_CORES="2",
+                BENCH_EXEC_MEM_MB="8192",
                 BENCH_SCALING_WAIT_SEC="900",
             )
             subprocess.run(
