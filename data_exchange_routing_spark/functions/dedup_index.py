@@ -209,3 +209,26 @@ class NearDupIndex:
             F.col("doc_id").alias(id_col), F.col("_text").alias(text_col)
         )
         return self.check_and_add(ups, epoch_id, id_col=id_col, text_col=text_col)
+
+    def live_pairs(self) -> DataFrame:
+        """ALL near-dup candidate pairs among the LIVE corpus (doc_a <
+        doc_b): the standard banded bucket self-join over the tombstone-
+        filtered band rows — sub-quadratic (collisions only), never
+        all-pairs. This is the retraction-aware view: pairs involving
+        deleted docs vanish, and an updated doc pairs only via its CURRENT
+        shingles — the check the per-epoch ``apply_changes`` deltas cannot
+        give (they only report pairs involving that epoch's docs)."""
+        live = self._live_rows()
+        a, b = live.alias("a"), live.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )

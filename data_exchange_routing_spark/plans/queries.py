@@ -718,12 +718,12 @@ def doc_jaccard_pairs(spark, sf_dir):
     return DT.jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.05)
 
 
-def _shingle_sql(n: int = DT.SHINGLE_N) -> str:
+def _shingle_sql(n: int = DT.SHINGLE_N, source: str = "documents") -> str:
     norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
     return f"""
       SELECT DISTINCT doc_id,
              array_to_string((string_split({norm}, ' '))[i + 1:i + {n}], ' ') AS shingle
-      FROM documents,
+      FROM {source},
            UNNEST(range(greatest(len(string_split({norm}, ' ')) - {n - 1}, 0))) AS t(i)
     """
 
@@ -807,10 +807,17 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
     return DT.minhash_lsh_candidates(ld(spark, sf_dir, "documents"))
 
 
-def _lsh_pairs_sql(k: int = DT.MINHASH_K, bands: int = DT.LSH_BANDS) -> str:
+def _lsh_pairs_sql(
+    k: int = DT.MINHASH_K,
+    bands: int = DT.LSH_BANDS,
+    source: str = "documents",
+    prelude: str = "",
+) -> str:
+    """``prelude`` injects extra leading CTEs (must end with a comma) so a
+    caller can band over a derived document set, e.g. a CDC final state."""
     rpb = k // bands
     return f"""
-    WITH sh AS ({_shingle_sql()}),
+    WITH {prelude}sh AS ({_shingle_sql(source=source)}),
     hashes AS ({_mh_hashes_sql(k)}),
     banded AS (
       SELECT doc_id, (j // {rpb}) AS band,
@@ -849,6 +856,52 @@ def doc_incremental_lsh_pairs(spark, sf_dir):
 
 
 ORACLE["doc_incremental_lsh_pairs"] = _lsh_pairs_sql()
+
+
+@q(
+    "doc_lsh_cdc_pairs",
+    # Retraction-aware near-dup pairs after a CDC history: docs %13 deleted,
+    # docs %11 re-crawled with appended text. The oracle re-bands the FINAL
+    # document set from scratch; the engine answers from the incrementally
+    # maintained index (tombstones + per-epoch appends) — stale shingles of
+    # updated docs and every pair of a deleted doc must be gone.
+    _lsh_pairs_sql(
+        source="fin",
+        prelude=(
+            "fin AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 "
+            "THEN text || ' revised in the eleventh crawl cycle' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0), "
+        ),
+    ),
+)
+def doc_lsh_cdc_pairs(spark, sf_dir):
+    """CDC-consistent LSH index (VERDICT r03 item 4, document side): build
+    the corpus in one epoch, update the %11 docs (their OLD band rows are
+    tombstoned — the re-crawled text must stop matching), delete the %13
+    docs, then read ALL live pairs from the index. Exact twin: one-shot
+    banding over the reconstructed final state."""
+    import tempfile
+
+    from data_exchange_routing_spark.functions.dedup_index import NearDupIndex
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = NearDupIndex.create(spark, tempfile.mkdtemp(prefix="lshcdc-") + "/idx")
+    idx.apply_changes(
+        docs.withColumn("op", F.lit("I")), epoch_id=0
+    )
+    upd = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" revised in the eleventh crawl cycle")).alias(
+            "text"
+        ),
+        F.lit("U").alias("op"),
+    )
+    idx.apply_changes(upd, epoch_id=1)
+    dels = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text", F.lit("D").alias("op")
+    )
+    idx.apply_changes(dels, epoch_id=2)
+    return idx.live_pairs()
 
 
 @q(
