@@ -544,8 +544,12 @@ def test_real_bmp_feature_and_resize_pipeline(spark):
     f2 = {r["asset_id"]: r for r in extract_media_features(lied, use_fake_decoder=False).collect()}
     assert (f2[0]["width"], f2[0]["height"], f2[0]["n_frames"]) == (4, 4, 1)
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="no codec"):
+    # PNG magic is now a KNOWN codec (round 4): garbage after the signature
+    # is a corrupt payload (ValueError), not an unknown format
+    with _pytest.raises(ValueError):
         sniff_decode_meta(b"\x89PNG\r\n\x1a\n garbage")
+    with _pytest.raises(NotImplementedError, match="no codec"):
+        sniff_decode_meta(b"\xff\xd8\xff\xe0 jpeg has no in-env codec")
 
     resized = {r["asset_id"]: r for r in resize_images(media, 8, 6, use_fake_decoder=False).collect()}
     for i in (0, 7, 33):
