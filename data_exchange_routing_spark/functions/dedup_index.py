@@ -91,12 +91,32 @@ class NearDupIndex:
             cfg = json.load(f)
         return cls(spark, path, cfg["k"], cfg["bands"])
 
-    def compact(self, n_files: int = 1) -> dict:
+    def compact(self, n_files: int = 1, fold_tombstones: bool = True) -> dict:
         """Fold the per-epoch band-row files into ``n_files`` base files,
         cluster-sorted by (band, band_hash) so row-group stats tighten.
         Run periodically (e.g. every K epochs) to keep the probe scan
-        O(n_files) instead of O(epochs)."""
-        return self.table.rewrite_files(n_files=n_files, sort_by=["band", "band_hash"])
+        O(n_files) instead of O(epochs).
+
+        ``fold_tombstones`` additionally applies the tombstone filter AS the
+        rewrite (a read-equivalent fold: every probe already reads through
+        ``_live_rows``) and then empties the tombstone table — the sidecar
+        returns to O(0) instead of growing with update/delete history.
+        Tombstone application is idempotent against an epoch-preserving
+        rewrite (surviving rows have epoch > every upto that targeted their
+        doc), so a crash between the two rewrites changes nothing for
+        readers. Single-maintainer contract: never run concurrently with
+        ``apply_changes`` (same rule as every lake rewrite)."""
+        fold = fold_tombstones and self.tombstones.current_version() > 1
+        res = self.table.rewrite_files(
+            n_files=n_files,
+            sort_by=["band", "band_hash"],
+            transform=(lambda _df: self._live_rows()) if fold else None,
+        )
+        if fold and not res.get("skipped"):
+            self.tombstones.rewrite_files(
+                n_files=1, transform=lambda df: df.limit(0)
+            )
+        return res
 
     def check_and_add(
         self,
@@ -152,7 +172,9 @@ class NearDupIndex:
         snapshot) the read is returned unchanged — the pre-CDC plan."""
         all_rows = self.table.read()
         snap = self.tombstones.snapshot()
-        if snap.version <= 1:
+        n_tomb = sum(e.get("rows", 0) for e in snap.files)
+        if snap.version <= 1 or n_tomb == 0:
+            # never written, or emptied by a compact(fold_tombstones=True)
             return all_rows
         tomb = (
             self.tombstones.read()
@@ -162,7 +184,7 @@ class NearDupIndex:
         # manifest-only row total decides the join strategy: broadcast while
         # the delete/update set is small, shuffle join once it isn't (and a
         # deployment there should compact the sidecar away)
-        if sum(e.get("rows", 0) for e in snap.files) < 2_000_000:
+        if n_tomb < 2_000_000:
             tomb = F.broadcast(tomb)
         return (
             all_rows.join(tomb, "doc_id", "left")
