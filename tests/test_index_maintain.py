@@ -266,3 +266,40 @@ def test_neardup_index_apply_changes(spark):
     # redelivered epoch: identical pairs, no state change
     again = _rows(idx.apply_changes(ins5, epoch_id=5))
     assert again == pairs5
+
+
+def test_neardup_compact_folds_tombstones(spark):
+    """compact(fold_tombstones=True): pairs identical before/after, the
+    sidecar empties, and maintenance keeps working on the folded index."""
+    from data_exchange_routing_spark.functions.dedup_index import NearDupIndex
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    other = "completely different text about spark partitions and shuffle planning"
+    root = tempfile.mkdtemp(prefix="ndfold_") + "/idx"
+    idx = NearDupIndex.create(spark, root, k=32, bands=8)
+    docs = spark.createDataFrame(
+        [(1, base, "I"), (2, other, "I"), (3, base + " x", "I")],
+        "doc_id long, text string, op string",
+    )
+    idx.apply_changes(docs, epoch_id=0)
+    idx.apply_changes(
+        spark.createDataFrame([(3, None, "D")], "doc_id long, text string, op string"),
+        epoch_id=1,
+    )
+    before = _rows(idx.live_pairs())
+    res = idx.compact(fold_tombstones=True)
+    assert not res.get("skipped")
+    assert sum(e.get("rows", 0) for e in idx.tombstones.snapshot().files) == 0
+    assert _rows(idx.live_pairs()) == before
+    # folded band table holds only live docs' rows
+    assert idx.table.read().filter("doc_id = 3").count() == 0
+    # post-fold maintenance: a new copy of doc 1 still pairs with it
+    pairs = _rows(
+        idx.apply_changes(
+            spark.createDataFrame(
+                [(4, base + " y", "I")], "doc_id long, text string, op string"
+            ),
+            epoch_id=2,
+        )
+    )
+    assert (1, 4) in pairs and all(3 not in p for p in pairs)
