@@ -469,7 +469,10 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
             # aggregate memory scales with executor count — exactly the
             # north rule's setup); larger inputs need more via env
             exec_mb = int(os.environ.get("BENCH_EXEC_MEM_MB", "6144"))
-            xms_g = max(1, exec_mb // 1024 - 1)
+            # Xms must never exceed the executor Xmx (= exec_mb): pre-touch
+            # most of the heap but leave headroom, floored safely for small
+            # smoke values
+            xms_mb = max(min(256, exec_mb), exec_mb - 1024)
             env = dict(
                 os.environ,
                 SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},{exec_cores},{exec_mb}]",
@@ -487,7 +490,7 @@ def main_scaling_executors(n_lo: int = 1, n_hi: int = 4, exec_cores: int = 4, pa
                     "--conf", f"spark.executor.memory={exec_mb}m",
                     # executor JVMs pre-touch their full heap at launch so
                     # the degraded-paging tax lands outside timed runs
-                    "--conf", f"spark.executor.extraJavaOptions=-Xms{xms_g}g -XX:+AlwaysPreTouch",
+                    "--conf", f"spark.executor.extraJavaOptions=-Xms{xms_mb}m -XX:+AlwaysPreTouch",
                     __file__,
                     "--cdc-only", "--cores", str(total_cores),
                     "--events-dir", events_dir, "--json-out", out,

@@ -106,7 +106,15 @@ class NearDupIndex:
         doc), so a crash between the two rewrites changes nothing for
         readers. Single-maintainer contract: never run concurrently with
         ``apply_changes`` (same rule as every lake rewrite)."""
-        fold = fold_tombstones and self.tombstones.current_version() > 1
+        # fold only when tombstone ROWS exist (manifest-only count): an
+        # insert-only history bumps the sidecar's version with empty
+        # epoch-guard appends, and the non-transform rewrite path should be
+        # taken then — it preserves row-lineage ids and skips the pointless
+        # sidecar rewrite
+        n_tomb = sum(
+            e.get("rows", 0) for e in self.tombstones.snapshot().files
+        )
+        fold = fold_tombstones and n_tomb > 0
         res = self.table.rewrite_files(
             n_files=n_files,
             sort_by=["band", "band_hash"],

@@ -971,7 +971,13 @@ def ivf_index_search(
         queries, id_col=id_col, vec_col=vec_col, centroids=centroids, n_probe=n_probe
     ).select("vid", "vec", "vnorm", "centroid_id").collect()
     probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
-    corpus = spark.read.parquet(os.path.join(path, meta.get("corpus_rel", "corpus")))
+    # mergeSchema: a corpus whose older files predate the iseq column must
+    # surface it as NULL on those rows (coalesced to 0 in _live_filter) —
+    # single-footer inference could otherwise drop the column entirely and
+    # mis-stamp fresh rows as sequence 0
+    corpus = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, meta.get("corpus_rel", "corpus"))
+    )
     pruned = _live_filter(
         spark, corpus.filter(F.col("centroid_id").isin(probe_ids)), path, meta
     )
@@ -1131,9 +1137,9 @@ def ivfpq_index_search(
     )
     corpus = _live_filter(
         spark,
-        spark.read.parquet(os.path.join(path, meta.get("corpus_rel", "corpus"))).filter(
-            F.col("centroid_id").isin(probe_ids)
-        ),
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(path, meta.get("corpus_rel", "corpus")))
+        .filter(F.col("centroid_id").isin(probe_ids)),
         path,
         meta,
     )
@@ -1201,8 +1207,6 @@ def _index_apply_changes(
          redelivery is a no-op.
     Epochs must be applied in increasing order (the change-feed cursor
     guarantees it; sync_index_from_changefeed drives this)."""
-    import os
-
     import os
 
     meta = _index_meta(path, kind)
@@ -1291,8 +1295,17 @@ def index_compact(spark, path: str, kind: str = "ivf") -> dict:
     meta = _index_meta(path, kind)
     old_rel = meta.get("corpus_rel", "corpus")
     old_dir = os.path.join(path, old_rel)
+    # reclaim orphaned generations first: a crash between a previous
+    # compact's write and its meta flip (or flip and cleanup) leaves a
+    # corpus-sized directory nothing references; single-maintainer contract
+    # makes anything that isn't the CURRENT corpus_rel safe to drop
+    for n in os.listdir(path):
+        if (n == "corpus" or n.startswith("corpus-")) and n != old_rel:
+            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
     new_rel = f"corpus-{_uuid.uuid4().hex[:8]}"
-    live = _live_filter(spark, spark.read.parquet(old_dir), path, meta)
+    live = _live_filter(
+        spark, spark.read.option("mergeSchema", "true").parquet(old_dir), path, meta
+    )
     live.write.partitionBy("centroid_id").mode("errorifexists").parquet(
         os.path.join(path, new_rel)
     )
@@ -1301,18 +1314,17 @@ def index_compact(spark, path: str, kind: str = "ivf") -> dict:
     _index_meta_write(path, kind, meta)
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
-    # stale inflight markers of COMMITTED epochs (crash after meta commit,
-    # before marker unlink) are folded away with the duplicates they guarded;
-    # markers of genuinely uncommitted epochs stay (their duplicates, if
-    # any, were collapsed by the live rewrite, but redelivery will append
-    # again and must stay guarded)
-    applied = set(meta.get("applied_epochs", []))
+    # ALL inflight markers clear here: the live rewrite just collapsed every
+    # duplicate regardless of its epoch's fate, so the post-compact corpus
+    # is duplicate-free. A later redelivery of an uncommitted epoch writes
+    # its own fresh marker before appending, restoring the guard — while an
+    # abandoned failed epoch no longer taxes every future search with a
+    # permanent dedup shuffle.
     for n in os.listdir(path):
         if n.startswith("inflight-epoch-"):
             try:
-                if int(n.rsplit("-", 1)[1]) in applied:
-                    os.unlink(os.path.join(path, n))
-            except (ValueError, OSError):
+                os.unlink(os.path.join(path, n))
+            except OSError:
                 pass
     return {"corpus_rel": new_rel, "dropped": old_rel}
 
