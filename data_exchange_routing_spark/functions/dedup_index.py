@@ -262,3 +262,46 @@ class NearDupIndex:
             )
             .distinct()
         )
+
+
+def sync_neardup_from_changefeed(
+    consumer,
+    index: NearDupIndex,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Drive near-dup index maintenance from a lake table's change feed —
+    the document-side twin of similarity.sync_index_from_changefeed: crawled
+    pages land in a keyed lake table (exactly-once), this consumer tails its
+    feed into the LSH band index, and ``live_pairs`` then reflects exactly
+    the table's resolved state (updates retract old shingles, deletes
+    retract docs). ``consumer`` must be created ``with_internal=True``;
+    multi-version ranges resolve last-writer per key with the source's
+    (warc_ts, lsn) ordering. Epoch id = range to_version; redelivery hits
+    the index tables' epoch guards (both lake-table appends are
+    independently idempotent)."""
+    from pyspark.sql import Window as _W
+
+    def fn(changes: DataFrame, _from_v: int, to_v: int) -> None:
+        if "_lsn" not in changes.columns:
+            raise ValueError(
+                "sync_neardup_from_changefeed needs the internal CDC columns; "
+                "create the ChangeFeedConsumer with with_internal=True"
+            )
+        order = [F.desc("_lsn")]
+        if "warc_ts" in changes.columns:
+            order.insert(0, F.desc_nulls_last("warc_ts"))
+        w = _W.partitionBy(id_col).orderBy(*order)
+        last = (
+            changes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+            )
+        )
+        index.apply_changes(last, epoch_id=to_v, id_col=id_col, text_col=text_col)
+
+    return consumer.drain(fn)

@@ -303,3 +303,66 @@ def test_neardup_compact_folds_tombstones(spark):
         )
     )
     assert (1, 4) in pairs and all(3 not in p for p in pairs)
+
+
+def test_sync_neardup_from_changefeed(spark, tmpdir_path):
+    """Document-side changefeed sync: crawled pages in a keyed lake table;
+    the consumer tails updates+deletes into the NearDupIndex; live_pairs
+    reflects the table's resolved final state. Redelivery is a no-op."""
+    from data_exchange_routing_spark.functions.dedup_index import (
+        NearDupIndex,
+        sync_neardup_from_changefeed,
+    )
+    from data_exchange_routing_spark.lake.changefeed import ChangeFeedConsumer
+    from data_exchange_routing_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+    from datetime import datetime, timedelta
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    other = "completely different text about spark partitions and shuffle planning"
+
+    tpath = os.path.join(tmpdir_path, "docs_table")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    table = LakeTable.create(spark, tpath, schema, key="doc_id", n_buckets=4)
+    t0 = datetime(2024, 1, 1)
+
+    def batch(rows_, lsn0, deleted=False):
+        return spark.createDataFrame(
+            [
+                (i, t0 + timedelta(seconds=lsn0 + j), tx, lsn0 + j, deleted)
+                for j, (i, tx) in enumerate(rows_)
+            ],
+            "doc_id long, warc_ts timestamp, text string, _lsn long, _deleted boolean",
+        )
+
+    # doc 1 and 3 are near-dups; doc 2 unrelated
+    table.merge_cdc(
+        batch([(1, base), (2, other), (3, base + " x")], 0), epoch_id=0, source="t"
+    )
+    root = os.path.join(tmpdir_path, "ndidx")
+    idx = NearDupIndex.create(spark, root, k=32, bands=8)
+    consumer = ChangeFeedConsumer(spark, tpath, "nd-index", with_internal=True)
+    sync_neardup_from_changefeed(consumer, idx)
+    assert _rows(idx.live_pairs()) == [(1, 3)]
+
+    # update doc 1 away from the dup cluster; delete doc 3; insert doc 4 = base
+    table.merge_cdc(batch([(1, other + " v2"), (4, base + " y")], 100), epoch_id=1, source="t")
+    table.merge_cdc(batch([(3, None)], 200, deleted=True), epoch_id=2, source="t")
+    sync_neardup_from_changefeed(consumer, idx)
+    pairs = _rows(idx.live_pairs())
+    assert pairs == [] or all(p[0] != 3 and p[1] != 3 for p in pairs)
+    # doc 4 pairs with nothing (1 moved away, 3 deleted)… except itself-none
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+    # cursor-reset replay converges: the coarser range reapplies under a NEW
+    # to_version epoch (not a guard no-op), but tombstone-then-add LWW makes
+    # reapplication state-idempotent — the live view is unchanged
+    consumer.seek(1)
+    sync_neardup_from_changefeed(consumer, idx)
+    assert _rows(idx.live_pairs()) == pairs
