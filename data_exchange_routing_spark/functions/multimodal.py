@@ -209,16 +209,22 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_images(df: DataFrame, width: int, height: int, use_fake_decoder: bool = True) -> DataFrame:
     """Resize (mapInPandas, 1→1): output schema carries the new payload +
-    dims. The REAL path (use_fake_decoder=False) decodes BMP, resamples
-    nearest-neighbor in numpy, and re-encodes BMP — fully un-stubbed for
-    images. The fake path emits a deterministic digest-derived payload for
-    non-decodable media kinds."""
+    dims. The REAL path (use_fake_decoder=False) decodes BMP or PNG (magic
+    dispatch), resamples nearest-neighbor in numpy, and re-encodes in the
+    SAME container — fully un-stubbed for images. The fake path emits a
+    deterministic digest-derived payload for non-decodable media kinds."""
 
     def _real_resize(b):
         if b is None:
             return None
         import numpy as np
 
+        b = bytes(b)
+        if b[:8] == _PNG_SIG:
+            w0, h0, px, _ch = decode_png(b)
+            yi = np.arange(height) * h0 // height
+            xi = np.arange(width) * w0 // width
+            return encode_png(px[yi][:, xi])
         w0, h0, px = decode_bmp(b)
         yi = np.arange(height) * h0 // height
         xi = np.arange(width) * w0 // width

@@ -1435,3 +1435,31 @@ def test_real_png_feature_pipeline(spark):
             for c in range(3)
         )
         assert r["px_sum"] == expected
+
+
+def test_resize_images_handles_png(spark):
+    """Real-decoder resize dispatches PNG by magic and round-trips in the
+    same container: dims change, pixels follow nearest-neighbor."""
+    import numpy as np
+
+    from data_exchange_routing_spark.functions.multimodal import (
+        decode_png,
+        generate_png_media,
+        resize_images,
+    )
+
+    ids = spark.createDataFrame([(3,), (7,)], "vec_id long")
+    media = generate_png_media(ids)
+    out = {r["asset_id"]: r for r in resize_images(media, 8, 6, use_fake_decoder=False).collect()}
+    for i in (3, 7):
+        w, h, px, ch = decode_png(bytes(out[i]["payload"]))
+        assert (w, h, ch) == (8, 6, 3)
+        # nearest-neighbor from the closed-form source pixels
+        w0, h0 = 4 + i % 32, 4 + i % 16
+        yi = (np.arange(6) * h0) // 6
+        xi = (np.arange(8) * w0) // 8
+        expect = np.stack(
+            [(7 * xi[None, :] + 13 * yi[:, None] + i + 85 * c) % 256 for c in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+        assert np.array_equal(px, expect)
