@@ -111,3 +111,32 @@ def test_reload_and_continue(spark, tmp_path):
     full = _pairs(minhash_lsh_candidates(docs))
     want = {p for p in full if p[0] % 2 == 1 or p[1] % 2 == 1}
     assert got == want
+
+
+def test_corpus_side_never_shuffles_with_tombstones(spark, tmp_path):
+    """The MAINTAINED probe keeps the pre-CDC plan shape: the tombstone
+    filter joins in as a second BroadcastHashJoin, so the corpus-sized band
+    scan still reaches the pair probe without any hash-partition Exchange."""
+    docs = _docs(spark)
+    idx = NearDupIndex.create(spark, str(tmp_path / "idx"))
+    idx.apply_changes(
+        docs.filter(F.col("doc_id") < 100).withColumn("op", F.lit("I")), epoch_id=0
+    ).count()
+    idx.apply_changes(
+        docs.filter(F.col("doc_id") < 3).withColumn("op", F.lit("D")), epoch_id=1
+    ).count()
+    pairs = idx.apply_changes(
+        docs.filter(F.col("doc_id") >= 100).withColumn("op", F.lit("I")), epoch_id=2
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # The small relations may shuffle (tombstone agg on doc_id, the final
+    # pair distinct) — the CORPUS must not: no exchange keyed on the band
+    # join keys anywhere, and at most the tombstone agg's own doc_id
+    # exchange (a sort-merge fallback on either broadcast join would add
+    # corpus-sized exchanges on exactly these keys)
+    assert "hashpartitioning(band" not in plan, plan[:3000]
+    # the tombstone agg's own (tiny) doc_id exchange appears once per
+    # _live_rows subtree — corpus side and broadcast probe side — never more
+    # (a sort-merge fallback on either join would add corpus-sized ones)
+    assert plan.count("hashpartitioning(doc_id") <= 2, plan[:3000]
