@@ -1329,6 +1329,44 @@ def index_compact(spark, path: str, kind: str = "ivf") -> dict:
     return {"corpus_rel": new_rel, "dropped": old_rel}
 
 
+def index_maintain(
+    spark,
+    path: str,
+    kind: str = "ivf",
+    tombstone_budget_bytes: int = 64 << 20,
+    marker_budget: int = 8,
+) -> dict:
+    """Conditional maintenance — the ops-loop entry an operator calls on the
+    same cadence as the lake's ``maintain()``: compacts ONLY when the MoR
+    debt warrants a full rewrite. Triggers when the tombstone sidecar
+    outgrows ``tombstone_budget_bytes`` (the point where _live_filter's
+    forced broadcast stops being free) or when more than ``marker_budget``
+    inflight markers have accumulated (each keeps the per-search dedup
+    shuffle alive). Otherwise a cheap stat read, no Spark jobs."""
+    import os
+
+    tdir = _tombstone_dir(path)
+    tomb_bytes = 0
+    if os.path.isdir(tdir):
+        tomb_bytes = sum(
+            os.path.getsize(os.path.join(tdir, n))
+            for n in os.listdir(tdir)
+            if n.endswith(".parquet")
+        )
+    markers = sum(1 for n in os.listdir(path) if n.startswith("inflight-epoch-"))
+    if tomb_bytes <= tombstone_budget_bytes and markers <= marker_budget:
+        return {
+            "compacted": False,
+            "tombstone_bytes": tomb_bytes,
+            "inflight_markers": markers,
+        }
+    res = index_compact(spark, path, kind=kind)
+    res.update(
+        {"compacted": True, "tombstone_bytes": tomb_bytes, "inflight_markers": markers}
+    )
+    return res
+
+
 def sync_index_from_changefeed(
     consumer,
     path: str,

@@ -366,3 +366,23 @@ def test_sync_neardup_from_changefeed(spark, tmpdir_path):
     consumer.seek(1)
     sync_neardup_from_changefeed(consumer, idx)
     assert _rows(idx.live_pairs()) == pairs
+
+
+def test_index_maintain_compacts_only_when_debt_warrants(spark):
+    """index_maintain is a cheap no-op below budget; over budget it compacts
+    (folding tombstones + clearing markers) and searches are unchanged."""
+    root = tempfile.mkdtemp(prefix="idxmaint_") + "/idx"
+    final = _apply_standard_epochs(spark, root, "ivf")
+    queries = final.filter("vec_id < 6")
+    before = _rows(SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64))
+    # debt below both budgets: no rewrite happens
+    res = SIM.index_maintain(spark, root, kind="ivf")
+    assert res["compacted"] is False and res["tombstone_bytes"] > 0
+    # shrink the byte budget to force the compaction path
+    res2 = SIM.index_maintain(spark, root, kind="ivf", tombstone_budget_bytes=0)
+    assert res2["compacted"] is True
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    assert _rows(SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64)) == before
+    # post-compact: stats read back as zero debt
+    res3 = SIM.index_maintain(spark, root, kind="ivf")
+    assert res3 == {"compacted": False, "tombstone_bytes": 0, "inflight_markers": 0}
