@@ -102,8 +102,10 @@ def main() -> None:
             print("# both goals already met; done", flush=True)
             return
         while not sustained_healthy():
-            print("# waiting (degraded or busy); sleeping 120s", flush=True)
-            time.sleep(120)
+            # 45 s polling: this host's healthy windows can be minutes long,
+            # and a 120 s sleep plus the 3x20 s gate missed one this session
+            print("# waiting (degraded or busy); sleeping 45s", flush=True)
+            time.sleep(45)
         print(
             f"# attempt {attempt}: healthy window "
             f"(need_scaling={need_scaling} need_bench={need_bench})",
