@@ -386,3 +386,29 @@ def test_index_maintain_compacts_only_when_debt_warrants(spark):
     # post-compact: stats read back as zero debt
     res3 = SIM.index_maintain(spark, root, kind="ivf")
     assert res3 == {"compacted": False, "tombstone_bytes": 0, "inflight_markers": 0}
+
+
+@pytest.mark.parametrize("kind", ["ivf", "ivfpq"])
+def test_narrow_probe_recall_survives_maintenance(spark, kind):
+    """Production-shaped narrow probes on a MAINTAINED index keep recall:
+    the tombstone filter must not eat live candidates, and updated vectors
+    must be findable via their NEW list assignments."""
+    root = tempfile.mkdtemp(prefix=f"idxrec_{kind}_") + "/idx"
+    final = _apply_standard_epochs(spark, root, kind)
+    qids = [r["vec_id"] for r in final.filter("vec_id < 8").collect()]
+    queries = final.filter(F.col("vec_id").isin(qids))
+    want = {
+        (r["query_id"], r["nn_id"])
+        for r in SIM.brute_force_topk(final, query_ids=qids, k=3).collect()
+    }
+    if kind == "ivf":
+        got_df = SIM.ivf_index_search(spark, root, queries, k=3, n_probe=3)
+    else:
+        got_df = SIM.ivfpq_index_search(
+            spark, root, queries, k=3, n_probe=3, rerank=10_000_000
+        )
+    got = {(r["query_id"], r["nn_id"]) for r in got_df.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"post-maintenance narrow-probe recall {recall:.2f}"
+    # and still no stale/deleted ids even on the narrow path
+    assert all(nn % 7 != 0 for _q, nn in got)
