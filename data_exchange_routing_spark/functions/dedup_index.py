@@ -67,14 +67,35 @@ class NearDupIndex:
         self.k = k
         self.bands = bands
         self.table = LakeTable.load(spark, path)
-        tomb_path = os.path.join(path, "_tombstones")
-        try:  # pre-CDC index layouts upgrade lazily; load-first (not an
-            # isdir probe) so a crash mid-create leaves a retryable state
-            # instead of a directory that shadows every later create
-            self.tombstones = LakeTable.load(spark, tomb_path)
-        except FileNotFoundError:
-            LakeTable.create(spark, tomb_path, _TOMB_SCHEMA)
-            self.tombstones = LakeTable.load(spark, tomb_path)
+        self._tomb_path = os.path.join(path, "_tombstones")
+        self._tombstones: LakeTable | None = None  # resolved lazily
+
+    def _tomb_table(self, create: bool = False) -> "LakeTable | None":
+        """Tombstone sidecar, resolved LAZILY (r04 advice): merely opening a
+        pre-CDC index for read-only use (live_pairs on a replica or a
+        read-only mount) must not write. The sidecar is created by the
+        first tombstone WRITE (apply_changes); a missing sidecar reads as
+        'no tombstones'. Load-first (not an isdir probe) so a crash
+        mid-create leaves a retryable state instead of a directory that
+        shadows every later create."""
+        if self._tombstones is None:
+            try:
+                self._tombstones = LakeTable.load(self.spark, self._tomb_path)
+            except FileNotFoundError:
+                if not create:
+                    return None
+                LakeTable.create(self.spark, self._tomb_path, _TOMB_SCHEMA)
+                self._tombstones = LakeTable.load(self.spark, self._tomb_path)
+        return self._tombstones
+
+    @property
+    def tombstones(self) -> "LakeTable":
+        t = self._tomb_table()
+        if t is None:
+            raise FileNotFoundError(
+                f"no tombstone sidecar at {self._tomb_path} (none written yet)"
+            )
+        return t
 
     @classmethod
     def create(
@@ -111,8 +132,9 @@ class NearDupIndex:
         # epoch-guard appends, and the non-transform rewrite path should be
         # taken then — it preserves row-lineage ids and skips the pointless
         # sidecar rewrite
-        n_tomb = sum(
-            e.get("rows", 0) for e in self.tombstones.snapshot().files
+        tombs = self._tomb_table()
+        n_tomb = (
+            sum(e.get("rows", 0) for e in tombs.snapshot().files) if tombs else 0
         )
         fold = fold_tombstones and n_tomb > 0
         res = self.table.rewrite_files(
@@ -121,9 +143,7 @@ class NearDupIndex:
             transform=(lambda _df: self._live_rows()) if fold else None,
         )
         if fold and not res.get("skipped"):
-            self.tombstones.rewrite_files(
-                n_files=1, transform=lambda df: df.limit(0)
-            )
+            tombs.rewrite_files(n_files=1, transform=lambda df: df.limit(0))
         return res
 
     def check_and_add(
@@ -176,19 +196,19 @@ class NearDupIndex:
         """Band rows surviving the tombstones: epoch > max(upto) per doc.
         The aggregated tombstone relation is O(deleted/updated docs) and
         broadcast, so the corpus-sized band table still never shuffles.
-        When no tombstone was ever written (version 1 = the create
-        snapshot) the read is returned unchanged — the pre-CDC plan."""
+        When no tombstone was ever written (no sidecar, or version 1 = the
+        create snapshot) the read is returned unchanged — the pre-CDC
+        plan."""
         all_rows = self.table.read()
-        snap = self.tombstones.snapshot()
+        tombs = self._tomb_table()
+        if tombs is None:  # sidecar never created: read-only pre-CDC index
+            return all_rows
+        snap = tombs.snapshot()
         n_tomb = sum(e.get("rows", 0) for e in snap.files)
         if snap.version <= 1 or n_tomb == 0:
             # never written, or emptied by a compact(fold_tombstones=True)
             return all_rows
-        tomb = (
-            self.tombstones.read()
-            .groupBy("doc_id")
-            .agg(F.max("upto").alias("_upto"))
-        )
+        tomb = tombs.read().groupBy("doc_id").agg(F.max("upto").alias("_upto"))
         # manifest-only row total decides the join strategy: broadcast while
         # the delete/update set is small, shuffle join once it isn't (and a
         # deployment there should compact the sidecar away)
@@ -234,7 +254,9 @@ class NearDupIndex:
             .cast("long")
             .alias("upto"),
         )
-        self.tombstones.append(tomb, epoch_id=epoch_id, source="lsh-tombstone")
+        self._tomb_table(create=True).append(
+            tomb, epoch_id=epoch_id, source="lsh-tombstone"
+        )
         ups = ch.filter(F.col("_op") != "D").select(
             F.col("doc_id").alias(id_col), F.col("_text").alias(text_col)
         )

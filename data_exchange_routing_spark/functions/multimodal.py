@@ -1,16 +1,24 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, bucket partitioning,
-mapInPandas batch shape, Arrow binary transfer. Decoding:
+mapInPandas batch shape, Arrow binary transfer. Decoding is REAL pure-stdlib
+/numpy codecs behind magic-byte dispatch (`sniff_decode_meta`), each gated
+by a closed-form DuckDB oracle in the registry:
 
-- **images**: a REAL pure-stdlib/numpy codec for uncompressed 24-bit BMP
-  (`encode_bmp`/`decode_bmp`) — feature extraction and nearest-neighbor
-  resize run un-stubbed end-to-end on real bytes, with an exact closed-form
-  DuckDB oracle (header arithmetic) in the registry.
-- **audio/video**: still STUBBED (no codec libs ship in this container):
-  `decode_image` raises NotImplementedError for non-BMP formats unless PIL
-  is importable, and tests run the deterministic fake (`fake_decode_meta`)
-  which derives plausible (width, height, n_frames) from the payload's md5.
+- **BMP** (`encode_bmp`/`decode_bmp`): uncompressed 24-bit; feature extract
+  and nearest-neighbor resize run un-stubbed on real bytes.
+- **PNG** (`encode_png`/`decode_png`): zlib DEFLATE, all 5 scanline filters,
+  CRC-validated; truncation / corrupt-DEFLATE raise ValueError.
+- **GIF** (`decode_gif_frames`): real LZW decode, multi-frame sampling.
+- **WAV** (`decode_wav`): PCM header + sample decode (audio path).
+- **JPEG** is the one remaining fence: baseline JFIF decode (Huffman +
+  dequant + IDCT + YCbCr) is not implemented; `sniff_decode_meta` raises a
+  loud NotImplementedError for JPEG magic rather than guessing. Unknown
+  magics likewise fail loudly — never silently fake.
+
+`fake_decode_meta` remains ONLY as an explicitly-labeled deterministic
+stand-in for formats behind the fence (used by plumbing-shape tests, never
+by the oracle-gated registry queries).
 """
 
 from __future__ import annotations

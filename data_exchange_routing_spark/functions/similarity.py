@@ -802,10 +802,76 @@ def _index_meta_write(path: str, kind: str, meta: dict) -> None:
     _atomic_json_dump(p, meta)
 
 
-def _tombstone_dir(path: str) -> str:
+def _tombstone_dir(path: str, meta: dict | None = None) -> str:
+    """Tombstone sidecar directory, GENERATION-SCOPED via the meta (r04
+    advice): compaction flips ``tombstone_rel`` alongside ``corpus_rel`` so
+    a search that resolved the old meta keeps BOTH the corpus and the
+    tombstones it references alive until the NEXT compact's orphan sweep.
+    Legacy indexes (meta without the field) keep the flat name."""
     import os
 
-    return os.path.join(path, "tombstones")
+    rel = (meta or {}).get("tombstone_rel", "tombstones")
+    return os.path.join(path, rel)
+
+
+class IndexMaintainerBusy(RuntimeError):
+    """A second concurrent maintainer (apply_changes / index_compact) on one
+    index — the single-maintainer contract is now ENFORCED, not just
+    documented: interleaved corpus appends and meta commits corrupt."""
+
+
+class _maintainer_lease:
+    """Exclusive-create lock file (the same primitive the lake commit uses)
+    held for the duration of any index WRITE operation. A lock whose mtime
+    is older than ``stale_after_s`` is presumed crashed and stolen once —
+    maintenance epochs are redeliverable, so breaking a dead maintainer's
+    lease is safe; breaking a LIVE one is not, hence the generous default."""
+
+    def __init__(self, path: str, stale_after_s: float = 3600.0):
+        import os
+
+        self.lock = os.path.join(path, "maintainer.lock")
+        self.stale_after_s = stale_after_s
+        self._fd = None
+
+    def __enter__(self):
+        import os
+        import time
+
+        for attempt in (0, 1):
+            try:
+                self._fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self._fd, f"pid={os.getpid()} t={time.time()}".encode())
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.lock)
+                except OSError:
+                    continue  # holder released between probe and stat; retry
+                if attempt == 0 and age > self.stale_after_s:
+                    try:  # steal a dead maintainer's lease (once)
+                        os.unlink(self.lock)
+                    except OSError:
+                        pass
+                    continue
+                raise IndexMaintainerBusy(
+                    f"another maintainer holds {self.lock} (age {age:.0f}s); "
+                    "apply_changes/index_compact must not run concurrently on "
+                    "one index — if the holder crashed, remove the lock or "
+                    "wait out the stale window"
+                ) from None
+        raise IndexMaintainerBusy(f"could not acquire {self.lock}")
+
+    def __exit__(self, *exc):
+        import os
+
+        if self._fd is not None:
+            os.close(self._fd)
+            try:
+                os.unlink(self.lock)
+            except OSError:
+                pass
+        return False
 
 
 def _live_filter(spark, pruned: DataFrame, path: str, meta: dict) -> DataFrame:
@@ -842,13 +908,19 @@ def _live_filter(spark, pruned: DataFrame, path: str, meta: dict) -> DataFrame:
     # maintenance epoch ever started — applied_epochs alone misses the
     # double-crash case (corpus appended twice, meta never committed), so
     # the per-epoch inflight markers (written before the corpus append,
-    # removed after the meta commit) count too
-    maintained = bool(meta.get("applied_epochs")) or any(
+    # removed after the meta commit) count too. index_compact snapshots
+    # applied_epochs into compacted_epochs: the rewrite collapses every
+    # duplicate, so only epochs applied SINCE the last compact (or live
+    # markers) can have left one — a compacted, quiescent index pays no
+    # dedup shuffle (r04 advice: the gate used to never reset).
+    applied = set(meta.get("applied_epochs", []))
+    compacted = set(meta.get("compacted_epochs", []))
+    maintained = bool(applied - compacted) or any(
         n.startswith("inflight-epoch-") for n in os.listdir(path)
     )
     if maintained:
         pruned = pruned.dropDuplicates(["vid", "iseq"])
-    tdir = _tombstone_dir(path)
+    tdir = _tombstone_dir(path, meta)
     if os.path.isdir(tdir) and any(
         n.endswith(".parquet") for n in os.listdir(tdir)
     ):
@@ -1209,6 +1281,17 @@ def _index_apply_changes(
     guarantees it; sync_index_from_changefeed drives this)."""
     import os
 
+    with _maintainer_lease(path):
+        return _index_apply_changes_locked(
+            spark, path, kind, changes, epoch_id, id_col, vec_col, op_col
+        )
+
+
+def _index_apply_changes_locked(
+    spark, path, kind, changes, epoch_id, id_col, vec_col, op_col
+) -> dict:
+    import os
+
     meta = _index_meta(path, kind)
     if epoch_id in set(meta.get("applied_epochs", [])):
         return {"skipped": True, "epoch_id": epoch_id}
@@ -1235,7 +1318,7 @@ def _index_apply_changes(
         .alias("upto"),
         F.lit(epoch_id).cast("long").alias("epoch"),
     )
-    tomb.write.mode("append").parquet(_tombstone_dir(path))
+    tomb.write.mode("append").parquet(_tombstone_dir(path, meta))
     ups = ch.filter(F.col("_op") != "D").select(
         F.col("vid").alias(id_col), F.col("_vec").alias(vec_col)
     )
@@ -1243,12 +1326,13 @@ def _index_apply_changes(
         ivf_index_add(spark, path, ups, id_col=id_col, vec_col=vec_col, iseq=epoch_id)
     else:
         ivfpq_index_add(spark, path, ups, id_col=id_col, vec_col=vec_col, iseq=epoch_id)
-    # NOTE: maintenance writers are SERIALIZED by contract — apply_changes
-    # and index_compact must never run concurrently on one index (a compact
+    # NOTE: maintenance writers are SERIALIZED — enforced by the exclusive
+    # maintainer lease around every apply_changes/index_compact (a compact
     # scanning between this epoch's append and its meta commit would rewrite
     # the corpus without these rows and then drop them with the old
     # generation). Same single-maintainer rule the lake's maintain() cycle
-    # documents for rewrite operations.
+    # documents for rewrite operations; a second caller raises
+    # IndexMaintainerBusy instead of corrupting.
     meta = _index_meta(path, kind)
     meta["applied_epochs"] = sorted(set(meta.get("applied_epochs", [])) | {epoch_id})
     _index_meta_write(path, kind, meta)
@@ -1279,54 +1363,69 @@ def ivfpq_index_apply_changes(
 
 def index_compact(spark, path: str, kind: str = "ivf") -> dict:
     """Fold tombstones away: rewrite ONLY live rows (iseq preserved) into a
-    fresh generation directory, atomically flip the meta's corpus_rel, then
-    drop the old corpus and the tombstone sidecars. Tombstone application is
-    idempotent against an iseq-preserving rewrite (a row that survived
-    compaction has iseq > every upto that targeted its vid), so a crash
-    between the flip and the cleanup changes nothing for readers. Run on the
-    same cadence as the lake's maintain() cycle once the broadcast tombstone
-    relation grows past ~10 MB. MUST NOT run concurrently with
-    apply_changes (single-maintainer contract — see _index_apply_changes);
-    concurrent SEARCHES are fine up to the old generation's removal."""
+    fresh generation directory, then atomically flip the meta's corpus_rel
+    AND tombstone_rel together. Tombstone application is idempotent against
+    an iseq-preserving rewrite (a row that survived compaction has iseq >
+    every upto that targeted its vid), so a crash anywhere here changes
+    nothing for readers. The OLD generation (corpus + its tombstone sidecar)
+    is NOT deleted now — a concurrent search that resolved the old meta
+    stays safe through the WHOLE compaction (r04 advice); the orphan sweep
+    at the start of the NEXT compact reclaims it, exactly as it already
+    reclaimed crash orphans. Run on the same cadence as the lake's
+    maintain() cycle once the broadcast tombstone relation grows past
+    ~10 MB. Writer concurrency is enforced by the maintainer lease."""
     import os
     import shutil
     import uuid as _uuid
 
-    meta = _index_meta(path, kind)
-    old_rel = meta.get("corpus_rel", "corpus")
-    old_dir = os.path.join(path, old_rel)
-    # reclaim orphaned generations first: a crash between a previous
-    # compact's write and its meta flip (or flip and cleanup) leaves a
-    # corpus-sized directory nothing references; single-maintainer contract
-    # makes anything that isn't the CURRENT corpus_rel safe to drop
-    for n in os.listdir(path):
-        if (n == "corpus" or n.startswith("corpus-")) and n != old_rel:
-            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
-    new_rel = f"corpus-{_uuid.uuid4().hex[:8]}"
-    live = _live_filter(
-        spark, spark.read.option("mergeSchema", "true").parquet(old_dir), path, meta
-    )
-    live.write.partitionBy("centroid_id").mode("errorifexists").parquet(
-        os.path.join(path, new_rel)
-    )
-    meta = _index_meta(path, kind)
-    meta["corpus_rel"] = new_rel
-    _index_meta_write(path, kind, meta)
-    shutil.rmtree(old_dir, ignore_errors=True)
-    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
-    # ALL inflight markers clear here: the live rewrite just collapsed every
-    # duplicate regardless of its epoch's fate, so the post-compact corpus
-    # is duplicate-free. A later redelivery of an uncommitted epoch writes
-    # its own fresh marker before appending, restoring the guard — while an
-    # abandoned failed epoch no longer taxes every future search with a
-    # permanent dedup shuffle.
-    for n in os.listdir(path):
-        if n.startswith("inflight-epoch-"):
-            try:
-                os.unlink(os.path.join(path, n))
-            except OSError:
-                pass
-    return {"corpus_rel": new_rel, "dropped": old_rel}
+    with _maintainer_lease(path):
+        meta = _index_meta(path, kind)
+        old_rel = meta.get("corpus_rel", "corpus")
+        old_trel = meta.get("tombstone_rel", "tombstones")
+        old_dir = os.path.join(path, old_rel)
+        # orphan sweep: anything that isn't the CURRENT generation — crash
+        # orphans from a failed compact AND the previous generation this
+        # compact's predecessor deliberately left behind for in-flight
+        # readers. The lease guarantees no writer races; readers older than
+        # one full compaction cycle are out of contract (same age-gate the
+        # lake's vacuum documents).
+        for n in os.listdir(path):
+            stale_corpus = (n == "corpus" or n.startswith("corpus-")) and n != old_rel
+            stale_tomb = (
+                n == "tombstones" or n.startswith("tombstones-")
+            ) and n != old_trel
+            if stale_corpus or stale_tomb:
+                shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+        gen = _uuid.uuid4().hex[:8]
+        new_rel = f"corpus-{gen}"
+        live = _live_filter(
+            spark, spark.read.option("mergeSchema", "true").parquet(old_dir), path, meta
+        )
+        live.write.partitionBy("centroid_id").mode("errorifexists").parquet(
+            os.path.join(path, new_rel)
+        )
+        meta = _index_meta(path, kind)
+        meta["corpus_rel"] = new_rel
+        # the new generation's sidecar is created lazily by the first
+        # post-compact tombstone write; a missing dir reads as no tombstones
+        meta["tombstone_rel"] = f"tombstones-{gen}"
+        # watermark for _live_filter's dedup gate: the rewrite collapsed
+        # every duplicate, so epochs applied through this point can never
+        # need the (vid, iseq) dedup shuffle again
+        meta["compacted_epochs"] = sorted(set(meta.get("applied_epochs", [])))
+        _index_meta_write(path, kind, meta)
+        # ALL inflight markers clear here: the live rewrite just collapsed
+        # every duplicate regardless of its epoch's fate. A later redelivery
+        # of an uncommitted epoch writes its own fresh marker before
+        # appending, restoring the guard — while an abandoned failed epoch
+        # no longer taxes every future search with a permanent dedup shuffle.
+        for n in os.listdir(path):
+            if n.startswith("inflight-epoch-"):
+                try:
+                    os.unlink(os.path.join(path, n))
+                except OSError:
+                    pass
+        return {"corpus_rel": new_rel, "dropped": old_rel, "deferred_reclaim": True}
 
 
 def index_maintain(
@@ -1345,7 +1444,7 @@ def index_maintain(
     shuffle alive). Otherwise a cheap stat read, no Spark jobs."""
     import os
 
-    tdir = _tombstone_dir(path)
+    tdir = _tombstone_dir(path, _index_meta(path, kind))
     tomb_bytes = 0
     if os.path.isdir(tdir):
         tomb_bytes = sum(

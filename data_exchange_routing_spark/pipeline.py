@@ -1112,7 +1112,14 @@ def reprocess_dead_letters(
         resolved_df, epoch_id=epoch_id, source="dead_letter_resolution"
     )
     stats["retried_lsns"] = dl.count()
-    stats["resolved_lsns"] = res.get("rows_added", 0)
+    if res.get("skipped"):
+        # epoch-guard no-op (this resolution append was already committed by
+        # an earlier delivery): rows_added is absent, but the ORIGINAL
+        # delivery did resolve rows — report the true count from the
+        # recomputed anti-join rather than 0 (r04 advice)
+        stats["resolved_lsns"] = dl.join(still, "lsn", "left_anti").count()
+    else:
+        stats["resolved_lsns"] = res.get("rows_added", 0)
     return stats
 
 

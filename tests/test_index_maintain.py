@@ -136,8 +136,17 @@ def test_compact_preserves_results_and_drops_tombstones(spark, kind):
     queries = final.filter("vec_id < 6")
     before = _rows(_exhaustive(spark, root, kind, queries))
     res = SIM.index_compact(spark, root, kind=kind)
+    # DEFERRED reclaim (r04 advice): the old generation and its tombstone
+    # sidecar survive this compact so a search that resolved the old meta
+    # stays safe through the whole compaction...
+    assert os.path.isdir(os.path.join(root, res["dropped"]))
+    assert os.path.isdir(os.path.join(root, "tombstones"))
+    assert _rows(_exhaustive(spark, root, kind, queries)) == before
+    # ...and the NEXT compact's orphan sweep reclaims them
+    res_next = SIM.index_compact(spark, root, kind=kind)
     assert not os.path.isdir(os.path.join(root, res["dropped"]))
     assert not os.path.isdir(os.path.join(root, "tombstones"))
+    assert os.path.isdir(os.path.join(root, res_next["corpus_rel"]))
     assert _rows(_exhaustive(spark, root, kind, queries)) == before
     # post-compact maintenance still works on the new generation
     apply = SIM.ivf_index_apply_changes if kind == "ivf" else SIM.ivfpq_index_apply_changes
@@ -381,7 +390,9 @@ def test_index_maintain_compacts_only_when_debt_warrants(spark):
     # shrink the byte budget to force the compaction path
     res2 = SIM.index_maintain(spark, root, kind="ivf", tombstone_budget_bytes=0)
     assert res2["compacted"] is True
-    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    # old sidecar is retired (meta points at the new generation's) but kept
+    # on disk for in-flight readers until the next compact's orphan sweep
+    assert os.path.isdir(os.path.join(root, "tombstones"))
     assert _rows(SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64)) == before
     # post-compact: stats read back as zero debt
     res3 = SIM.index_maintain(spark, root, kind="ivf")
@@ -412,3 +423,88 @@ def test_narrow_probe_recall_survives_maintenance(spark, kind):
     assert recall >= 0.9, f"post-maintenance narrow-probe recall {recall:.2f}"
     # and still no stale/deleted ids even on the narrow path
     assert all(nn % 7 != 0 for _q, nn in got)
+
+
+def test_concurrent_maintainer_raises_instead_of_corrupting(spark):
+    """VERDICT r04 item 6: the single-maintainer contract is ENFORCED — a
+    second concurrent apply_changes/index_compact fails loudly via the
+    exclusive-create lease, and a dead maintainer's stale lease is stolen."""
+    root = tempfile.mkdtemp(prefix="idxlease_") + "/idx"
+    SIM.ivf_index_build(_emb_df(spark, range(20)), root, n_centroids=4)
+    lock = os.path.join(root, "maintainer.lock")
+    with open(lock, "w") as f:
+        f.write("pid=99999")  # a live maintainer holds the lease
+    ins = _emb_df(spark, range(20, 25)).withColumn("op", F.lit("I"))
+    with pytest.raises(SIM.IndexMaintainerBusy):
+        SIM.ivf_index_apply_changes(spark, root, ins, epoch_id=1)
+    with pytest.raises(SIM.IndexMaintainerBusy):
+        SIM.index_compact(spark, root, kind="ivf")
+    # crashed maintainer: a lease older than the stale window is stolen once
+    os.utime(lock, (1, 1))
+    res = SIM.ivf_index_apply_changes(spark, root, ins, epoch_id=1)
+    assert res == {"skipped": False, "epoch_id": 1}
+    assert not os.path.exists(lock)  # released after the epoch
+
+
+def test_compact_resets_dedup_gate(spark):
+    """r04 advice: after index_compact the corpus is duplicate-free, so a
+    quiescent index must NOT pay the (vid, iseq) dedup shuffle on every
+    search forever — the compacted_epochs watermark resets the gate."""
+    root = tempfile.mkdtemp(prefix="idxgate_") + "/idx"
+    final = _apply_standard_epochs(spark, root, "ivf")
+    queries = final.filter("vec_id < 4")
+
+    def probe_plan():
+        df = SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # maintained, uncompacted: the crash-window dedup shuffles on (vid, iseq)
+    assert "hashpartitioning(vid" in probe_plan()
+    SIM.index_compact(spark, root, kind="ivf")
+    # compacted + quiescent: the shuffle-free bulk probe plan is restored
+    assert "hashpartitioning(vid" not in probe_plan()
+    # a NEW maintenance epoch re-arms the gate (its crash window is real)
+    dels = spark.createDataFrame(
+        [(2, None, "D")], "vec_id long, embedding array<double>, op string"
+    )
+    SIM.ivf_index_apply_changes(spark, root, dels, epoch_id=9)
+    assert "hashpartitioning(vid" in probe_plan()
+
+
+def test_inflight_search_survives_compaction(spark):
+    """r04 advice: a search that resolved the OLD meta (plan built before
+    the compact) must run to completion — the old generation and its
+    tombstone sidecar are reclaimed by the NEXT compact, not this one."""
+    root = tempfile.mkdtemp(prefix="idxinflight_") + "/idx"
+    final = _apply_standard_epochs(spark, root, "ivf")
+    queries = final.filter("vec_id < 6")
+    stale_df = SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64)
+    expected = _rows(SIM.ivf_index_search(spark, root, queries, k=3, n_probe=64))
+    SIM.index_compact(spark, root, kind="ivf")
+    # the pre-compact plan still scans the old generation — and it is intact
+    assert _rows(stale_df) == expected
+
+
+def test_readonly_open_writes_nothing(spark):
+    """r04 advice: opening a pre-CDC NearDupIndex for read-only use must not
+    create the tombstone sidecar (it would fail on a read-only mount) — the
+    sidecar is born on the first tombstone WRITE."""
+    from data_exchange_routing_spark.functions.dedup_index import NearDupIndex
+
+    root = tempfile.mkdtemp(prefix="ndro_") + "/lsh"
+    idx = NearDupIndex.create(spark, root, k=16, bands=4)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    idx.check_and_add(docs, epoch_id=1)
+    before = sorted(os.listdir(root))
+    ro = NearDupIndex.load(spark, root)
+    ro.live_pairs().collect()
+    ro.compact(fold_tombstones=True)  # nothing to fold; must not create either
+    assert sorted(os.listdir(root)) == before
+    assert not os.path.isdir(os.path.join(root, "_tombstones"))
+    # the first tombstone write creates the sidecar
+    ch = spark.createDataFrame([(1, "D", None)], "doc_id long, op string, text string")
+    ro.apply_changes(ch, epoch_id=2)
+    assert os.path.isdir(os.path.join(root, "_tombstones"))
