@@ -50,10 +50,28 @@ class KeyedAggView:
     ``group_by``: grouping columns of the source rows (non-empty);
     ``sums``: {out_col: source_col} numeric sums. ``n_rows`` (count of live
     source rows per group) is always maintained.
+
+    ``mins`` / ``maxs``: {out_col: source_col} RETRACTABLE extrema (VERDICT
+    r04 item 2). Min/max are not decomposable under retraction with ±deltas
+    alone — retracting the current min forces a fallback to the next live
+    value. Rather than re-scanning the source per affected group, the view
+    keeps a per-(group, column, value) COUNT histogram as a second
+    append-only log (the Flink/Materialize retractable-extrema state shape,
+    expressed with the same epoch-guarded log machinery as ``adjust``): an
+    applied insert appends (+1), a retraction (−1); ``read()`` folds the
+    log to counts, keeps values with net count > 0, and takes min/max per
+    group — so a retracted minimum falls back to the next value purely
+    from view-local state, O(log) per read, O(batch) per apply, never
+    O(source). State is O(distinct (group, value)) — the documented
+    trade-off; for extreme-cardinality value columns compact() keeps the
+    log folded to exactly that bound. NULL values contribute nothing
+    (SQL min/max ignore NULLs; a group with only NULLs reads NULL).
     """
 
     def __init__(self, spark: SparkSession, path: str, key: str,
-                 group_by: list[str], sums: dict[str, str]):
+                 group_by: list[str], sums: dict[str, str],
+                 mins: dict[str, str] | None = None,
+                 maxs: dict[str, str] | None = None):
         if not group_by:
             raise ValueError("group_by must be non-empty")
         self.spark = spark
@@ -61,21 +79,33 @@ class KeyedAggView:
         self.key = key
         self.group_by = list(group_by)
         self.sums = dict(sums)
-        self.value_cols = sorted(set(list(group_by) + list(sums.values())))
+        self.mins = dict(mins or {})
+        self.maxs = dict(maxs or {})
+        self.extrema_cols = sorted(set(self.mins.values()) | set(self.maxs.values()))
+        self.value_cols = sorted(
+            set(list(group_by) + list(sums.values()) + self.extrema_cols)
+        )
         self.contrib = LakeTable(spark, os.path.join(self.path, "contrib"))
         self.adjust = LakeTable(spark, os.path.join(self.path, "adjust"))
+        self.elog = (
+            LakeTable(spark, os.path.join(self.path, "elog"))
+            if self.extrema_cols
+            else None
+        )
 
     # ---------------------------------------------------------- lifecycle
     @classmethod
     def create(cls, spark, path, key, group_by, sums,
-               source_schema: T.StructType, n_buckets: int = 16) -> "KeyedAggView":
-        v = cls(spark, path, key, group_by, sums)
+               source_schema: T.StructType, n_buckets: int = 16,
+               mins: dict[str, str] | None = None,
+               maxs: dict[str, str] | None = None) -> "KeyedAggView":
+        v = cls(spark, path, key, group_by, sums, mins=mins, maxs=maxs)
         by_name = {f.name: f for f in source_schema.fields}
         # readable validation up front: a missing column otherwise KeyErrors
         # deep in field construction; 'warc_ts'/internal names collide with
         # the contribution table's CDC bookkeeping columns
         reserved = {"warc_ts", "src_lsn", "is_dead", "n_rows", LSN_COL, DELETED_COL, key}
-        for c in list(group_by) + list(sums.values()):
+        for c in list(group_by) + list(sums.values()) + v.extrema_cols:
             if c not in by_name:
                 raise ValueError(f"column {c!r} not in source schema")
             if c in reserved:
@@ -83,9 +113,11 @@ class KeyedAggView:
                     f"column {c!r} collides with the view's key/ordering/"
                     "bookkeeping columns; alias it in the source first"
                 )
-        for out in sums:
-            if out in reserved or out in group_by:
-                raise ValueError(f"sum output name {out!r} collides")
+        seen_out = set(group_by)
+        for out in list(sums) + list(v.mins) + list(v.maxs):
+            if out in reserved or out in seen_out:
+                raise ValueError(f"aggregate output name {out!r} collides")
+            seen_out.add(out)
         contrib_fields = [
             T.StructField(key, by_name[key].dataType),
             T.StructField("warc_ts", T.TimestampType()),
@@ -104,13 +136,26 @@ class KeyedAggView:
             T.StructField("n_rows", T.LongType())
         ] + [T.StructField(out, T.DoubleType(), True) for out in sums]
         LakeTable.create(spark, v.adjust.path, T.StructType(adj_fields))
+        if v.elog is not None:
+            elog_fields = [
+                T.StructField(c, by_name[c].dataType, True) for c in group_by
+            ] + [
+                T.StructField("_ecol", T.StringType(), False),
+                T.StructField("_eval", T.DoubleType(), False),
+                T.StructField("_ecnt", T.LongType(), False),
+            ]
+            LakeTable.create(spark, v.elog.path, T.StructType(elog_fields))
         return v
 
     @classmethod
-    def load(cls, spark, path, key, group_by, sums) -> "KeyedAggView":
-        v = cls(spark, path, key, group_by, sums)
+    def load(cls, spark, path, key, group_by, sums,
+             mins: dict[str, str] | None = None,
+             maxs: dict[str, str] | None = None) -> "KeyedAggView":
+        v = cls(spark, path, key, group_by, sums, mins=mins, maxs=maxs)
         LakeTable.load(spark, v.contrib.path)
         LakeTable.load(spark, v.adjust.path)
+        if v.elog is not None:
+            LakeTable.load(spark, v.elog.path)
         return v
 
     # -------------------------------------------------------- maintenance
@@ -124,9 +169,14 @@ class KeyedAggView:
         # leaves the adjustment guard set and the contribution missing, and
         # redelivery must still re-apply the contribution merge (each half
         # is individually guarded below)
-        if self.adjust.snapshot().epoch_committed(
-            "ivm", epoch_id
-        ) and self.contrib.snapshot().epoch_committed("ivm", epoch_id):
+        if (
+            self.adjust.snapshot().epoch_committed("ivm", epoch_id)
+            and self.contrib.snapshot().epoch_committed("ivm", epoch_id)
+            and (
+                self.elog is None
+                or self.elog.snapshot().epoch_committed("ivm", epoch_id)
+            )
+        ):
             return {"skipped": True, "epoch_id": epoch_id}
         need = [self.key, "warc_ts", LSN_COL, DELETED_COL] + self.value_cols
         batch = changes.select(*dict.fromkeys(need))
@@ -200,6 +250,47 @@ class KeyedAggView:
         res_a = self.adjust.append(
             adj, epoch_id=epoch_id, source="ivm", epoch_monotonic=True
         )
+        # extrema histogram deltas (retractable min/max): per extrema column,
+        # the retracted old value counts −1 and the applied new value +1 —
+        # NULLs contribute nothing (SQL min/max ignore them). Same guarded
+        # append machinery as the adjustments; ordered adjust → elog →
+        # contrib so every crash point redelivers into guarded no-ops with
+        # the contribution state still at its pre-batch image.
+        res_e = None
+        if self.elog is not None:
+            parts = []
+            for c in self.extrema_cols:
+                parts.append(
+                    appl.filter(
+                        had_old
+                        & ~F.coalesce(F.col("_old_dead"), F.lit(False))
+                        & F.col(f"_old_{c}").isNotNull()
+                    ).select(
+                        *[F.col(f"_old_{g}").alias(g) for g in self.group_by],
+                        F.lit(c).alias("_ecol"),
+                        F.col(f"_old_{c}").cast("double").alias("_eval"),
+                        F.lit(-1).cast("long").alias("_ecnt"),
+                    )
+                )
+                parts.append(
+                    appl.filter(alive & F.col(c).isNotNull()).select(
+                        *self.group_by,
+                        F.lit(c).alias("_ecol"),
+                        F.col(c).cast("double").alias("_eval"),
+                        F.lit(1).cast("long").alias("_ecnt"),
+                    )
+                )
+            edelta = parts[0]
+            for p in parts[1:]:
+                edelta = edelta.unionByName(p)
+            edelta = (
+                edelta.groupBy(*self.group_by, "_ecol", "_eval")
+                .agg(F.sum("_ecnt").alias("_ecnt"))
+                .filter(F.col("_ecnt") != 0)
+            )
+            res_e = self.elog.append(
+                edelta, epoch_id=epoch_id, source="ivm", epoch_monotonic=True
+            )
         # contribution state: every batch winner merges with the SOURCE's
         # (warc_ts, lsn), so contrib's own LWW replicates the source exactly
         # — losers of `wins` simply lose the merge too. Tombstones become
@@ -216,7 +307,7 @@ class KeyedAggView:
         res_c = self.contrib.merge_cdc(
             upd, epoch_id=epoch_id, source="ivm", epoch_monotonic=True
         )
-        return {"skipped": False, "adjust": res_a, "contrib": res_c}
+        return {"skipped": False, "adjust": res_a, "contrib": res_c, "elog": res_e}
 
     def read(self) -> DataFrame:
         """The finished aggregate: one fold over the adjustment log. Groups
@@ -236,7 +327,27 @@ class KeyedAggView:
                 *[F.sum(out).alias(out) for out in self.sums],
             )
         )
-        return folded.filter(F.col("n_rows") > 0)
+        out = folded.filter(F.col("n_rows") > 0)
+        if self.elog is not None:
+            # fold the histogram once, then take per-column extrema over the
+            # values still live (net count > 0); a left join keeps SQL
+            # semantics for all-NULL groups (no histogram rows -> NULL)
+            histo = (
+                self.elog.read()
+                .groupBy(*self.group_by, "_ecol", "_eval")
+                .agg(F.sum("_ecnt").alias("_c"))
+                .filter(F.col("_c") > 0)
+            )
+            aggs = [
+                F.min(F.when(F.col("_ecol") == col, F.col("_eval"))).alias(o)
+                for o, col in self.mins.items()
+            ] + [
+                F.max(F.when(F.col("_ecol") == col, F.col("_eval"))).alias(o)
+                for o, col in self.maxs.items()
+            ]
+            ext = histo.groupBy(*self.group_by).agg(*aggs)
+            out = out.join(ext, self.group_by, "left")
+        return out
 
     def compact(self) -> dict:
         """FOLD the adjustment log: group-sum every accumulated adjustment
@@ -259,7 +370,20 @@ class KeyedAggView:
                 .filter(nonzero)
             )
 
-        return self.adjust.rewrite_files(transform=fold)
+        res = self.adjust.rewrite_files(transform=fold)
+        if self.elog is not None:
+            # the histogram log folds to net counts per (group, col, value) —
+            # read()'s fold-then-extrema is invariant under this, and the log
+            # returns to O(distinct (group, value)) instead of O(batches)
+            def efold(df: DataFrame) -> DataFrame:
+                return (
+                    df.groupBy(*self.group_by, "_ecol", "_eval")
+                    .agg(F.sum("_ecnt").alias("_ecnt"))
+                    .filter(F.col("_ecnt") != 0)
+                )
+
+            res = {"adjust": res, "elog": self.elog.rewrite_files(transform=efold)}
+        return res
 
 
 class KeyedJoinView:

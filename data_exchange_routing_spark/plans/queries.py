@@ -3307,6 +3307,85 @@ def cdc_ivm_aggregate(spark, sf_dir):
 
 
 @q(
+    "cdc_ivm_minmax",
+    # RETRACTABLE min/max IVM (lake/ivm.py:KeyedAggView mins/maxs — VERDICT
+    # r04 item 2): extrema are not decomposable under retraction, so the
+    # view keeps a per-(group, value) count-histogram log; a delete/update
+    # that retracts the current min/max falls back to the next live value
+    # from view-local state (never a source re-scan). Epoch 1's %9 deletes
+    # and %4 group-moves retract contributions across groups; the oracle is
+    # the from-scratch MIN/MAX over the closed-form final state.
+    """
+    WITH final AS (
+      SELECT CASE WHEN doc_id % 4 = 0 THEN 'fr' ELSE lang END AS lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000 ELSE n_chars END AS n
+      FROM documents WHERE doc_id % 9 <> 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(n) AS DOUBLE) AS min_n,
+           CAST(max(n) AS DOUBLE) AS max_n
+    FROM final GROUP BY lang
+    """,
+)
+def cdc_ivm_minmax(spark, sf_dir):
+    import tempfile
+
+    from data_exchange_routing_spark.lake.ivm import KeyedAggView
+    from data_exchange_routing_spark.lake.table import LakeTable
+
+    docs = ld(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="ivm_mm_")
+    src = LakeTable.create(spark, f"{root}/src", schema, key="url", n_buckets=8)
+    view = KeyedAggView.create(
+        spark, f"{root}/view", key="url", group_by=["lang"], sums={},
+        mins={"min_n": "n"}, maxs={"max_n": "n"},
+        source_schema=schema, n_buckets=8,
+    )
+    epochs = [
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n"),
+        )
+        .withColumn("_lsn", F.lit(1))
+        .withColumn("_deleted", F.lit(False)),
+        docs.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 9 == 0))
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-02")).alias("warc_ts"),
+            F.lit("fr").alias("lang"),
+            (F.col("n_chars").cast("long") + 1000).alias("n"),
+        )
+        .withColumn("_lsn", F.lit(2))
+        .withColumn("_deleted", F.col("url").cast("long") % 9 == 0),
+    ]
+    prev_v = src.current_version()
+    for e, batch in enumerate(epochs):
+        src.merge_cdc(batch, epoch_id=e)
+        cur_v = src.current_version()
+        res = view.apply_changes(
+            src.read_changes(prev_v, cur_v, with_internal=True), epoch_id=e
+        )
+        prev_v = cur_v
+        # redelivery-no-op gate in-body: the SAME feed batch re-applied must
+        # skip entirely (both log guards + contrib guard)
+        assert view.apply_changes(
+            src.read_changes(prev_v - 1, prev_v, with_internal=True), epoch_id=e
+        )["skipped"] is True, res
+    view.compact()  # readout must be invariant under folding both logs
+    return view.read()
+
+
+@q(
     "cdc_ivm_from_replay",
     # End-to-end composition: the FULL CDC replay builds web_pages (validate
     # -> route -> dedup -> extract -> epoch-guarded merges), then the IVM
@@ -7960,6 +8039,7 @@ DRIVER_PRIORITY: list[str] = [
     "lake_row_lineage_scan",
     "cdc_ivm_join_from_replay",
     "cdc_ivm_aggregate",
+    "cdc_ivm_minmax",  # r05: retractable extrema (count-histogram log)
     "cdc_consistent_cut_read",
     "lake_partition_overwrite",
     "lake_add_files",
@@ -7982,8 +8062,7 @@ DRIVER_PRIORITY: list[str] = [
     # embeddings / ANN
     "emb_pq_adc_topk",
     "emb_ivf_cdc_search",  # r04: CDC-consistent index maintenance (tombstones)
-    "emb_ivf_ann_exhaustive",
-    "emb_cosine_top5",
+    "emb_ivf_ann_exhaustive",  # cosine semantics: also covers emb_cosine_top5's
     "emb_semantic_dedup",
     # multimodal (real codecs, EXACT oracles)
     "multimodal_bmp_features",

@@ -51,7 +51,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Arrow batch bytes with multi-KB binary payloads
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # codecs are env-tunable so the replay-bytes A/B protocol
+        # (scripts/codec_ab.py) can measure them in clean JVMs; defaults
+        # chosen by that measurement (see BENCH/CODEC_AB.md)
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # INT64-micros timestamps carry parquet min/max statistics (INT96,
         # the legacy default, has none) — required for the lake's manifest
         # ts_stats pruning; readers handle old INT96 files side by side

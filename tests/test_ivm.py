@@ -215,3 +215,126 @@ def test_aggview_create_validates_columns(spark, tmpdir_path):
         KeyedAggView.create(spark, f"{tmpdir_path}/v1", "url", ["nope"], {}, schema)
     with _pytest.raises(ValueError, match="collides"):
         KeyedAggView.create(spark, f"{tmpdir_path}/v2", "url", ["warc_ts"], {}, schema)
+
+
+def _expected_mm(src):
+    return sorted(
+        tuple(r)
+        for r in src.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n").cast("double")).alias("sum_n"),
+            F.min(F.col("n").cast("double")).alias("min_n"),
+            F.max(F.col("n").cast("double")).alias("max_n"),
+        )
+        .collect()
+    )
+
+
+def test_ivm_minmax_tracks_source_through_retractions(spark, tmp_path):
+    """VERDICT r04 item 2: retractable min/max — updates that move the
+    extreme row across groups, deletes that retract the current min/max
+    (forcing fallback to the next live value), out-of-order stale losses,
+    NULL values, redelivery, compaction."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, key="url", n_buckets=8)
+    view = KeyedAggView.create(
+        spark, str(tmp_path / "view"), key="url", group_by=["lang"],
+        sums={"sum_n": "n"}, mins={"min_n": "n"}, maxs={"max_n": "n"},
+        source_schema=SCHEMA, n_buckets=8,
+    )
+    epochs = [
+        # epoch 0: u0 holds en's min (0), u19 de's max (19); u6 NULL value
+        [(f"u{i}", "2024-01-01 00:00:00", "en" if i % 2 == 0 else "de",
+          None if i == 6 else i, 1, False) for i in range(20)],
+        # epoch 1: DELETE the current en-min (u0) and de-max (u19): both
+        # groups must fall back to their next live values; move u2 (en) to
+        # fr with a huge value
+        [("u0", "2024-01-02 00:00:00", "en", 0, 2, True),
+         ("u19", "2024-01-02 00:00:00", "de", 0, 2, True),
+         ("u2", "2024-01-02 00:00:00", "fr", 5000, 2, False)],
+        # epoch 2: stale revision must lose; update u4's value DOWN so it
+        # becomes en's new min; revive u0 into de
+        [("u4", "2023-06-01 00:00:00", "zz", -99, 3, False),   # stale: loses
+         ("u4", "2024-01-03 00:00:00", "en", -7, 3, False),    # new en min
+         ("u0", "2024-01-03 00:00:00", "de", 123, 3, False)],
+    ]
+    prev_v = src.current_version()
+    for e, rows in enumerate(epochs):
+        src.merge_cdc(_batch(spark, rows), epoch_id=e)
+        cur_v = src.current_version()
+        view.apply_changes(src.read_changes(prev_v, cur_v, with_internal=True), epoch_id=e)
+        prev_v = cur_v
+        assert _got(view) == _expected_mm(src), f"epoch {e}"
+    # redelivery is a full no-op
+    res = view.apply_changes(
+        src.read_changes(prev_v - 1, prev_v, with_internal=True), epoch_id=2
+    )
+    assert res["skipped"] is True
+    # compaction folds both logs without changing the readout
+    view.compact()
+    assert _got(view) == _expected_mm(src)
+    # histogram is folded to net counts: no row with _ecnt <= 0 remains
+    assert view.elog.read().filter(F.col("_ecnt") <= 0).count() == 0
+
+
+def test_ivm_minmax_all_null_group_reads_null(spark, tmp_path):
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, key="url", n_buckets=4)
+    view = KeyedAggView.create(
+        spark, str(tmp_path / "view"), key="url", group_by=["lang"],
+        sums={}, mins={"min_n": "n"}, maxs={"max_n": "n"},
+        source_schema=SCHEMA, n_buckets=4,
+    )
+    v0 = src.current_version()
+    src.merge_cdc(
+        _batch(spark, [("a", "2024-01-01 00:00:00", "en", None, 1, False),
+                       ("b", "2024-01-01 00:00:00", "en", None, 1, False),
+                       ("c", "2024-01-01 00:00:00", "de", 3, 1, False)]),
+        epoch_id=0,
+    )
+    view.apply_changes(src.read_changes(v0, with_internal=True), epoch_id=0)
+    got = {r["lang"]: (r["min_n"], r["max_n"]) for r in view.read().collect()}
+    assert got == {"en": (None, None), "de": (3.0, 3.0)}
+
+
+def test_ivm_minmax_crash_between_elog_and_contrib_heals(spark, tmp_path, monkeypatch):
+    """Crash AFTER adjust+elog appends, BEFORE the contribution merge:
+    redelivery skips both guarded appends and re-applies the merge."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, key="url", n_buckets=4)
+    view = KeyedAggView.create(
+        spark, str(tmp_path / "view"), key="url", group_by=["lang"],
+        sums={"sum_n": "n"}, mins={"min_n": "n"}, maxs={},
+        source_schema=SCHEMA, n_buckets=4,
+    )
+    v0 = src.current_version()
+    src.merge_cdc(
+        _batch(spark, [(f"u{i}", "2024-01-01 00:00:00", "en", i, 1, False) for i in range(6)]),
+        epoch_id=0,
+    )
+    feed0 = src.read_changes(v0, with_internal=True)
+    view.apply_changes(feed0, epoch_id=0)
+    v1 = src.current_version()
+    src.merge_cdc(  # delete the current min: the retraction crosses the crash
+        _batch(spark, [("u0", "2024-01-02 00:00:00", "en", 0, 2, True)]), epoch_id=1
+    )
+    feed1 = src.read_changes(v1, with_internal=True)
+    real_merge = view.contrib.merge_cdc
+    monkeypatch.setattr(
+        view.contrib, "merge_cdc",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        view.apply_changes(feed1, epoch_id=1)
+    monkeypatch.setattr(view.contrib, "merge_cdc", real_merge)
+    res = view.apply_changes(feed1, epoch_id=1)
+    assert res["skipped"] is False
+    assert res["adjust"]["skipped"] is True and res["elog"]["skipped"] is True
+    assert res["contrib"]["skipped"] is False
+    assert _got(view) == sorted(
+        tuple(r) for r in src.read().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n").cast("double")).alias("sum_n"),
+            F.min(F.col("n").cast("double")).alias("min_n"),
+        ).collect()
+    )
+    assert view.apply_changes(feed1, epoch_id=1)["skipped"] is True
