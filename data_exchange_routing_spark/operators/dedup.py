@@ -73,6 +73,7 @@ def fused_local_dedup_extract(
     dest_col: str = "destination_table",
     bucket_col: str = "_b",
     no_dedup_dest: str = "dead_letter",
+    engine: str = "arrow",
 ):
     """Third physical strategy ("local"): ONE shuffle for the whole epoch.
 
@@ -94,6 +95,14 @@ def fused_local_dedup_extract(
     after ``html``, physically partitioned by (dest, bucket) and url-sorted —
     ready for a direct partitionBy write (pass pre_partitioned=True to
     stage_multicast_delta).
+
+    ``engine="arrow"`` (default, r05 bytes-per-event work) runs the pass via
+    ``mapInArrow``: adjacency keys compare as C-level Arrow kernels instead
+    of numpy str concatenation, non-survivors are dropped by an Arrow
+    ``filter`` WITHOUT ever becoming Python objects, and survivors' ``html``
+    buffers pass straight back to the JVM — only the survivor payloads cross
+    into Python (one ``as_py`` each, for extraction). The pandas engine is
+    kept verbatim for the byte-equivalence gate (tests/test_operators.py).
     """
     import numpy as np
     import pandas as pd  # noqa: F401
@@ -143,4 +152,68 @@ def fused_local_dedup_extract(
                 surv["meta"] = surv["meta"].where(is_dl, None)
             yield surv[out_names]
 
+    def op_arrow(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        last_key = None  # (dest, url) of the previous batch's final row
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            dest = rb.column(names.index(dest_col))
+            # null urls compare EQUAL here (pandas-engine parity: numpy
+            # astype(str) renders None as 'None'); dest is never null
+            url = pc.fill_null(rb.column(names.index("url")), "None")
+            # adjacency dedup: row i survives unless (dest, url) equals row
+            # i-1's — C-level equality on the sliced arrays, no Python
+            # objects, no string concatenation
+            keep = np.ones(n, dtype=bool)
+            if n > 1:
+                same = pc.and_(
+                    pc.equal(dest.slice(1), dest.slice(0, n - 1)),
+                    pc.equal(url.slice(1), url.slice(0, n - 1)),
+                )
+                keep[1:] = np.invert(same.to_numpy(zero_copy_only=False))
+            if last_key is not None and (dest[0].as_py(), url[0].as_py()) == last_key:
+                keep[0] = False
+            is_dl = pc.equal(dest, no_dedup_dest).to_numpy(zero_copy_only=False)
+            keep |= is_dl  # dead letters exempt: at-least-once, keep all
+            last_key = (dest[n - 1].as_py(), url[n - 1].as_py())
+            surv = rb.filter(pa.array(keep))
+            cols = {name: surv.column(i) for i, name in enumerate(surv.schema.names)}
+            # only the SURVIVORS' html payloads become Python bytes (one
+            # as_py each) — dropped duplicates never cross the boundary
+            html = cols["html"]
+            cols["text"] = pa.array(
+                [extract_text_py(v.as_py()) for v in html], type=pa.string()
+            )
+            if "meta" in cols:
+                # delta rows ship meta as null (agg-path parity); only the
+                # (rare) dead-letter rows keep theirs
+                meta = cols["meta"]
+                dl_surv = pc.equal(
+                    cols[dest_col], no_dedup_dest
+                ).to_numpy(zero_copy_only=False)
+                cols["meta"] = pa.array(
+                    [meta[i].as_py() if dl_surv[i] else None for i in range(len(meta))],
+                    type=meta.type,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [cols[name] for name in out_names],
+                schema=pa.schema(
+                    [
+                        (
+                            pa.field(name, cols[name].type)
+                            if name in ("text", "meta")
+                            else surv.schema.field(name)
+                        )
+                        for name in out_names
+                    ]
+                ),
+            )
+
+    if engine == "arrow":
+        return arranged.mapInArrow(op_arrow, out_schema)
     return arranged.mapInPandas(op, out_schema)

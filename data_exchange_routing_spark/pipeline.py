@@ -769,7 +769,10 @@ def apply_epoch(
                 ).alias("keys"),
             )
             fused = fused_local_dedup_extract(
-                staged_input, wh.n_buckets, dest_col=DEST_COL, bucket_col=BUCKET_COL
+                staged_input, wh.n_buckets, dest_col=DEST_COL, bucket_col=BUCKET_COL,
+                # arrow engine is the default (equivalence-gated); the env
+                # knob exists for the bytes-per-event A/B protocol only
+                engine=os.environ.get("SPARK_GRAFT_FUSED_ENGINE", "arrow"),
             )
             keep = {"url", "warc_ts", "html", "text", "lang", LSN_COL, DELETED_COL} | set(
                 promote

@@ -146,20 +146,24 @@ def main() -> None:
     print("# input sizes:", sizes, flush=True)
 
     arms = {
-        "baseline(snappy+lz4)": (
-            {"SPARK_GRAFT_PARQUET_CODEC": "snappy", "SPARK_GRAFT_IO_CODEC": "lz4"},
+        "r04-baseline(pandas+snappy+lz4)": (
+            {"SPARK_GRAFT_PARQUET_CODEC": "snappy", "SPARK_GRAFT_IO_CODEC": "lz4",
+             "SPARK_GRAFT_FUSED_ENGINE": "pandas"},
             ev_snappy,
         ),
-        "parquet-zstd": (
-            {"SPARK_GRAFT_PARQUET_CODEC": "zstd", "SPARK_GRAFT_IO_CODEC": "lz4"},
+        "arrow-fused": (
+            {"SPARK_GRAFT_PARQUET_CODEC": "snappy", "SPARK_GRAFT_IO_CODEC": "lz4",
+             "SPARK_GRAFT_FUSED_ENGINE": "arrow"},
             ev_snappy,
         ),
-        "io-zstd": (
-            {"SPARK_GRAFT_PARQUET_CODEC": "snappy", "SPARK_GRAFT_IO_CODEC": "zstd"},
+        "arrow+io-zstd": (
+            {"SPARK_GRAFT_PARQUET_CODEC": "snappy", "SPARK_GRAFT_IO_CODEC": "zstd",
+             "SPARK_GRAFT_FUSED_ENGINE": "arrow"},
             ev_snappy,
         ),
-        "all-zstd+zstd-binlog": (
-            {"SPARK_GRAFT_PARQUET_CODEC": "zstd", "SPARK_GRAFT_IO_CODEC": "zstd"},
+        "arrow+all-zstd+zstd-binlog": (
+            {"SPARK_GRAFT_PARQUET_CODEC": "zstd", "SPARK_GRAFT_IO_CODEC": "zstd",
+             "SPARK_GRAFT_FUSED_ENGINE": "arrow"},
             ev_zstd,
         ),
     }

@@ -305,3 +305,54 @@ def test_extract_links_edge_cases(spark):
     # userinfo is skipped (not mistaken for the host); port excluded;
     # schemeless target has no host
     assert hosts == {"a.com", "b.com", "c.com", "d.com", ""}
+
+
+def test_fused_arrow_engine_matches_pandas_engine(spark):
+    """r05 bytes-per-event work: the mapInArrow fused dedup+extract must be
+    row-identical to the pandas engine — including cross-batch boundary
+    dedup (tiny Arrow batches force it), dead-letter at-least-once
+    exemption, meta nulling for delta rows, null urls, and null html."""
+    from datetime import datetime
+
+    from data_exchange_routing_spark.operators.dedup import fused_local_dedup_extract
+
+    rows = []
+    for i in range(40):
+        url = None if i % 13 == 0 else f"https://s/{i % 7}"
+        rows.append(
+            (
+                "web_pages" if i % 5 else "dead_letter",
+                url,
+                datetime(2024, 1, 1, 0, 0, i % 9),
+                None if i % 11 == 0 else f"<p>page &amp; {i}</p>".encode(),
+                "en",
+                i,
+                i % 17 == 0,
+                {"k": str(i)},
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "destination_table string, url string, warc_ts timestamp, html binary,"
+        " lang string, _lsn long, _deleted boolean, meta map<string,string>",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # 4-row batches: every partition crosses several batch boundaries
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        a = fused_local_dedup_extract(df, n_buckets=4, engine="arrow").collect()
+        p = fused_local_dedup_extract(df, n_buckets=4, engine="pandas").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    key = lambda r: (r["destination_table"], str(r["url"]), str(r["warc_ts"]), r["_lsn"])
+    assert sorted(map(tuple, a), key=lambda t: str(t)) == sorted(
+        map(tuple, p), key=lambda t: str(t)
+    )
+    assert len(a) == len(p) and len(a) > 0
+    # dead letters kept at-least-once (every dl input row survives)
+    n_dl = sum(1 for r in a if r["destination_table"] == "dead_letter")
+    assert n_dl == sum(1 for r in rows if r[0] == "dead_letter")
+    # meta nulled on delta rows, kept on dead letters
+    assert all(
+        (r["meta"] is None) == (r["destination_table"] != "dead_letter") for r in a
+    )
