@@ -11,10 +11,13 @@ by a closed-form DuckDB oracle in the registry:
   CRC-validated; truncation / corrupt-DEFLATE raise ValueError.
 - **GIF** (`decode_gif_frames`): real LZW decode, multi-frame sampling.
 - **WAV** (`decode_wav`): PCM header + sample decode (audio path).
-- **JPEG** is the one remaining fence: baseline JFIF decode (Huffman +
-  dequant + IDCT + YCbCr) is not implemented; `sniff_decode_meta` raises a
-  loud NotImplementedError for JPEG magic rather than guessing. Unknown
-  magics likewise fail loudly — never silently fake.
+- **JPEG** (`decode_jpeg`, r05): full baseline JFIF — canonical Huffman,
+  dequant, float IDCT, 4:4:4/4:2:0 chroma upsampling, DRI/RSTn restart
+  intervals, JFIF YCbCr->RGB; progressive (SOF2) / arithmetic / 12-bit
+  remain LOUD ValueError fences. Gated by an exact closed-form oracle
+  (flat DC-only blocks + all-ones quant decode with zero rounding loss).
+
+Unknown magics fail loudly (NotImplementedError) — never silently fake.
 
 `fake_decode_meta` remains ONLY as an explicitly-labeled deterministic
 stand-in for formats behind the fence (used by plumbing-shape tests, never
@@ -139,6 +142,7 @@ def sniff_decode_meta(payload: bytes) -> tuple[int | None, int | None, int | Non
 
     - ``BM``            -> 24-bit BMP: (width, height, 1)
     - ``\\x89PNG``       -> 8-bit RGB/RGBA PNG: (width, height, 1)
+    - ``\\xff\\xd8\\xff``  -> baseline JFIF JPEG: (width, height, 1)
     - ``RIFF..WAVE``    -> 16-bit PCM WAV: (None, None, n sample frames —
       "frame" in the audio sense: one sample across channels)
     - ``GIF87a/GIF89a`` -> animated GIF: (width, height, n frames)
@@ -153,6 +157,9 @@ def sniff_decode_meta(payload: bytes) -> tuple[int | None, int | None, int | Non
     if b[:8] == _PNG_SIG:
         w, h, _px, _ch = decode_png(b)
         return (w, h, 1)
+    if b[:3] == b"\xff\xd8\xff":
+        w, h, _px, _ch = decode_jpeg(b)
+        return (w, h, 1)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         _rate, ch, pcm = decode_wav(b)
         return (None, None, len(pcm) // ch)
@@ -160,8 +167,8 @@ def sniff_decode_meta(payload: bytes) -> tuple[int | None, int | None, int | Non
         w, h, frames = decode_gif(b)
         return (w, h, len(frames))
     raise NotImplementedError(
-        f"no codec for payload magic {b[:8]!r} (BMP/WAV/GIF ship in-repo; "
-        "other formats need an external media library)"
+        f"no codec for payload magic {b[:8]!r} (BMP/PNG/JPEG/WAV/GIF ship "
+        "in-repo; other formats need an external media library)"
     )
 
 
@@ -976,3 +983,476 @@ def extract_png_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF) — the last multimodal fence, closed in r05. Pure
+# stdlib/numpy: canonical Huffman decode, dequantization, float IDCT,
+# chroma upsampling, JFIF YCbCr->RGB. Progressive (SOF2), arithmetic
+# coding, 12-bit precision and 16-bit quant tables stay LOUD ValueError
+# fences. Oracle trick: a flat 8x8 block with an all-ones quantization
+# table is DC-only and reconstructs EXACTLY (F00 = 8*(v-128); IDCT of a
+# DC-only block is F00/8 + 128 = v with no rounding loss), so the
+# generator emits flat-block grayscale JPEGs whose per-pixel values are
+# closed-form SQL arithmetic — a wrong Huffman walk, dequant, zigzag or
+# IDCT cannot reproduce px_sum.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K "typical" Huffman tables (public spec constants)
+_STD_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_LUM_VALS = list(range(12))
+_STD_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_canonical(bits, vals):
+    """(BITS[1..16], HUFFVAL) -> {(length, code): symbol} per T.81 C.2."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(bits, vals):
+    """Inverse canonical map {symbol: (length, code)} for the generator."""
+    return {sym: lc for lc, sym in _huff_canonical(bits, vals).items()}
+
+
+def _idct_basis():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+_IDCT_A = None
+
+
+def _idct2(block):
+    """8x8 inverse DCT (float): pixels = A^T . F . A"""
+    global _IDCT_A
+    if _IDCT_A is None:
+        _IDCT_A = _idct_basis()
+    return _IDCT_A.T @ block @ _IDCT_A
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; restart markers (FFD0-FFD7) are surfaced via ``at_rst``."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bit = 0
+
+    def _byte_at(self, p):
+        if p >= len(self.buf):
+            raise ValueError("truncated JPEG: entropy data ended mid-block")
+        return self.buf[p]
+
+    def read_bit(self) -> int:
+        b = self._byte_at(self.pos)
+        if b == 0xFF:
+            nxt = self._byte_at(self.pos + 1)
+            if nxt != 0x00:
+                # a real marker inside entropy data = truncated/corrupt scan
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy-coded data"
+                )
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1 + (1 if b == 0xFF else 0)  # skip the stuffed 0x00
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker (restart interval)."""
+        self.bit = 0
+        while self._byte_at(self.pos) != 0xFF:
+            self.pos += 1  # padding 1-bits to the marker
+        if self._byte_at(self.pos + 1) != 0xD0 + (n % 8):
+            raise ValueError(
+                f"expected RST{n % 8} marker, found "
+                f"0xFF{self._byte_at(self.pos + 1):02X}"
+            )
+        self.pos += 2
+
+    def huff_decode(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG: invalid Huffman code in entropy data")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` raw bits to the signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF bytes -> (width, height, numpy uint8 pixels, channels).
+    Grayscale decodes to (H, W) with channels=1; color to (H, W, 3) RGB via
+    the JFIF YCbCr transform. Supports multiple DQT/DHT segments, 4:4:4 /
+    4:2:0 / 4:1:1-style sampling via nearest upsampling, and DRI/RSTn
+    restart intervals. Raises ValueError on truncation, corrupt entropy
+    data, or non-baseline variants (progressive, arithmetic, 12-bit)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    sof = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG: no SOS before EOF")
+        if b[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = b[pos + 1]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG variant (SOF marker 0xFF{marker:02X}); "
+                "this decoder covers baseline sequential (SOF0) only"
+            )
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG: segment declares bytes past EOF")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quantization table")
+                tbl = np.ones(64, dtype=np.int32)
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = seg[off + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_canonical(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(dict(cid=cid, hi=samp >> 4, vi=samp & 0x0F, tq=tq))
+            sof = dict(w=w, h=h, comps=comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("corrupt JPEG: SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for i in range(ns):
+                cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan[cs] = (tda >> 4, tda & 0x0F)
+            pos = pos + 2 + seglen
+            break
+        # APPn/COM/unknown: skip
+        pos += 2 + seglen
+
+    comps = sof["comps"]
+    w, h = sof["w"], sof["h"]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for c in comps:
+        planes[c["cid"]] = np.zeros(
+            (mcuy * c["vi"] * 8, mcux * c["hi"] * 8), dtype=np.float64
+        )
+    reader = _JpegBitReader(b, pos)
+    prev_dc = {c["cid"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_and_expect_rst(mcu_count // restart_interval - 1)
+                prev_dc = {c["cid"]: 0 for c in comps}
+            for c in comps:
+                td, ta = scan[c["cid"]]
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError("corrupt JPEG: scan references missing DHT")
+                for by in range(c["vi"]):
+                    for bx in range(c["hi"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        t = reader.huff_decode(huff_dc[td])
+                        diff = _extend(reader.read_bits(t), t)
+                        prev_dc[c["cid"]] += diff
+                        coef[0] = prev_dc[c["cid"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff_decode(huff_ac[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC run past block end"
+                                )
+                            coef[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        for k2 in range(64):
+                            blk[_ZIGZAG[k2] // 8, _ZIGZAG[k2] % 8] = coef[k2]
+                        blk *= qt[c["tq"]]
+                        px = _idct2(blk) + 128.0
+                        y0 = (my * c["vi"] + by) * 8
+                        x0 = (mx * c["hi"] + bx) * 8
+                        planes[c["cid"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    if len(comps) == 1:
+        gray = np.clip(np.round(planes[comps[0]["cid"]][:h, :w]), 0, 255)
+        return w, h, gray.astype(np.uint8), 1
+    if len(comps) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    full = []
+    for c in comps:
+        p = planes[c["cid"]]
+        ry, rx = vmax // c["vi"], hmax // c["hi"]
+        if ry > 1 or rx > 1:  # nearest upsample to full resolution
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, 255)
+    return w, h, rgb.astype(np.uint8), 3
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+        return bytes(self.out)
+
+
+def encode_jpeg_flat(
+    block_values,
+    n_components: int = 1,
+    chroma_420: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Deterministic baseline-JPEG generator for the decode gates: each 8x8
+    block is FLAT (one sample value per block, DC-only) and the
+    quantization table is all ones, so decode is EXACT — the oracle can
+    state every output pixel in closed form. ``block_values``: uint8 array
+    (bh, bw) for grayscale, or (bh, bw, 3) of Y/Cb/Cr plane values for a
+    4:4:4 color image. ``chroma_420=True`` interprets (bh, bw, 3) entries
+    as flat 16x16 MCUs (Y sampling 2x2, Cb/Cr 1x1 — the Common-Crawl-
+    dominant layout); ``restart_interval=N`` writes DRI + RSTn markers
+    every N MCUs. Not a general-purpose encoder (flat blocks only) — the
+    DECODER is the product surface; this exists to gate it."""
+    import struct
+
+    import numpy as np
+
+    bv = np.asarray(block_values, dtype=np.int64)
+    if n_components == 1 and bv.ndim != 2:
+        raise ValueError("grayscale generator expects (bh, bw) block values")
+    if n_components == 3 and (bv.ndim != 3 or bv.shape[2] != 3):
+        raise ValueError("color generator expects (bh, bw, 3) Y/Cb/Cr values")
+    if chroma_420 and n_components != 3:
+        raise ValueError("chroma_420 requires 3 components")
+    bh, bw = bv.shape[0], bv.shape[1]
+    blk = 16 if chroma_420 else 8
+    w, h = bw * blk, bh * blk
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )  # APP0: version 1.1, aspect 1:1, no thumbnail
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT all-1
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * n_components, 8, h, w, n_components
+    )
+    for cid in range(1, n_components + 1):
+        samp = 0x22 if (chroma_420 and cid == 1) else 0x11
+        out += bytes([cid, samp, 0])
+    for tc, (bits, vals) in ((0, (_STD_DC_LUM_BITS, _STD_DC_LUM_VALS)),
+                             (0x10, (_STD_AC_LUM_BITS, _STD_AC_LUM_VALS))):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * n_components) + bytes([n_components])
+    for cid in range(1, n_components + 1):
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl
+    dc_map = _huff_encode_map(_STD_DC_LUM_BITS, _STD_DC_LUM_VALS)
+    ac_map = _huff_encode_map(_STD_AC_LUM_BITS, _STD_AC_LUM_VALS)
+    wtr = _JpegBitWriter()
+    prev_dc = [0] * n_components
+
+    def put_block(ci: int, v: int) -> None:
+        dc = 8 * (v - 128)  # flat block: DC-only, all-ones quant
+        diff = dc - prev_dc[ci]
+        prev_dc[ci] = dc
+        size = 0 if diff == 0 else max(1, abs(diff).bit_length())
+        length, code = dc_map[size]
+        wtr.put(code, length)
+        if size:
+            wtr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        el, ec = ac_map[0x00]  # EOB: all AC zero
+        wtr.put(ec, el)
+
+    mcu_count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                out += wtr.flush()
+                out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8])
+                wtr = _JpegBitWriter()
+                prev_dc = [0] * n_components
+            if n_components == 1:
+                put_block(0, int(bv[by, bx]))
+            elif chroma_420:
+                for _ in range(4):  # 4 flat Y blocks per MCU
+                    put_block(0, int(bv[by, bx, 0]))
+                put_block(1, int(bv[by, bx, 1]))
+                put_block(2, int(bv[by, bx, 2]))
+            else:
+                for ci in range(3):
+                    put_block(ci, int(bv[by, bx, ci]))
+            mcu_count += 1
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def generate_jpeg_media(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """REAL baseline-JPEG payloads with closed-form decoded pixels: block
+    grid bw = 1 + id % 4, bh = 1 + id % 3 (so w = 8*bw, h = 8*bh), block
+    value v(by, bx) = (37*bx + 59*by + id) % 256, grayscale, all-ones
+    quant. Flat DC-only blocks decode EXACTLY, so px_sum = 64 * SUM v —
+    pure SQL arithmetic for the oracle; a wrong Huffman walk, zigzag,
+    dequant or IDCT cannot reproduce it."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict = {"asset_id": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                bw, bh = 1 + i % 4, 1 + i % 3
+                yy, xx = np.mgrid[0:bh, 0:bw]
+                bv = (37 * xx + 59 * yy + i) % 256
+                rows["asset_id"].append(i)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_jpeg_flat(bv))
+                rows["meta"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, MEDIA_SCHEMA)
+
+
+JPEG_FEATURE_SCHEMA = (
+    "asset_id long, width int, height int, channels int, px_sum long"
+)
+
+
+def extract_jpeg_features(df: DataFrame) -> DataFrame:
+    """mapInPandas decode of real baseline-JPEG bytes: dims from SOF0,
+    px_sum from the fully entropy-decoded + dequantized + IDCT'd pixels."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {
+                "asset_id": [], "width": [], "height": [], "channels": [],
+                "px_sum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px, ch = decode_jpeg(bytes(payload))
+                out["asset_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(int(px.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, JPEG_FEATURE_SCHEMA)

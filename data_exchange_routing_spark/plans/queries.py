@@ -3906,6 +3906,50 @@ def multimodal_png_features(spark, sf_dir):
     return extract_png_features(media)
 
 
+@q(
+    "multimodal_jpeg_features",
+    # r05: the LAST multimodal fence closed — real baseline-JFIF decode
+    # (canonical Huffman + dequant + IDCT + upsampling), pure stdlib/numpy
+    # (functions/multimodal.py:decode_jpeg). The generator emits flat
+    # DC-only 8x8 blocks under an all-ones quantization table, which decode
+    # EXACTLY (F00 = 8*(v-128); IDCT of a DC-only block = F00/8 + 128 = v,
+    # no rounding loss) — so every decoded pixel is closed-form: block grid
+    # bw = 1 + id%4, bh = 1 + id%3, v(by,bx) = (37*bx + 59*by + id) % 256,
+    # px_sum = 64 * SUM v. A wrong Huffman walk / zigzag / dequant / IDCT
+    # cannot reproduce the sum.
+    """
+    WITH dims AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(1 + vec_id % 4 AS BIGINT) AS bw,
+             CAST(1 + vec_id % 3 AS BIGINT) AS bh
+      FROM embeddings
+    ),
+    blocks AS (
+      SELECT d.vec_id, d.bw, d.bh,
+             SUM((37 * t2.bx + 59 * t1.by + d.vec_id) % 256) AS vsum
+      FROM dims d,
+           UNNEST(range(0, d.bh)) AS t1(by),
+           UNNEST(range(0, d.bw)) AS t2(bx)
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_id AS asset_id,
+           CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * vsum AS BIGINT) AS px_sum
+    FROM blocks
+    """,
+)
+def multimodal_jpeg_features(spark, sf_dir):
+    from data_exchange_routing_spark.functions.multimodal import (
+        extract_jpeg_features,
+        generate_jpeg_media,
+    )
+
+    media = generate_jpeg_media(ld(spark, sf_dir, "embeddings").select("vec_id"))
+    return extract_jpeg_features(media)
+
+
 # =====================================================================
 # 5. Relational breadth: subqueries, cube/grouping sets, set ops,
 #    analytic windows, as-of + range joins (beyond-reference per brief)
@@ -8065,7 +8109,7 @@ DRIVER_PRIORITY: list[str] = [
     "emb_ivf_ann_exhaustive",  # cosine semantics: also covers emb_cosine_top5's
     "emb_semantic_dedup",
     # multimodal (real codecs, EXACT oracles)
-    "multimodal_bmp_features",
+    "multimodal_jpeg_features",  # r05: baseline JFIF decode, the last fence
     "multimodal_gif_frames",
     # doc / training-data pipeline representatives
     "doc_exact_dedup",

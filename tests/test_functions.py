@@ -548,8 +548,12 @@ def test_real_bmp_feature_and_resize_pipeline(spark):
     # is a corrupt payload (ValueError), not an unknown format
     with _pytest.raises(ValueError):
         sniff_decode_meta(b"\x89PNG\r\n\x1a\n garbage")
+    # JPEG magic is a KNOWN codec since r05: garbage after the SOI/APP0
+    # prefix is a corrupt payload (ValueError), not an unknown format
+    with _pytest.raises(ValueError):
+        sniff_decode_meta(b"\xff\xd8\xff\xe0 jpeg garbage, not a real scan")
     with _pytest.raises(NotImplementedError, match="no codec"):
-        sniff_decode_meta(b"\xff\xd8\xff\xe0 jpeg has no in-env codec")
+        sniff_decode_meta(b"II*\x00 tiff stays behind the fence")
 
     resized = {r["asset_id"]: r for r in resize_images(media, 8, 6, use_fake_decoder=False).collect()}
     for i in (0, 7, 33):
@@ -1463,3 +1467,115 @@ def test_resize_images_handles_png(spark):
             axis=-1,
         ).astype(np.uint8)
         assert np.array_equal(px, expect)
+
+
+def test_jpeg_codec_exact_decode_and_variants():
+    """r05: baseline JFIF decoder — flat DC-only blocks under an all-ones
+    quant table decode EXACTLY (zero rounding loss), across grayscale,
+    4:4:4 color, 4:2:0 subsampling, and DRI/RSTn restart intervals."""
+    import numpy as np
+
+    from data_exchange_routing_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_flat,
+        sniff_decode_meta,
+    )
+
+    # grayscale, non-square grid
+    bv = (np.arange(35).reshape(5, 7) * 37 + 5) % 256
+    w, h, px, ch = decode_jpeg(encode_jpeg_flat(bv))
+    assert (w, h, ch) == (56, 40, 1)
+    assert np.array_equal(px, np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8))
+    # sniff dispatch sees JPEG magic
+    assert sniff_decode_meta(encode_jpeg_flat(bv)) == (56, 40, 1)
+
+    # 4:4:4 color with neutral chroma == grayscale values in every channel
+    bvc = np.stack(
+        [(np.arange(6).reshape(2, 3) * 31 + 10) % 256,
+         np.full((2, 3), 128), np.full((2, 3), 128)], axis=-1)
+    w, h, px, ch = decode_jpeg(encode_jpeg_flat(bvc, n_components=3))
+    want_y = np.repeat(np.repeat(bvc[:, :, 0], 8, 0), 8, 1).astype(np.uint8)
+    assert ch == 3 and np.array_equal(px[:, :, 0], want_y)
+    assert np.array_equal(px[:, :, 0], px[:, :, 1])
+    assert np.array_equal(px[:, :, 1], px[:, :, 2])
+
+    # 4:2:0: flat 16x16 MCUs; YCbCr->RGB matches the JFIF closed form
+    bv420 = np.stack(
+        [np.full((2, 2), 90), np.full((2, 2), 100), np.full((2, 2), 200)], axis=-1)
+    w, h, px, ch = decode_jpeg(encode_jpeg_flat(bv420, n_components=3, chroma_420=True))
+    assert (w, h, ch) == (32, 32, 3)
+    y, cb, cr = 90.0, 100.0, 200.0
+    want = [
+        round(min(max(y + 1.402 * (cr - 128), 0), 255)),
+        round(min(max(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128), 0), 255)),
+        round(min(max(y + 1.772 * (cb - 128), 0), 255)),
+    ]
+    assert px[0, 0].tolist() == want and px[-1, -1].tolist() == want
+
+    # restart intervals: DC predictors reset at every RSTn
+    brst = encode_jpeg_flat(bv, restart_interval=3)
+    assert b"\xff\xdd" in brst and b"\xff\xd0" in brst
+    w, h, px, ch = decode_jpeg(brst)
+    assert np.array_equal(px, np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8))
+
+
+def test_jpeg_decoder_fences_and_corruption():
+    """Truncation, corrupt entropy data, and non-baseline variants fail
+    LOUDLY (the multimodal contract: never silently fake)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_exchange_routing_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_flat,
+    )
+
+    bv = (np.arange(12).reshape(3, 4) * 37 + 5) % 256
+    good = encode_jpeg_flat(bv)
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # truncated mid-segment and mid-entropy
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:20])
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:-10] )
+    # progressive (SOF2) is a documented fence
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # 16-bit quant table fence
+    q16 = bytearray(good)
+    dqt = q16.find(b"\xff\xdb")
+    q16[dqt + 4] = 0x10  # Pq=1
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg(bytes(q16))
+    # corrupt entropy data: a bare marker inside the scan is always
+    # detectable (unlike arbitrary bit flips — JPEG carries no checksum,
+    # so those can decode to a different VALID stream)
+    bad = bytearray(good)
+    sos = bad.find(b"\xff\xda")
+    entropy0 = sos + 2 + int.from_bytes(bad[sos + 2 : sos + 4], "big")
+    bad[entropy0 : entropy0 + 2] = b"\xff\xc0"
+    with _pytest.raises(ValueError, match="marker"):
+        decode_jpeg(bytes(bad))
+
+
+def test_real_jpeg_feature_pipeline(spark):
+    from data_exchange_routing_spark.functions.multimodal import (
+        extract_jpeg_features,
+        generate_jpeg_media,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "vec_id")
+    feats = {r["asset_id"]: r for r in extract_jpeg_features(generate_jpeg_media(ids)).collect()}
+    assert len(feats) == 24
+    for i, r in feats.items():
+        bw, bh = 1 + i % 4, 1 + i % 3
+        assert (r["width"], r["height"], r["channels"]) == (8 * bw, 8 * bh, 1)
+        want = 64 * sum(
+            (37 * bx + 59 * by + i) % 256 for by in range(bh) for bx in range(bw)
+        )
+        assert r["px_sum"] == want, i
