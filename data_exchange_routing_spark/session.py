@@ -56,7 +56,7 @@ def get_spark(
         # chosen by that measurement (see BENCH/CODEC_AB.md)
         .config(
             "spark.sql.parquet.compression.codec",
-            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
         )
         .config(
             "spark.io.compression.codec",

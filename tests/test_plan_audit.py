@@ -37,23 +37,25 @@ REL_TOL = 0.25
 ABS_TOL = 2_000
 
 
-def _totals(spark) -> tuple[int, int]:
+def _stages(spark) -> list:
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
-    stages = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages"))
-    return (
-        sum(st.get("shuffleWriteRecords", 0) for st in stages),
-        sum(st.get("inputRecords", 0) for st in stages),
-    )
+    return json.load(urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages"))
 
 
 def _measure(spark, name: str) -> dict:
+    """Sum metrics over ONLY the stages this query submits (stageId window)
+    — cumulative-total deltas break when the UI store evicts old stages
+    (spark.ui.retainedStages) mid-measurement after a long test session."""
     from data_exchange_routing_spark.plans.queries import QUERIES
 
-    s0, i0 = _totals(spark)
+    id0 = max((st["stageId"] for st in _stages(spark)), default=-1)
     QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    s1, i1 = _totals(spark)
-    return {"shuffle_records": s1 - s0, "input_records": i1 - i0}
+    mine = [st for st in _stages(spark) if st["stageId"] > id0]
+    return {
+        "shuffle_records": sum(st.get("shuffleWriteRecords", 0) for st in mine),
+        "input_records": sum(st.get("inputRecords", 0) for st in mine),
+    }
 
 
 @pytest.mark.plan_audit
