@@ -3746,6 +3746,11 @@ def emb_kmeans_clusters(spark, sf_dir):
            CAST(4 + (vec_id + 1000000) % 32 AS INT),
            CAST(4 + (vec_id + 1000000) % 16 AS INT), CAST(1 AS INT)
     FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id + 2000000 AS BIGINT), 'image',
+           CAST(8 * (1 + (vec_id + 2000000) % 4) AS INT),
+           CAST(8 * (1 + (vec_id + 2000000) % 3) AS INT), CAST(1 AS INT)
+    FROM embeddings
     """,
 )
 def multimodal_features(spark, sf_dir):
@@ -3754,13 +3759,14 @@ def multimodal_features(spark, sf_dir):
     from data_exchange_routing_spark.functions.multimodal import (
         generate_bmp_media,
         generate_gif_media,
+        generate_jpeg_media,
         generate_png_media,
         generate_wav_media,
     )
 
     ids = ld(spark, sf_dir, "embeddings").select("vec_id")
-    # the PNG arm rides id-shifted so its (dims, asset_id) rows are
-    # distinguishable from the BMP arm's — the compressed-format dispatch
+    # the PNG/JPEG arms ride id-shifted so their (dims, asset_id) rows are
+    # distinguishable from the BMP arm's — each compressed-format dispatch
     # is then individually load-bearing in the multiset compare
     media = (
         generate_bmp_media(ids)
@@ -3768,6 +3774,9 @@ def multimodal_features(spark, sf_dir):
         .unionByName(generate_gif_media(ids))
         .unionByName(
             generate_png_media(ids.select((F.col("vec_id") + 1000000).alias("vec_id")))
+        )
+        .unionByName(
+            generate_jpeg_media(ids.select((F.col("vec_id") + 2000000).alias("vec_id")))
         )
     )
     return extract_media_features(media, use_fake_decoder=False).select(
