@@ -1104,10 +1104,19 @@ class _JpegBitReader:
         return v
 
     def align_and_expect_rst(self, n: int) -> None:
-        """Byte-align and consume the RSTn marker (restart interval)."""
+        """Byte-align and consume the RSTn marker (restart interval). A
+        0xFF pad byte before the marker is STUFFED as FF 00 (T.81 F.1.2.3)
+        — skip those pairs; only a bare FF Dx is the marker itself."""
         self.bit = 0
-        while self._byte_at(self.pos) != 0xFF:
-            self.pos += 1  # padding 1-bits to the marker
+        while True:
+            b0 = self._byte_at(self.pos)
+            if b0 != 0xFF:
+                self.pos += 1  # padding 1-bits to the marker
+                continue
+            if self._byte_at(self.pos + 1) == 0x00:
+                self.pos += 2  # stuffed 0xFF pad byte, not a marker
+                continue
+            break
         if self._byte_at(self.pos + 1) != 0xD0 + (n % 8):
             raise ValueError(
                 f"expected RST{n % 8} marker, found "
@@ -1158,6 +1167,9 @@ def decode_jpeg(payload: bytes):
             raise ValueError("truncated JPEG: no SOS before EOF")
         if b[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # optional 0xFF fill bytes before a marker are legal (T.81 B.1.1.2)
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
@@ -1208,6 +1220,12 @@ def decode_jpeg(payload: bytes):
             for i in range(ns):
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tda >> 4, tda & 0x0F)
+            missing = [c["cid"] for c in sof["comps"] if c["cid"] not in scan]
+            if missing:
+                raise ValueError(
+                    f"corrupt JPEG: SOS lacks component ids {missing} "
+                    "declared by SOF0"
+                )
             pos = pos + 2 + seglen
             break
         # APPn/COM/unknown: skip

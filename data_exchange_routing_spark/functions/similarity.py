@@ -822,49 +822,109 @@ class IndexMaintainerBusy(RuntimeError):
 
 class _maintainer_lease:
     """Exclusive-create lock file (the same primitive the lake commit uses)
-    held for the duration of any index WRITE operation. A lock whose mtime
-    is older than ``stale_after_s`` is presumed crashed and stolen once —
-    maintenance epochs are redeliverable, so breaking a dead maintainer's
-    lease is safe; breaking a LIVE one is not, hence the generous default."""
+    held for the duration of any index WRITE operation.
 
-    def __init__(self, path: str, stale_after_s: float = 3600.0):
+    Liveness: a daemon heartbeat refreshes the lock's mtime every
+    ``stale_after_s / 4`` while held, so a LIVE maintainer — however long
+    its compaction runs — never looks stale. A lock whose mtime is older
+    than ``stale_after_s`` (env ``SPARK_GRAFT_INDEX_LEASE_TTL`` overrides)
+    therefore belongs to a crashed maintainer and is stolen; maintenance
+    epochs are redeliverable, so breaking a dead lease is safe.
+
+    Steal safety: stealers serialize on a second exclusive-create file
+    (``maintainer.lock.steal``) and RE-CHECK staleness while holding it —
+    the naive unlink-then-create steal races a concurrent stealer into
+    removing the winner's FRESH lock (both would then hold the lease,
+    which is the exact corruption this mechanism exists to prevent)."""
+
+    def __init__(self, path: str, stale_after_s: float | None = None):
         import os
 
         self.lock = os.path.join(path, "maintainer.lock")
-        self.stale_after_s = stale_after_s
+        self.stale_after_s = (
+            stale_after_s
+            if stale_after_s is not None
+            else float(os.environ.get("SPARK_GRAFT_INDEX_LEASE_TTL", "3600"))
+        )
         self._fd = None
+        self._hb = None
 
-    def __enter__(self):
+    def _try_acquire(self) -> bool:
         import os
         import time
 
-        for attempt in (0, 1):
+        try:
+            self._fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(self._fd, f"pid={os.getpid()} t={time.time()}".encode())
+            return True
+        except FileExistsError:
+            return False
+
+    def __enter__(self):
+        import os
+        import threading
+        import time
+
+        if not self._try_acquire():
             try:
-                self._fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(self._fd, f"pid={os.getpid()} t={time.time()}".encode())
-                return self
-            except FileExistsError:
+                age = time.time() - os.path.getmtime(self.lock)
+            except OSError:
+                age = None  # holder released between probe and stat
+            if age is not None and age > self.stale_after_s:
+                steal = self.lock + ".steal"
                 try:
-                    age = time.time() - os.path.getmtime(self.lock)
-                except OSError:
-                    continue  # holder released between probe and stat; retry
-                if attempt == 0 and age > self.stale_after_s:
-                    try:  # steal a dead maintainer's lease (once)
-                        os.unlink(self.lock)
+                    sfd = os.open(steal, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    raise IndexMaintainerBusy(
+                        f"another maintainer is stealing {self.lock}"
+                    ) from None
+                try:
+                    # re-check UNDER the steal lock: the previous stealer may
+                    # have just created a fresh lock we must not remove
+                    try:
+                        age = time.time() - os.path.getmtime(self.lock)
+                    except OSError:
+                        age = self.stale_after_s + 1  # gone: free to create
+                    if age > self.stale_after_s:
+                        try:
+                            os.unlink(self.lock)
+                        except OSError:
+                            pass
+                        self._try_acquire()
+                finally:
+                    os.close(sfd)
+                    try:
+                        os.unlink(steal)
                     except OSError:
                         pass
-                    continue
+            if self._fd is None:
                 raise IndexMaintainerBusy(
-                    f"another maintainer holds {self.lock} (age {age:.0f}s); "
-                    "apply_changes/index_compact must not run concurrently on "
-                    "one index — if the holder crashed, remove the lock or "
-                    "wait out the stale window"
-                ) from None
-        raise IndexMaintainerBusy(f"could not acquire {self.lock}")
+                    f"another maintainer holds {self.lock}; apply_changes/"
+                    "index_compact must not run concurrently on one index — "
+                    "a crashed holder's lease frees itself after the stale "
+                    "window (its heartbeat stops)"
+                )
+        # heartbeat: keep mtime fresh so a long compaction is never stolen
+        self._stop = threading.Event()
+        interval = max(self.stale_after_s / 4.0, 1.0)
+
+        def beat():
+            while not self._stop.wait(interval):
+                try:
+                    os.utime(self.lock, None)
+                except OSError:
+                    return  # lock vanished (external cleanup): stop quietly
+
+        self._hb = threading.Thread(target=beat, daemon=True)
+        self._hb.start()
+        return self
 
     def __exit__(self, *exc):
         import os
 
+        if self._hb is not None:
+            self._stop.set()
+            self._hb.join(timeout=5)
         if self._fd is not None:
             os.close(self._fd)
             try:

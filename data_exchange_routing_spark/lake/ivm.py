@@ -346,7 +346,18 @@ class KeyedAggView:
                 for o, col in self.maxs.items()
             ]
             ext = histo.groupBy(*self.group_by).agg(*aggs)
-            out = out.join(ext, self.group_by, "left")
+            # NULL-SAFE join on the group keys: SQL GROUP BY puts NULL keys
+            # in one group, but a plain equi-join would never match them —
+            # a NULL-keyed group with live non-NULL values must still read
+            # its extrema (r05 review finding)
+            e = ext.alias("_e")
+            cond = None
+            for g in self.group_by:
+                c = out[g].eqNullSafe(F.col(f"_e.{g}"))
+                cond = c if cond is None else (cond & c)
+            out = out.join(e, cond, "left").drop(
+                *[F.col(f"_e.{g}") for g in self.group_by]
+            )
         return out
 
     def compact(self) -> dict:

@@ -191,15 +191,20 @@ def fused_local_dedup_extract(
             )
             if "meta" in cols:
                 # delta rows ship meta as null (agg-path parity); only the
-                # (rare) dead-letter rows keep theirs
+                # (rare) dead-letter rows keep theirs. The common all-delta
+                # batch emits nulls without touching a single Python object.
                 meta = cols["meta"]
-                dl_surv = pc.equal(
-                    cols[dest_col], no_dedup_dest
-                ).to_numpy(zero_copy_only=False)
-                cols["meta"] = pa.array(
-                    [meta[i].as_py() if dl_surv[i] else None for i in range(len(meta))],
-                    type=meta.type,
-                )
+                dl_surv = is_dl[keep]
+                if not dl_surv.any():
+                    cols["meta"] = pa.nulls(len(meta), type=meta.type)
+                else:
+                    cols["meta"] = pa.array(
+                        [
+                            meta[i].as_py() if dl_surv[i] else None
+                            for i in range(len(meta))
+                        ],
+                        type=meta.type,
+                    )
             yield pa.RecordBatch.from_arrays(
                 [cols[name] for name in out_names],
                 schema=pa.schema(
@@ -216,4 +221,8 @@ def fused_local_dedup_extract(
 
     if engine == "arrow":
         return arranged.mapInArrow(op_arrow, out_schema)
-    return arranged.mapInPandas(op, out_schema)
+    if engine == "pandas":
+        return arranged.mapInPandas(op, out_schema)
+    # fail loudly: a typo'd engine knob silently measuring the wrong path
+    # would invalidate the very A/B the knob exists for
+    raise ValueError(f"unknown fused engine {engine!r} (arrow|pandas)")

@@ -173,15 +173,21 @@ def main() -> None:
             rec = run_once(env_extra, ev)
             results[name].append(rec)
             print(f"# round {r} {name}: {rec}", flush=True)
+    def true_median(xs):
+        s = sorted(xs)
+        mid = len(s) // 2
+        return round((s[mid] + s[~mid]) / 2, 1)
+
     report = {
         "protocol": "interleaved fresh-JVM runs, tmpfs input+warehouse, "
         "Xms=Xmx=24g AlwaysPreTouch, probes disclosed per run",
         "n_events": args.events,
         "input_sizes": sizes,
         "runs": results,
+        "eps_sorted": {k: sorted(x["eps"] for x in v) for k, v in results.items()},
         "best_eps": {k: max(x["eps"] for x in v) for k, v in results.items()},
         "median_eps": {
-            k: sorted(x["eps"] for x in v)[len(v) // 2] for k, v in results.items()
+            k: true_median([x["eps"] for x in v]) for k, v in results.items()
         },
     }
     out = os.path.join(REPO, "BENCH", "codec_ab.json")

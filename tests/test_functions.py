@@ -1579,3 +1579,54 @@ def test_real_jpeg_feature_pipeline(spark):
             (37 * bx + 59 * by + i) % 256 for by in range(bh) for bx in range(bw)
         )
         assert r["px_sum"] == want, i
+
+
+def test_jpeg_spec_edge_cases():
+    """r05 review findings: optional 0xFF fill bytes before markers
+    (T.81 B.1.1.2), stuffed 0xFF pad bytes before RSTn (F.1.2.3), and
+    SOS/SOF component mismatch raising ValueError (not KeyError)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_exchange_routing_spark.functions.multimodal import (
+        _JpegBitReader,
+        decode_jpeg,
+        encode_jpeg_flat,
+    )
+
+    bv = (np.arange(12).reshape(3, 4) * 37 + 5) % 256
+    good = encode_jpeg_flat(bv)
+    want = np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+
+    # fill bytes before a marker are legal: inject FF FF before DQT
+    dqt = good.find(b"\xff\xdb")
+    filled = good[:dqt] + b"\xff\xff" + good[dqt:]
+    w, h, px, ch = decode_jpeg(filled)
+    assert np.array_equal(px, want)
+
+    # stuffed 0xFF pad byte before a restart marker is NOT the marker
+    rdr = _JpegBitReader(b"\xab\xff\x00\xff\xd0\x99", 0)
+    rdr.pos, rdr.bit = 0, 3  # mid-byte: align must skip pad AND stuffed FF
+    rdr.align_and_expect_rst(8)  # RST0 == 0xD0
+    assert rdr.pos == 5 and rdr.bit == 0
+
+    # SOS referencing a component SOF didn't declare -> ValueError
+    sos = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos + 5] = 9  # scan component id 9, SOF declared id 1
+    with _pytest.raises(ValueError, match="SOS lacks component"):
+        decode_jpeg(bytes(bad))
+
+
+def test_fused_engine_unknown_value_raises(spark):
+    import pytest as _pytest
+
+    from data_exchange_routing_spark.operators.dedup import fused_local_dedup_extract
+
+    df = spark.createDataFrame(
+        [("web_pages", "u", None, None, "en", 1, False)],
+        "destination_table string, url string, warc_ts timestamp, html binary,"
+        " lang string, _lsn long, _deleted boolean",
+    )
+    with _pytest.raises(ValueError, match="unknown fused engine"):
+        fused_local_dedup_extract(df, n_buckets=2, engine="Arow")

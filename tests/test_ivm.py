@@ -338,3 +338,25 @@ def test_ivm_minmax_crash_between_elog_and_contrib_heals(spark, tmp_path, monkey
         ).collect()
     )
     assert view.apply_changes(feed1, epoch_id=1)["skipped"] is True
+
+
+def test_ivm_minmax_null_group_key_reads_extrema(spark, tmp_path):
+    """r05 review finding: GROUP BY puts NULL keys in one group, so the
+    extrema join must be null-safe — a NULL-keyed group with live non-NULL
+    values reads its real min/max, not NULL."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, key="url", n_buckets=4)
+    view = KeyedAggView.create(
+        spark, str(tmp_path / "view"), key="url", group_by=["lang"],
+        sums={}, mins={"min_n": "n"}, maxs={"max_n": "n"},
+        source_schema=SCHEMA, n_buckets=4,
+    )
+    v0 = src.current_version()
+    src.merge_cdc(
+        _batch(spark, [("a", "2024-01-01 00:00:00", None, 7, 1, False),
+                       ("b", "2024-01-01 00:00:00", None, 3, 1, False),
+                       ("c", "2024-01-01 00:00:00", "en", 5, 1, False)]),
+        epoch_id=0,
+    )
+    view.apply_changes(src.read_changes(v0, with_internal=True), epoch_id=0)
+    got = {r["lang"]: (r["n_rows"], r["min_n"], r["max_n"]) for r in view.read().collect()}
+    assert got == {None: (2, 3.0, 7.0), "en": (1, 5.0, 5.0)}

@@ -75,6 +75,12 @@ def test_headline_plan_records_pinned(spark):
         return
     failures = []
     for name in HEADLINE:
+        if name not in expected:
+            failures.append(
+                f"{name}: no recorded baseline (new HEADLINE entry?) — "
+                "run PLAN_AUDIT_RECORD=1 to pin it"
+            )
+            continue
         for metric in ("shuffle_records", "input_records"):
             want, have = expected[name][metric], got[name][metric]
             tol = max(ABS_TOL, REL_TOL * want)
