@@ -146,6 +146,41 @@ class NearDupIndex:
             tombs.rewrite_files(n_files=1, transform=lambda df: df.limit(0))
         return res
 
+    def maintain(
+        self,
+        tombstone_rows_budget: int = 1_000_000,
+        delta_files_budget: int = 16,
+        n_files: int = 1,
+    ) -> dict:
+        """Conditional maintenance — the ops-loop entry, symmetric to the
+        ANN indexes' ``index_maintain``: compacts ONLY when the MoR debt
+        warrants a rewrite. Triggers when the tombstone sidecar's live row
+        count (manifest-only read, no Spark job) outgrows
+        ``tombstone_rows_budget`` (the point where _live_rows' broadcast
+        stops being free) or when per-epoch band-row appends have
+        accumulated past ``delta_files_budget`` files (probe scan cost is
+        O(files)). Otherwise a cheap stat read."""
+        tombs = self._tomb_table()
+        n_tomb = (
+            sum(e.get("rows", 0) for e in tombs.snapshot().files) if tombs else 0
+        )
+        n_files_now = len(self.table.snapshot().files)
+        if n_tomb <= tombstone_rows_budget and n_files_now <= delta_files_budget:
+            return {
+                "compacted": False,
+                "tombstone_rows": n_tomb,
+                "index_files": n_files_now,
+            }
+        res = self.compact(n_files=n_files, fold_tombstones=True)
+        res.update(
+            {
+                "compacted": True,
+                "tombstone_rows": n_tomb,
+                "index_files": n_files_now,
+            }
+        )
+        return res
+
     def check_and_add(
         self,
         docs: DataFrame,

@@ -508,3 +508,30 @@ def test_readonly_open_writes_nothing(spark):
     ch = spark.createDataFrame([(1, "D", None)], "doc_id long, op string, text string")
     ro.apply_changes(ch, epoch_id=2)
     assert os.path.isdir(os.path.join(root, "_tombstones"))
+
+
+def test_neardup_maintain_compacts_only_when_debt_warrants(spark):
+    """NearDupIndex.maintain: cheap no-op below budget; over budget it
+    folds tombstones + delta files and pair results are unchanged."""
+    from data_exchange_routing_spark.functions.dedup_index import NearDupIndex
+
+    root = tempfile.mkdtemp(prefix="ndmaint_") + "/lsh"
+    idx = NearDupIndex.create(spark, root, k=16, bands=4)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta {i % 3}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx.check_and_add(docs, epoch_id=1)
+    ch = spark.createDataFrame(
+        [(2, "D", None), (5, "D", None)], "doc_id long, op string, text string"
+    )
+    idx.apply_changes(ch, epoch_id=2)
+    before = sorted(map(tuple, idx.live_pairs().collect()))
+    res = idx.maintain()  # debt below both budgets
+    assert res["compacted"] is False and res["tombstone_rows"] == 2
+    res2 = idx.maintain(tombstone_rows_budget=0)
+    assert res2["compacted"] is True
+    assert sorted(map(tuple, idx.live_pairs().collect())) == before
+    res3 = idx.maintain()
+    assert res3 == {"compacted": False, "tombstone_rows": 0, "index_files": 1}
