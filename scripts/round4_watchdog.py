@@ -111,24 +111,11 @@ def main() -> None:
             f"(need_scaling={need_scaling} need_bench={need_bench})",
             flush=True,
         )
-        if need_scaling:
-            env = dict(
-                os.environ,
-                BENCH_CDC_EVENTS=SCALING_EVENTS,
-                BENCH_REPEATS="2",
-                BENCH_EXEC_CORES="2",
-                BENCH_EXEC_MEM_MB="8192",
-                BENCH_SCALING_WAIT_SEC="900",
-            )
-            subprocess.run(
-                [sys.executable, os.path.join(repo, "bench.py"),
-                 "--scaling-executors", "--pairs", "2"],
-                check=False,
-                env=env,
-                cwd=repo,
-            )
-            print(f"# scaling attempt done; passed={scaling_passed(repo)}", flush=True)
-        if need_bench and sustained_healthy(n=1):
+        # r05 ordering: the ~7-min headline bench FIRST — under flapping
+        # windows the short protocol has far better odds of fitting inside
+        # one than the ~25-min scaling protocol (whose per-run healthy
+        # waits make it flap-resilient anyway)
+        if need_bench:
             env = {k: v for k, v in os.environ.items() if not k.startswith("BENCH_")}
             p = subprocess.run(
                 [sys.executable, os.path.join(repo, "bench.py")],
@@ -154,6 +141,23 @@ def main() -> None:
             else:
                 print(f"# bench produced no JSON (rc={p.returncode})", flush=True)
                 print(p.stderr[-2000:], flush=True)
+        if need_scaling and sustained_healthy(n=1):
+            env = dict(
+                os.environ,
+                BENCH_CDC_EVENTS=SCALING_EVENTS,
+                BENCH_REPEATS="2",
+                BENCH_EXEC_CORES="2",
+                BENCH_EXEC_MEM_MB="8192",
+                BENCH_SCALING_WAIT_SEC="900",
+            )
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "bench.py"),
+                 "--scaling-executors", "--pairs", "2"],
+                check=False,
+                env=env,
+                cwd=repo,
+            )
+            print(f"# scaling attempt done; passed={scaling_passed(repo)}", flush=True)
         if scaling_passed(repo) and bench_beat_r01(repo):
             print("# both goals met; done", flush=True)
             return
