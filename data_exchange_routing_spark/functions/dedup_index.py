@@ -88,6 +88,14 @@ class NearDupIndex:
                 self._tombstones = LakeTable.load(self.spark, self._tomb_path)
         return self._tombstones
 
+    def _tomb_rows(self) -> int:
+        """Live tombstone row count from the sidecar MANIFEST (no Spark
+        job); 0 when the sidecar was never created."""
+        tombs = self._tomb_table()
+        if tombs is None:
+            return 0
+        return sum(e.get("rows", 0) for e in tombs.snapshot().files)
+
     @property
     def tombstones(self) -> "LakeTable":
         t = self._tomb_table()
@@ -132,10 +140,7 @@ class NearDupIndex:
         # epoch-guard appends, and the non-transform rewrite path should be
         # taken then — it preserves row-lineage ids and skips the pointless
         # sidecar rewrite
-        tombs = self._tomb_table()
-        n_tomb = (
-            sum(e.get("rows", 0) for e in tombs.snapshot().files) if tombs else 0
-        )
+        n_tomb = self._tomb_rows()
         fold = fold_tombstones and n_tomb > 0
         res = self.table.rewrite_files(
             n_files=n_files,
@@ -143,7 +148,9 @@ class NearDupIndex:
             transform=(lambda _df: self._live_rows()) if fold else None,
         )
         if fold and not res.get("skipped"):
-            tombs.rewrite_files(n_files=1, transform=lambda df: df.limit(0))
+            self._tomb_table().rewrite_files(
+                n_files=1, transform=lambda df: df.limit(0)
+            )
         return res
 
     def maintain(
@@ -160,10 +167,7 @@ class NearDupIndex:
         stops being free) or when per-epoch band-row appends have
         accumulated past ``delta_files_budget`` files (probe scan cost is
         O(files)). Otherwise a cheap stat read."""
-        tombs = self._tomb_table()
-        n_tomb = (
-            sum(e.get("rows", 0) for e in tombs.snapshot().files) if tombs else 0
-        )
+        n_tomb = self._tomb_rows()
         n_files_now = len(self.table.snapshot().files)
         if n_tomb <= tombstone_rows_budget and n_files_now <= delta_files_budget:
             return {
@@ -174,7 +178,9 @@ class NearDupIndex:
         res = self.compact(n_files=n_files, fold_tombstones=True)
         res.update(
             {
-                "compacted": True,
+                # a commit-conflict-skipped rewrite did NOT pay the debt —
+                # report honestly so the ops loop retries next cycle
+                "compacted": not res.get("skipped", False),
                 "tombstone_rows": n_tomb,
                 "index_files": n_files_now,
             }

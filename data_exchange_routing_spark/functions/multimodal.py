@@ -1170,6 +1170,8 @@ def decode_jpeg(payload: bytes):
         # optional 0xFF fill bytes before a marker are legal (T.81 B.1.1.2)
         while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG: fill bytes run to EOF before SOS")
         marker = b[pos + 1]
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):

@@ -869,34 +869,60 @@ class _maintainer_lease:
             try:
                 age = time.time() - os.path.getmtime(self.lock)
             except OSError:
-                age = None  # holder released between probe and stat
+                # holder released between probe and stat: the lock is gone,
+                # so contend for it directly (O_EXCL arbitrates)
+                age = None
+                self._try_acquire()
             if age is not None and age > self.stale_after_s:
                 steal = self.lock + ".steal"
-                try:
-                    sfd = os.open(steal, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    raise IndexMaintainerBusy(
-                        f"another maintainer is stealing {self.lock}"
-                    ) from None
-                try:
-                    # re-check UNDER the steal lock: the previous stealer may
-                    # have just created a fresh lock we must not remove
+                sfd = None
+                for steal_try in (0, 1):
                     try:
-                        age = time.time() - os.path.getmtime(self.lock)
-                    except OSError:
-                        age = self.stale_after_s + 1  # gone: free to create
-                    if age > self.stale_after_s:
+                        sfd = os.open(steal, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        break
+                    except FileExistsError:
+                        # a crashed stealer must not wedge recovery forever:
+                        # the steal critical section is sub-second, so a
+                        # steal file older than 60s is itself dead debris
                         try:
-                            os.unlink(self.lock)
+                            sage = time.time() - os.path.getmtime(steal)
+                        except OSError:
+                            continue  # released; retry the exclusive create
+                        if steal_try == 0 and sage > 60.0:
+                            try:
+                                os.unlink(steal)
+                            except OSError:
+                                pass
+                            continue
+                        raise IndexMaintainerBusy(
+                            f"another maintainer is stealing {self.lock}"
+                        ) from None
+                if sfd is not None:
+                    try:
+                        # re-check UNDER the steal lock: the previous stealer
+                        # (or a direct acquirer after a release) may have just
+                        # created a FRESH lock we must not remove
+                        try:
+                            age2 = time.time() - os.path.getmtime(self.lock)
+                            gone = False
+                        except OSError:
+                            age2, gone = None, True
+                        if gone:
+                            # lock vanished: contend directly, never unlink —
+                            # a concurrent fresh acquirer may already own it
+                            self._try_acquire()
+                        elif age2 > self.stale_after_s:
+                            try:
+                                os.unlink(self.lock)
+                            except OSError:
+                                pass
+                            self._try_acquire()
+                    finally:
+                        os.close(sfd)
+                        try:
+                            os.unlink(steal)
                         except OSError:
                             pass
-                        self._try_acquire()
-                finally:
-                    os.close(sfd)
-                    try:
-                        os.unlink(steal)
-                    except OSError:
-                        pass
             if self._fd is None:
                 raise IndexMaintainerBusy(
                     f"another maintainer holds {self.lock}; apply_changes/"
@@ -904,9 +930,11 @@ class _maintainer_lease:
                     "a crashed holder's lease frees itself after the stale "
                     "window (its heartbeat stops)"
                 )
-        # heartbeat: keep mtime fresh so a long compaction is never stolen
+        # heartbeat: keep mtime fresh so a long compaction is never stolen.
+        # Interval scales with the TTL (no 1s floor: a 1s test TTL must
+        # still beat several times inside its own stale window)
         self._stop = threading.Event()
-        interval = max(self.stale_after_s / 4.0, 1.0)
+        interval = max(self.stale_after_s / 4.0, 0.05)
 
         def beat():
             while not self._stop.wait(interval):

@@ -1630,3 +1630,22 @@ def test_fused_engine_unknown_value_raises(spark):
     )
     with _pytest.raises(ValueError, match="unknown fused engine"):
         fused_local_dedup_extract(df, n_buckets=2, engine="Arow")
+
+
+def test_jpeg_trailing_fill_bytes_truncation_is_valueerror():
+    """r05 review round 2: a truncated JPEG ending in a run of 0xFF fill
+    bytes must raise the documented ValueError, not struct.error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_exchange_routing_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_flat,
+    )
+
+    bv = (np.arange(4).reshape(2, 2) * 37 + 5) % 256
+    good = encode_jpeg_flat(bv)
+    dqt = good.find(b"\xff\xdb")
+    trunc = good[:dqt] + b"\xff\xff\xff\xff"
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(trunc)

@@ -535,3 +535,36 @@ def test_neardup_maintain_compacts_only_when_debt_warrants(spark):
     assert sorted(map(tuple, idx.live_pairs().collect())) == before
     res3 = idx.maintain()
     assert res3 == {"compacted": False, "tombstone_rows": 0, "index_files": 1}
+
+
+def test_stale_steal_lock_does_not_wedge_recovery(spark):
+    """r05 review round 2: a crashed STEALER's leftover steal file must not
+    block lease recovery forever — debris older than the steal window is
+    cleared and acquisition proceeds."""
+    root = tempfile.mkdtemp(prefix="idxsteal_") + "/idx"
+    SIM.ivf_index_build(_emb_df(spark, range(10)), root, n_centroids=2)
+    lock = os.path.join(root, "maintainer.lock")
+    steal = lock + ".steal"
+    with open(lock, "w") as f:
+        f.write("crashed maintainer")
+    os.utime(lock, (1, 1))  # stale main lease
+    with open(steal, "w") as f:
+        f.write("crashed stealer")
+    os.utime(steal, (1, 1))  # stale steal debris
+    ins = _emb_df(spark, range(10, 12)).withColumn("op", F.lit("I"))
+    res = SIM.ivf_index_apply_changes(spark, root, ins, epoch_id=1)
+    assert res == {"skipped": False, "epoch_id": 1}
+    assert not os.path.exists(lock) and not os.path.exists(steal)
+    # a FRESH steal file (live stealer) still blocks
+    with open(lock, "w") as f:
+        f.write("x")
+    os.utime(lock, (1, 1))
+    with open(steal, "w") as f:
+        f.write("live stealer")
+    dels = spark.createDataFrame(
+        [(1, None, "D")], "vec_id long, embedding array<double>, op string"
+    )
+    with pytest.raises(SIM.IndexMaintainerBusy, match="stealing"):
+        SIM.ivf_index_apply_changes(spark, root, dels, epoch_id=2)
+    os.unlink(steal)
+    os.unlink(lock)
