@@ -61,19 +61,44 @@ CDC_FILLER = int(os.environ.get("BENCH_CDC_FILLER", "1500"))
 
 
 def _page_touch_gbps(mb: int = 64) -> float:
-    """Fresh-page fault bandwidth probe (GB/s). This sandbox's hypervisor
-    intermittently degrades page faults ~1000x (measured 0.004 GB/s vs ~5
-    healthy) while cached CPU work stays full speed — steal_frac does NOT
-    see it, so every record carries this instead. Anything touching new
-    memory (JVM heap growth, Arrow buffers, shuffle) serializes on host
-    paging during those windows."""
+    """SUSTAINED fresh-page fault bandwidth probe (GB/s): median of 5
+    back-to-back allocate-and-touch rounds.
+
+    History: rounds 1-5 used a single-shot probe. Round-5 session-2
+    characterization showed the single shot is a measurement artifact on
+    this hypervisor: the FIRST allocation after any idle gap always reads
+    ~0.06-0.25 GB/s (one-time cold first-fault penalty — lazy page-supply
+    refill), while the 2nd..Nth back-to-back allocations in the same
+    process run 4-10 GB/s (measured 2026-08-22: burst =
+    [0.21, 4.12, 3.46, 4.37, 4.96, 5.59, 5.97, 6.28, 6.08, 8.17] GB/s;
+    identical shape after a 30 s idle gap). A sustained workload (a JVM
+    allocating continuously) experiences the warm rate, so the single-shot
+    probe systematically flagged healthy hosts as degraded — r05 session 1
+    saw 122/122 'degraded' probes while workload throughput sat stable at
+    ~2/3 capacity, and BENCH/BASELINE.md already discloses the probe as
+    process-state-dependent. In a genuinely degraded window (r04: flat
+    0.03-0.26 GB/s memory-touch cap shared across JVMs, 2 cores == 8 cores
+    wall-clock) the SUSTAINED rate is ALSO under the cap, so the median
+    still catches real degradation; it only stops miscounting the one-time
+    cold fault. Both numbers are recorded (see callers: *_first_touch
+    fields)."""
+    return _probe_burst(mb)[1]
+
+
+def _probe_burst(mb: int = 64, rounds: int = 5) -> tuple[float, float]:
+    """(first_touch_gbps, sustained_median_gbps) over `rounds` back-to-back
+    allocate-and-touch rounds of `mb` MiB each."""
     import numpy as np
 
-    t0 = time.perf_counter()
-    a = np.ones(mb << 20, dtype=np.uint8)  # allocate AND touch every page
-    dt = time.perf_counter() - t0
-    del a
-    return round((mb / 1024.0) / dt, 3)
+    rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        a = np.ones(mb << 20, dtype=np.uint8)  # allocate AND touch every page
+        dt = time.perf_counter() - t0
+        del a
+        rates.append((mb / 1024.0) / dt)
+    med = sorted(rates)[len(rates) // 2]
+    return round(rates[0], 3), round(med, 3)
 
 
 def _wait_healthy_host(min_gbps: float = 0.5, timeout_s: float = 1800) -> float:
@@ -262,7 +287,12 @@ def main_default() -> None:
                 "cores": cores,
                 **_host_noise(_cpu0, _cpu_sample()),
                 "host_mem_gbps_start": _gbps0,
-                "host_mem_gbps_end": (_gbps1 := _page_touch_gbps()),
+                "host_mem_gbps_end": (_gbps1 := (_burst1 := _probe_burst())[1]),
+                # one-time cold first-fault rate (vs the sustained median
+                # above) — disclosed since the r05-s2 probe fix; see
+                # _page_touch_gbps docstring
+                "host_mem_gbps_end_first_touch": _burst1[0],
+                "probe": "sustained_median_of_5",
                 # explicit legibility flag: this record was taken inside (or
                 # STRADDLED INTO — either probe counts, r02's record ended
                 # degraded while flagged healthy) a hypervisor degraded-paging

@@ -17,13 +17,20 @@ import time
 
 
 def probe(mb: int = 64) -> float:
+    """Sustained page-touch rate: median of 5 back-to-back rounds (the
+    single-shot variant only measured the one-time cold first-fault
+    penalty — see bench._page_touch_gbps docstring for the r05-s2
+    characterization data)."""
     import numpy as np
 
-    t0 = time.perf_counter()
-    a = np.ones(mb << 20, dtype=np.uint8)
-    dt = time.perf_counter() - t0
-    del a
-    return (mb / 1024.0) / dt
+    rates = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        a = np.ones(mb << 20, dtype=np.uint8)
+        dt = time.perf_counter() - t0
+        del a
+        rates.append((mb / 1024.0) / dt)
+    return sorted(rates)[len(rates) // 2]
 
 
 def sustained_healthy(n: int = 3, gap_s: float = 20.0, min_gbps: float = 1.5) -> bool:
