@@ -687,11 +687,19 @@ def apply_epoch(
             obs = Observation(f"meta-keys-{epoch_id}-{attempt}-{_uuid.uuid4().hex[:6]}")
             delta = dedup_last_writer(routed, key=[DEST_COL, "url"], strategy=dedup_strategy)
             delta = delta.withColumn("text", extract_text(F.col("html")))
-            # distinct meta keys collected DURING the write — no extra pass
+            # distinct meta keys collected DURING the write — no extra pass.
+            # collect_SET of the per-row key-arrays, not collect_list: the
+            # accumulator then carries only the distinct key-combinations
+            # (a handful) instead of one array per row. The list variant
+            # shipped O(rows) arrays to the driver and merged them
+            # single-threaded on the DAGScheduler event loop — measured 8 s
+            # of post-task stage stall per epoch at 406k rows, stalling
+            # every concurrent job; at 10^10 rows it would be a
+            # driver-side O(rows) scale-killer.
             delta = delta.observe(
                 obs,
                 F.array_distinct(
-                    F.flatten(F.collect_list(F.map_keys(F.col("meta"))))
+                    F.flatten(F.collect_set(F.map_keys(F.col("meta"))))
                 ).alias("keys"),
             )
             cols = [
@@ -755,11 +763,14 @@ def apply_epoch(
             # observed pre-dedup here (vs post-dedup in the agg path): a
             # superset only when a dropped duplicate carried a key its
             # surviving revision lacks — harmless (extra all-null column)
+            # collect_SET, not collect_list — see the agg-path comment: the
+            # set dedups to the distinct key-combinations executor-side, so
+            # the driver merge is O(combos) not O(rows)
             staged_input = staged_input.observe(
                 obs,
                 F.array_distinct(
                     F.flatten(
-                        F.collect_list(
+                        F.collect_set(
                             F.when(
                                 F.col(DEST_COL) != "dead_letter",
                                 F.map_keys(F.col("meta")),
@@ -961,6 +972,16 @@ def replay(
     from concurrent.futures import ThreadPoolExecutor
 
     applied: list[int] = []
+    # Cold promoted-key registry (fresh warehouse): apply the first epoch
+    # ALONE so it registers the batch's meta keys once. Launching all
+    # epochs concurrently on a cold registry makes EVERY one observe the
+    # same never-before-seen keys and each pays the rare second staging
+    # pass — a cold-start amplification (measured 6 staging passes instead
+    # of 4 for a 3-epoch fresh-warehouse replay). Steady state (warm
+    # registry) is unaffected; epochs stay order-independent either way.
+    if todo and max_concurrent_epochs > 1 and not wh.known_promote_keys():
+        applied.append(run_one(todo[0]))
+        todo = todo[1:]
     if compact_every:
         # compaction rewrites whole tables: quiesce between groups
         for i in range(0, len(todo), compact_every):
