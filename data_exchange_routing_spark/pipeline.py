@@ -807,6 +807,24 @@ def apply_epoch(
             build_and_stage = build_and_stage_local
 
         promote = wh.known_promote_keys()
+        if not promote:
+            # Cold registry (fresh warehouse): ONE cheap pre-scan of the
+            # routed batch's meta keys (map_keys + distinct — html is pruned
+            # from the scan, no payload shuffle) seeds the registry up
+            # front. Without it the epoch observes every key as
+            # never-before-seen and pays the FULL second staging pass
+            # (re-parse + re-shuffle + re-extract of the whole batch). The
+            # scan covers `routed` (post-enrichment/post-routing, where
+            # route-config metadata lands) pre-dedup — the same key set the
+            # local-path Observation measures; the pre- vs post-dedup
+            # difference is the documented harmless superset (a key carried
+            # only by dropped duplicates yields an extra nullable column).
+            # Steady state (non-empty registry) never runs this scan; a
+            # genuinely-new key arriving on a warm registry still takes the
+            # second-pass path below.
+            seed = detect_promotable_meta_keys(routed)
+            if seed:
+                promote = wh.register_promote_keys(seed)
         delta_schema, entries_by_dest, observed, staging = build_and_stage(promote, 0)
         new_keys = [k for k in observed if k not in promote]
         if new_keys:
@@ -972,16 +990,6 @@ def replay(
     from concurrent.futures import ThreadPoolExecutor
 
     applied: list[int] = []
-    # Cold promoted-key registry (fresh warehouse): apply the first epoch
-    # ALONE so it registers the batch's meta keys once. Launching all
-    # epochs concurrently on a cold registry makes EVERY one observe the
-    # same never-before-seen keys and each pays the rare second staging
-    # pass — a cold-start amplification (measured 6 staging passes instead
-    # of 4 for a 3-epoch fresh-warehouse replay). Steady state (warm
-    # registry) is unaffected; epochs stay order-independent either way.
-    if todo and max_concurrent_epochs > 1 and not wh.known_promote_keys():
-        applied.append(run_one(todo[0]))
-        todo = todo[1:]
     if compact_every:
         # compaction rewrites whole tables: quiesce between groups
         for i in range(0, len(todo), compact_every):
