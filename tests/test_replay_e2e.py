@@ -303,3 +303,30 @@ def test_staging_vacuum_reclaims_redelivery_leak(spark, events_dir, tmpdir_path)
     # crash age-out: marker older than min_age_s -> reclaimed, marker too
     assert wh.vacuum_staging(min_age_s=0)["dirs_removed"] == 1
     assert not os.path.exists(inflight) and not os.path.exists(inflight + ".inflight")
+
+
+def test_cold_registry_single_staging_pass(spark, events_dir, tmpdir_path, monkeypatch):
+    """A fresh warehouse must NOT pay the second staging pass: the cold
+    promoted-key registry is seeded by the cheap pre-scan of the routed
+    batch, so pass 0 already carries the promoted columns (one
+    stage_multicast_delta call per epoch). A genuinely-new key arriving on
+    a WARM registry still re-stages (covered by the charset evolution
+    assertion in test_full_replay_matches_oracle: charset appears in a late
+    epoch and lands as a column)."""
+    import data_exchange_routing_spark.pipeline as P
+
+    calls: list[int] = []
+    orig = P.stage_multicast_delta
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(P, "stage_multicast_delta", counting)
+    wh = Warehouse(spark, os.path.join(tmpdir_path, "wh_coldpass"), n_buckets=8)
+    res = replay(wh, events_dir, stop_after_epoch=1, max_concurrent_epochs=2)
+    assert res["applied_epochs"] == [0, 1]
+    # epochs 0-1 of this generator introduce no post-registry keys beyond the
+    # pre-scan seed: exactly one staged write per epoch
+    assert len(calls) == 2, f"expected 2 staging passes (1/epoch), got {len(calls)}"
+    assert wh.known_promote_keys() != []
